@@ -1,0 +1,281 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactNum.{cents, sumCents}
+
+/** Relational analytics core (SURVEY.md §2.D).
+  *
+  * Jane's query surface is attribute search + aggregation over document
+  * indices; these queries exercise the same relational shapes on the
+  * driver's TPC-H-ish tables. Every query is declared with the DataFrame
+  * API so Catalyst handles pushdown/pruning/join selection; dims are
+  * broadcast explicitly where the 100 TB plan wants a map-side join.
+  */
+object RelationalQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sumCents(col("l_quantity")).as("sum_qty_c"),
+          sumCents(col("l_extendedprice")).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_c"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "q02_filter_project" -> { (s, d) =>
+      // Predicate pushdown + column pruning: the scan should read only the
+      // five referenced columns and push all three filters to parquet.
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          cents(col("l_quantity")).as("qty_c"),
+          cents(col("l_extendedprice") * col("l_discount")).as("disc_revenue_c"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    "q03_join_agg" -> { (s, d) =>
+      // 4-table star join: lineitem ⋈ orders (shuffle on orderkey) with
+      // customer and nation broadcast — at 100 TB only the fact-fact join
+      // shuffles; dims stay map-side.
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    },
+
+    "q04_exists_semijoin" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 48)
+            .select(col("l_orderkey")),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+
+    "q05_topk" -> { (s, d) =>
+      Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(sumCents(col("o_totalprice")).as("spend_c"))
+        .orderBy(col("spend_c").desc, col("c_custkey").asc)
+        .limit(10)
+    },
+
+    "q06_window_rank" -> { (s, d) =>
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
+      Tables.orders(s, d)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_c"), col("rnk"))
+        .orderBy("o_custkey", "rnk", "o_orderkey")
+    },
+
+    "q07_distinct_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("l_returnflag")
+    },
+
+    "q08_anti_join" -> { (s, d) =>
+      // Customers with no large order — left-anti join (Jane: orphan
+      // documents with no index rows).
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    },
+
+    "q09_conditional_agg" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n_events"),
+          sumCents(col("value")).as("value_c"),
+          sum(when(col("value") > 100, 1L).otherwise(0L)).as("n_big"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
+    "q10_time_bucket" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("ts").cast("date").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sumCents(col("value")).as("value_c"))
+        .orderBy("day", "event_type")
+    },
+
+    "q11_rollup" -> { (s, d) =>
+      // ROLLUP via SQL: the DataFrame rollup + re-select path trips Spark's
+      // ambiguous-column detection on the Expand node's duplicated grouping
+      // attributes; the SQL front-end resolves cleanly and plans identically.
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_q11_cnr")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS n_cust,
+          |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+          |FROM graft_q11_cnr
+          |GROUP BY ROLLUP (r_name, n_name)
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
+    "q12_union_dedup" -> { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .union(Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("key")))
+        .distinct()
+        .orderBy("key")
+    },
+
+    "q13_json_extract" -> { (s, d) =>
+      // Jane stores extracted index attributes as JSON; same shape here.
+      Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(sum(col("k")).as("sum_k"), max(col("k")).as("max_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
+    "q15_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
+        |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
+        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(round(l_quantity * 100) AS BIGINT) AS qty_c,
+        |  CAST(round(l_extendedprice * l_discount * 100) AS BIGINT) AS disc_revenue_c
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q03_join_agg" ->
+      """SELECT n_name,
+        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q04_exists_semijoin" ->
+      """SELECT o_orderpriority, COUNT(*) AS n_orders
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q05_topk" ->
+      """SELECT c_custkey, c_name,
+        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY spend_c DESC, c_custkey ASC LIMIT 10""".stripMargin,
+
+    "q06_window_rank" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, rnk
+        |FROM (SELECT *, rank() OVER (PARTITION BY o_custkey
+        |                             ORDER BY o_totalprice DESC) AS rnk
+        |      FROM orders)
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q07_distinct_agg" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_conditional_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c,
+        |  SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_big,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q10_time_bucket" ->
+      """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
+
+    "q11_rollup" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin,
+
+    "q12_union_dedup" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 400000
+        |ORDER BY key""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT event_type, SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+        |FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q15_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+}
