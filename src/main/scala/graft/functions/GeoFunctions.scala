@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Geographic predicates (Jane: PostGIS-backed geo search on event/station
+  * indices — bounding box, point-radius, polygon).
+  *
+  * Everything is plain Catalyst expressions (codegen-friendly, pushdown-
+  * friendly); no UDFs. For oracle-checked queries the same formulas exist
+  * as SQL text in [[graft.queries.JaneQueries]] — keep in sync.
+  */
+object GeoFunctions {
+
+  val EarthRadiusKm = 6371.0
+
+  /** Great-circle distance in km (haversine). */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLon = radians(lon2 - lon1) / 2
+    val a = pow(sin(dLat), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon), 2)
+    lit(2 * EarthRadiusKm) * asin(sqrt(a))
+  }
+
+  /** minlat/maxlat/minlon/maxlon box (FDSN event/station geo params). */
+  def inBoundingBox(lat: Column, lon: Column,
+      minLat: Double, maxLat: Double, minLon: Double, maxLon: Double): Column =
+    lat.between(minLat, maxLat) && lon.between(minLon, maxLon)
+
+  /** Point-radius ring (FDSN latitude/longitude/minradius/maxradius). */
+  def inRadiusKm(lat: Column, lon: Column, centerLat: Double, centerLon: Double,
+      minKm: Double, maxKm: Double): Column = {
+    val d = haversineKm(lit(centerLat), lit(centerLon), lat, lon)
+    d >= minKm && d <= maxKm
+  }
+
+  /** Convex-polygon containment: the point is inside iff it is on the same
+    * (left) side of every edge of a counter-clockwise vertex ring. Pure
+    * multiply/compare — engine-exact. Vertices are (lat, lon).
+    */
+  def inConvexPolygon(lat: Column, lon: Column, verts: Seq[(Double, Double)]): Column =
+    verts.indices.map { i =>
+      val (y1, x1) = verts(i)
+      val (y2, x2) = verts((i + 1) % verts.length)
+      (lit(x2 - x1) * (lat - lit(y1)) - lit(y2 - y1) * (lon - lit(x1))) >= 0
+    }.reduce(_ && _)
+}

@@ -1,0 +1,28 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document-store semantics (Jane: re-uploading a document supersedes the
+  * previous version; queries see only the latest revision).
+  *
+  * Latest-wins is one window + filter — a single shuffle on the document
+  * key, no self-join. At 100 TB the partitionBy key is the document id, so
+  * the window never concentrates data on one executor.
+  */
+object DocumentStore {
+
+  /** Keep only the highest `versionCol` row per `groupCols` group. */
+  def latestVersions(df: DataFrame, groupCols: Seq[String], versionCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(versionCol).desc)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Deterministic page fetch (Jane REST pagination: ordering + offset/limit).
+    * Callers must pass a total ordering (include a unique id tie-break).
+    */
+  def page(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
+      offset: Int, limit: Int): DataFrame =
+    df.orderBy(orderCols: _*).offset(offset).limit(limit)
+}

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Indexer-plugin analogs (Jane: per-document-type indexer plugins that
+  * extract queryable attributes from uploaded QuakeML/StationXML into index
+  * tables).
+  *
+  * The driver's synthetic `events` table lacks geographic/seismological
+  * columns, so the "extracted" attributes are derived deterministically
+  * from existing columns. Each derivation is ONE SQL text constant used by
+  * both the Spark plan (`expr`) and the DuckDB oracle (spliced into a CTE)
+  * — bit-identical by construction (SURVEY.md §4).
+  */
+object Indexers {
+
+  /** Event index attribute derivations (QuakeML-indexer analog). */
+  object EventIndex {
+    val latitudeSql = "((user_id * 37) % 180) - 90 + 0.5"
+    val longitudeSql = "((event_id * 53) % 360) - 180 + 0.5"
+    val depthSql = "(event_id % 700) + 0.0"
+    val magnitudeSql = "value / 50.0"
+
+    /** DuckDB CTE body over raw `events` producing the same index. */
+    val oracleCte: String =
+      s"""SELECT event_id, ts AS time, user_id, event_type, value,
+         |  $latitudeSql AS latitude, $longitudeSql AS longitude,
+         |  $depthSql AS depth, $magnitudeSql AS magnitude
+         |FROM events""".stripMargin
+
+    def attach(events: DataFrame): DataFrame = events
+      .withColumn("time", col("ts"))
+      .withColumn("latitude", expr(latitudeSql))
+      .withColumn("longitude", expr(longitudeSql))
+      .withColumn("depth", expr(depthSql))
+      .withColumn("magnitude", expr(magnitudeSql))
+  }
+
+  /** Channel-epoch index (StationXML-indexer analog): one row per
+    * (station, channel) with its observed epoch. Aggregation is a single
+    * shuffle on the composite key — at 100 TB this is the map-side-combined
+    * groupBy that builds the station index table.
+    */
+  object ChannelIndex {
+    val networkSql = "concat('N', cast(user_id % 10 as string))"
+    val stationSql = "concat('ST', cast(user_id as string))"
+
+    /** DuckDB equivalent (VARCHAR cast spelling differs, same value). */
+    val oracleCte: String =
+      """SELECT 'N' || CAST(user_id % 10 AS VARCHAR) AS network,
+        |  'ST' || CAST(user_id AS VARCHAR) AS station,
+        |  user_id, event_type AS channel,
+        |  MIN(ts) AS epoch_start, MAX(ts) AS epoch_end,
+        |  COUNT(*) AS n_samples
+        |FROM events GROUP BY user_id, event_type""".stripMargin
+
+    def build(events: DataFrame): DataFrame = events
+      .withColumn("network", expr(networkSql))
+      .withColumn("station", expr(stationSql))
+      .withColumn("channel", col("event_type"))
+      .groupBy("network", "station", "user_id", "channel")
+      .agg(min(col("ts")).as("epoch_start"), max(col("ts")).as("epoch_end"),
+        count(lit(1)).as("n_samples"))
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactNum.cents
+import graft.operators.{DocumentStore, FdsnQuery, Indexers}
+import graft.operators.FdsnQuery.{EventParams, StationParams}
+import graft.operators.Indexers.{ChannelIndex, EventIndex}
+
+/** Jane-domain operators (SURVEY.md §2.A–C): document versioning,
+  * pagination, FDSN event/station query semantics, geographic search.
+  *
+  * Oracle parity: geo formulas and derived attributes are shared SQL text
+  * (see [[Indexers]]); epoch outputs are floor-to-second BIGINTs.
+  */
+object JaneQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // --- shared formula text (Spark expr + DuckDB splice) -------------------
+
+  private val CLat = 10.5
+  private val CLon = 45.5
+  /** Haversine km from the fixed query point, over index cols lat/lon. */
+  private val havSql: String =
+    s"2 * 6371.0 * asin(sqrt(pow(sin(radians(latitude - $CLat) / 2), 2) + " +
+      s"cos(radians($CLat)) * cos(radians(latitude)) * " +
+      s"pow(sin(radians(longitude - $CLon) / 2), 2)))"
+
+  /** Convex polygon (lat, lon) vertices, counter-clockwise in (lon, lat). */
+  private val polyVerts: Seq[(Double, Double)] =
+    Seq((40.0, 10.0), (19.0, -19.0), (-14.0, -8.0), (-14.0, 28.0), (19.0, 39.0))
+
+  /** Half-plane containment predicate — generated once, used verbatim by
+    * both engines (products of identical doubles, bit-exact).
+    */
+  private val polySql: String = polyVerts.indices.map { i =>
+    val (y1, x1) = polyVerts(i)
+    val (y2, x2) = polyVerts((i + 1) % polyVerts.length)
+    s"((${x2 - x1}) * (latitude - ($y1)) - (${y2 - y1}) * (longitude - ($x1))) >= 0"
+  }.mkString(" AND ")
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    EventIndex.attach(Tables.events(s, d))
+
+  val queries: Map[String, Q] = Map(
+    "j01_geo_bbox" -> { (s, d) =>
+      ev(s, d)
+        .filter(graft.functions.GeoFunctions.inBoundingBox(
+          col("latitude"), col("longitude"), -30, 30, 0, 90))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(cents(col("magnitude"))).as("mag_c"))
+        .orderBy("event_type")
+    },
+
+    "j02_geo_radius" -> { (s, d) =>
+      ev(s, d)
+        .withColumn("dist_km", expr(havSql))
+        .filter(col("dist_km") <= 3000.0)
+        .select(col("event_id"), round(col("dist_km"), 2).as("dist_km2"),
+          col("latitude"), col("longitude"))
+        .orderBy("event_id")
+    },
+
+    "j03_point_in_polygon" -> { (s, d) =>
+      ev(s, d)
+        .filter(expr(polySql))
+        .select(col("event_id"), col("event_type"), col("latitude"), col("longitude"))
+        .orderBy("event_id")
+    },
+
+    "j04_wildcard_match" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(FdsnQuery.matchesFdsn(col("source"), "src1*"))
+        .select(col("doc_id"), col("source"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    "j05_interval_overlap" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("epoch_start"), max(col("ts")).as("epoch_end"))
+        .filter(col("epoch_start") <= lit("2024-02-05").cast("timestamp") &&
+          col("epoch_end") >= lit("2024-01-30 12:00:00").cast("timestamp"))
+        .select(col("user_id"),
+          unix_timestamp(col("epoch_start")).as("start_s"),
+          unix_timestamp(col("epoch_end")).as("end_s"))
+        .orderBy("user_id")
+    },
+
+    "j06_fdsn_event_query" -> { (s, d) =>
+      FdsnQuery.events(ev(s, d), EventParams(
+        starttime = Some("2024-01-05"), endtime = Some("2024-01-25"),
+        minLatitude = Some(-60), maxLatitude = Some(60),
+        minLongitude = Some(-90), maxLongitude = Some(90),
+        minMagnitude = Some(4.0),
+        orderBy = "magnitude", limit = Some(100)))
+        .select(col("event_id"), cents(col("magnitude")).as("mag_c"),
+          unix_timestamp(col("time")).as("time_s"),
+          col("latitude"), col("longitude"))
+    },
+
+    "j07_fdsn_station_epochs" -> { (s, d) =>
+      FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
+        station = Some("ST1*"), channel = Some("*e*"),
+        startBefore = Some("2024-01-03"), endAfter = Some("2024-01-28")))
+        .groupBy("network", "station")
+        .agg(count(lit(1)).as("n_channels"),
+          unix_timestamp(min(col("epoch_start"))).as("start_s"),
+          unix_timestamp(max(col("epoch_end"))).as("end_s"))
+        .orderBy("network", "station")
+    },
+
+    "j08_latest_version" -> { (s, d) =>
+      val versioned = Tables.documents(s, d)
+        .withColumn("group_id", expr("doc_id div 5"))
+        .withColumn("version", expr("doc_id % 5"))
+      DocumentStore.latestVersions(versioned, Seq("group_id"), "version")
+        .select(col("group_id"), col("doc_id"), col("version"), col("source"),
+          col("n_chars"))
+        .orderBy("group_id")
+    },
+
+    "j09_pagination" -> { (s, d) =>
+      DocumentStore.page(Tables.documents(s, d),
+        Seq(col("n_chars").desc, col("doc_id").asc), offset = 20, limit = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    })
+
+  private def evCte: String = EventIndex.oracleCte
+
+  val oracle: Map[String, String] = Map(
+    "j01_geo_bbox" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_type, COUNT(*) AS n,
+         |  SUM(CAST(round(magnitude * 100) AS BIGINT)) AS mag_c
+         |FROM ev
+         |WHERE latitude BETWEEN -30 AND 30 AND longitude BETWEEN 0 AND 90
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "j02_geo_radius" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id, round($havSql, 2) AS dist_km2, latitude, longitude
+         |FROM ev WHERE $havSql <= 3000.0
+         |ORDER BY event_id""".stripMargin,
+
+    "j03_point_in_polygon" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id, event_type, latitude, longitude
+         |FROM ev WHERE $polySql
+         |ORDER BY event_id""".stripMargin,
+
+    "j04_wildcard_match" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE source LIKE 'src1%' ORDER BY doc_id""".stripMargin,
+
+    "j05_interval_overlap" ->
+      """SELECT user_id,
+        |  CAST(floor(epoch(epoch_start)) AS BIGINT) AS start_s,
+        |  CAST(floor(epoch(epoch_end)) AS BIGINT) AS end_s
+        |FROM (SELECT user_id, MIN(ts) AS epoch_start, MAX(ts) AS epoch_end
+        |      FROM events GROUP BY user_id)
+        |WHERE epoch_start <= TIMESTAMP '2024-02-05'
+        |  AND epoch_end >= TIMESTAMP '2024-01-30 12:00:00'
+        |ORDER BY user_id""".stripMargin,
+
+    "j06_fdsn_event_query" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id, CAST(round(magnitude * 100) AS BIGINT) AS mag_c,
+         |  CAST(floor(epoch(time)) AS BIGINT) AS time_s, latitude, longitude
+         |FROM ev
+         |WHERE time >= TIMESTAMP '2024-01-05' AND time <= TIMESTAMP '2024-01-25'
+         |  AND latitude >= -60 AND latitude <= 60
+         |  AND longitude >= -90 AND longitude <= 90
+         |  AND magnitude >= 4.0
+         |ORDER BY magnitude DESC, event_id ASC LIMIT 100""".stripMargin,
+
+    "j07_fdsn_station_epochs" ->
+      s"""WITH ch AS (${ChannelIndex.oracleCte})
+         |SELECT network, station, COUNT(*) AS n_channels,
+         |  CAST(floor(epoch(MIN(epoch_start))) AS BIGINT) AS start_s,
+         |  CAST(floor(epoch(MAX(epoch_end))) AS BIGINT) AS end_s
+         |FROM ch
+         |WHERE station LIKE 'ST1%' AND channel LIKE '%e%'
+         |  AND epoch_start < TIMESTAMP '2024-01-03'
+         |  AND epoch_end > TIMESTAMP '2024-01-28'
+         |GROUP BY network, station ORDER BY network, station""".stripMargin,
+
+    "j08_latest_version" ->
+      """SELECT group_id, doc_id, version, source, n_chars
+        |FROM (SELECT *, doc_id // 5 AS group_id, doc_id % 5 AS version,
+        |        row_number() OVER (PARTITION BY doc_id // 5
+        |                           ORDER BY doc_id % 5 DESC) AS rn
+        |      FROM documents)
+        |WHERE rn = 1 ORDER BY group_id""".stripMargin,
+
+    "j09_pagination" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20""".stripMargin)
+}
