@@ -18,7 +18,8 @@ object SparkEntry {
   private val packs: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
-      (JaneQueries.queries, JaneQueries.oracle))
+      (JaneQueries.queries, JaneQueries.oracle),
+      (DedupQueries.queries, DedupQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

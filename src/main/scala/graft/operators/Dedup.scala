@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.HashFunctions.{hashSql, P}
+
+/** Deduplication operators for document corpora (SURVEY.md §2.E).
+  *
+  * Scale posture (the 100 TB story):
+  * - exact dedup: one hash-groupBy shuffle on the normalized key.
+  * - n-gram Jaccard: exact but quadratic → only run inside small candidate
+  *   buckets (length bucket here; LSH buckets in production).
+  * - MinHash+LSH: the linear-scan path — per-doc signatures (one shuffle),
+  *   band explosion, bucket self-join. No O(n²) stage ever materializes;
+  *   bucket sizes are bounded by collision probability, and a skewed bucket
+  *   is an AQE-splittable join key.
+  * - SimHash: 32-bit fingerprint per doc (one shuffle), Hamming-distance
+  *   pairing within candidate buckets.
+  *
+  * All hashing is explicit universal hashing over `ascii()`-derived codes
+  * so DuckDB oracles can replay it exactly; each builder exposes the SQL
+  * text alongside the Column plan.
+  */
+object Dedup {
+
+  /** Sorted bag-of-words normalization key (whitespace-robust exact dedup). */
+  val normKeySql = "concat_ws(' ', sort_array(split(text, ' ')))"
+  val normKeyOracleSql = "array_to_string(list_sort(string_split(text, ' ')), ' ')"
+
+  /** Distinct 3-gram character shingle array of `text`. Identical shape in
+    * DuckDB: list_distinct(list_transform(range(1, length(text)-1), ...)).
+    */
+  val shingleArraySql =
+    "array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))"
+  val shingleArrayOracleSql =
+    "list_distinct(list_transform(range(1, length(text) - 1), i -> substring(text, CAST(i AS INT), 3)))"
+
+  /** 24-bit integer code of a 3-char shingle column `sh3` (engine-neutral). */
+  val shingleCodeSql =
+    "CAST(ascii(substring(sh3, 1, 1)) * 65536 + ascii(substring(sh3, 2, 1)) * 256 + ascii(substring(sh3, 3, 1)) AS BIGINT)"
+
+  /** Exact dedup: keep the lowest id per normalized-text group.
+    * Output: doc_id (kept representative), dup_count.
+    */
+  def exact(df: DataFrame): DataFrame =
+    df.withColumn("__key", expr(normKeySql))
+      .groupBy("__key")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
+      .drop("__key")
+
+  /** Per-document MinHash signature columns h0..h{k-1} (one shuffle). */
+  def minHashSignatures(df: DataFrame, k: Int): DataFrame = {
+    val shingled = df
+      .select(col("doc_id"), explode(expr(shingleArraySql)).as("sh3"))
+      .withColumn("code", expr(shingleCodeSql))
+    val aggs = (0 until k).map(i => min(expr(hashSql(i, "code"))).as(s"h$i"))
+    shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: docs sharing any band signature; `k` perms split
+    * into `bands` bands of k/bands rows. Returns (a, b) with a < b.
+    */
+  def minHashLshPairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
+    val rows = k / bands
+    require(bands * rows == k, "bands must divide k")
+    val sig = minHashSignatures(df, k)
+    val bandStructs = (0 until bands).map { bi =>
+      struct(lit(bi).as("band"),
+        concat_ws("-", (0 until rows).map(r => col(s"h${bi * rows + r}")): _*).as("sig"))
+    }
+    val bandDf = sig
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    bandDf.as("x").join(bandDf.as("y"),
+        col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Horner-form SQL for a token code over `rp` (token right-padded to
+    * `len` chars); kept under 2^31 via a final mod P so universal hashes
+    * can multiply it without 64-bit overflow.
+    */
+  def tokenCodeSql(len: Int): String = {
+    val horner = (1 to len).reverse.foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"(ascii(substring(rp, $j, 1)) + 31 * $acc)"
+    }
+    s"($horner % $P)"
+  }
+
+  /** Per-document `bits`-bit SimHash over distinct whitespace tokens. */
+  def simHash(df: DataFrame, bits: Int): DataFrame = {
+    val tokens = df
+      .select(col("doc_id"), col("n_chars"),
+        explode(expr("array_distinct(split(trim(text), ' '))")).as("tok"))
+      .withColumn("rp", rpad(col("tok"), 8, " "))
+      .withColumn("code", expr(tokenCodeSql(8)))
+    val sums = (0 until bits).map { b =>
+      sum(expr(s"CASE WHEN ${hashSql(b, "code")} % 2 = 1 THEN 1 ELSE -1 END")).as(s"s$b")
+    }
+    val sig = tokens.groupBy("doc_id", "n_chars").agg(sums.head, sums.tail: _*)
+    val simhashExpr = (0 until bits)
+      .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    sig.withColumn("simhash", expr(simhashExpr))
+      .select(col("doc_id"), col("n_chars"), col("simhash"))
+  }
+}

@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.HashFunctions.hashSql
+import graft.operators.Dedup
+
+/** Deduplication suite (SURVEY.md §2.E) over the `documents` table.
+  *
+  * Oracle SQL for the sketch-based ops is *generated* from the same hash
+  * constants and formula text as the Spark plans — the only way MinHash /
+  * SimHash can hash-match across engines (SURVEY.md §4).
+  */
+object DedupQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 16     // minhash permutations
+  private val Bands = 2  // 2 bands x 8 rows: collision prob J^8, selective
+
+  val queries: Map[String, Q] = Map(
+    "d01_dedup_exact" -> { (s, d) =>
+      Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    "d02_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("sh", expr(Dedup.shingleArraySql))
+        .withColumn("bkt", expr("n_chars div 50"))
+        .select(col("doc_id"), col("bkt"), col("sh"))
+      docs.as("x").join(docs.as("y"),
+          col("x.bkt") === col("y.bkt") && col("x.doc_id") < col("y.doc_id"))
+        .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))).cast("long"))
+        .withColumn("uni", (size(col("x.sh")) + size(col("y.sh"))).cast("long") - col("inter"))
+        .withColumn("j", col("inter") / col("uni"))
+        .filter(col("j") >= 0.8)
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("inter"), round(col("j"), 4).as("j4"))
+        .orderBy("a", "b")
+    },
+
+    "d03_minhash_lsh" -> { (s, d) =>
+      Dedup.minHashLshPairs(Tables.documents(s, d), K, Bands).orderBy("a", "b")
+    },
+
+    "d04_simhash" -> { (s, d) =>
+      val sig = Dedup.simHash(Tables.documents(s, d), bits = 32)
+        .withColumn("bkt", expr("n_chars div 50"))
+        .select(col("doc_id"), col("bkt"), col("simhash"))
+      sig.as("x").join(sig.as("y"),
+          col("x.bkt") === col("y.bkt") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
+        .orderBy("hamming", "a", "b")
+        .limit(20)
+    })
+
+  // --- generated oracle SQL ----------------------------------------------
+
+  private val minhashAggs: String =
+    (0 until K).map(i => s"MIN(${hashSql(i, "code")}) AS h$i").mkString(",\n    ")
+
+  private val bandSelects: String = (0 until Bands).map { bi =>
+    val rows = K / Bands
+    val sig = (0 until rows).map(r => s"h${bi * rows + r}").mkString(" || '-' || ")
+    s"SELECT doc_id, $bi AS band, $sig AS sig FROM mh"
+  }.mkString("\n  UNION ALL ")
+
+  private val simhashSums: String = (0 until 32)
+    .map(b => s"SUM(CASE WHEN ${hashSql(b, "code")} % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
+    .mkString(",\n    ")
+
+  private val simhashValue: String = (0 until 32)
+    .map(b => s"(CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)")
+    .mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      s"""SELECT MIN(doc_id) AS doc_id, COUNT(*) AS dup_count
+         |FROM documents GROUP BY ${Dedup.normKeyOracleSql}
+         |ORDER BY doc_id""".stripMargin,
+
+    "d02_ngram_jaccard" ->
+      s"""WITH sh AS (SELECT doc_id, n_chars // 50 AS bkt,
+         |    ${Dedup.shingleArrayOracleSql} AS sh FROM documents)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  len(list_intersect(x.sh, y.sh)) AS inter,
+         |  round(len(list_intersect(x.sh, y.sh)) /
+         |        (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 4) AS j4
+         |FROM sh x JOIN sh y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |WHERE len(list_intersect(x.sh, y.sh)) /
+         |      (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) >= 0.8
+         |ORDER BY a, b""".stripMargin,
+
+    "d03_minhash_lsh" ->
+      s"""WITH shl AS (SELECT doc_id, unnest(${Dedup.shingleArrayOracleSql}) AS sh3
+         |             FROM documents),
+         |sh AS (SELECT doc_id, ${Dedup.shingleCodeSql} AS code FROM shl),
+         |mh AS (SELECT doc_id,
+         |    $minhashAggs
+         |  FROM sh GROUP BY doc_id),
+         |bands AS (
+         |  $bandSelects
+         |)
+         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |FROM bands x JOIN bands y
+         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+         |ORDER BY a, b""".stripMargin,
+
+    "d04_simhash" ->
+      s"""WITH tok AS (SELECT doc_id, n_chars,
+         |    unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         |  FROM documents),
+         |codes AS (SELECT doc_id, n_chars, ${Dedup.tokenCodeSql(8)} AS code
+         |  FROM (SELECT doc_id, n_chars, rpad(tok, 8, ' ') AS rp FROM tok)),
+         |sums AS (SELECT doc_id, n_chars,
+         |    $simhashSums
+         |  FROM codes GROUP BY doc_id, n_chars),
+         |sig AS (SELECT doc_id, n_chars // 50 AS bkt, $simhashValue AS simhash
+         |  FROM sums)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
+         |ORDER BY hamming, a, b LIMIT 20""".stripMargin)
+}

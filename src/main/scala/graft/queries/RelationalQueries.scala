@@ -81,7 +81,7 @@ object RelationalQueries {
     "q06_window_rank" -> { (s, d) =>
       val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc)
       Tables.orders(s, d)
-        .withColumn("rnk", rank().over(w))
+        .withColumn("rnk", rank().over(w).cast("long"))
         .filter(col("rnk") <= 2)
         .select(col("o_custkey"), col("o_orderkey"),
           cents(col("o_totalprice")).as("price_c"), col("rnk"))
