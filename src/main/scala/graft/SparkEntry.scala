@@ -19,7 +19,10 @@ object SparkEntry {
     Seq(
       (RelationalQueries.queries, RelationalQueries.oracle),
       (JaneQueries.queries, JaneQueries.oracle),
-      (DedupQueries.queries, DedupQueries.oracle))
+      (DedupQueries.queries, DedupQueries.oracle),
+      (SimilarityQueries.queries, SimilarityQueries.oracle),
+      (TextQueries.queries, TextQueries.oracle),
+      (StreamingQueries.queries, StreamingQueries.oracle))
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

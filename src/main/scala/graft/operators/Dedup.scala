@@ -83,9 +83,9 @@ object Dedup {
     * `len` chars); kept under 2^31 via a final mod P so universal hashes
     * can multiply it without 64-bit overflow.
     */
-  def tokenCodeSql(len: Int): String = {
+  def tokenCodeSql(len: Int, v: String = "rp"): String = {
     val horner = (1 to len).reverse.foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
-      s"(ascii(substring(rp, $j, 1)) + 31 * $acc)"
+      s"(ascii(substring($v, $j, 1)) + 31 * $acc)"
     }
     s"($horner % $P)"
   }

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.ExactNum.sumCents
+import graft.operators.AsOfJoin
+
+/** Streaming-shaped operators, verified through their batch equivalents
+  * (SURVEY.md §2.H). The same transforms run on `readStream` sources via
+  * [[graft.streaming.EventStreams]] (spec-tested with MemoryStream); the
+  * oracle checks the batch semantics. All gap/bucket arithmetic uses
+  * floor-to-second epochs on BOTH engines so ns-vs-µs precision can't
+  * flip a boundary (SURVEY.md §4).
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "s01_tumbling_counts" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("bucket_s", expr("(unix_timestamp(ts) div 300) * 300"))
+        .groupBy("bucket_s", "event_type")
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_c"))
+        .orderBy("bucket_s", "event_type")
+    },
+
+    "s02_sessionization" -> { (s, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      val sessions = Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev", lag(col("sec"), 1).over(byUser))
+        .withColumn("nf",
+          when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("nf")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(count(lit(1)).as("n"))
+      sessions.groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"),
+          max(col("n")).as("max_sess_events"))
+        .orderBy("user_id")
+    },
+
+    "q14_asof_join" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
+      AsOfJoin.leftAsOf(purchases, signups, key = "user_id", tsCol = "ts",
+        rightCols = Map("signup_event_id" -> "signup_event_id"))
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("signup_event_id"))
+        .orderBy("event_id")
+    })
+
+  val oracle: Map[String, String] = Map(
+    "s01_tumbling_counts" ->
+      """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_s,
+        |  event_type, COUNT(*) AS n,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |FROM events GROUP BY bucket_s, event_type
+        |ORDER BY bucket_s, event_type""".stripMargin,
+
+    "s02_sessionization" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |flags AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |      OR sec - lag(sec) OVER w > 1800 THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |sess AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flags),
+        |per_sess AS (SELECT user_id, sid, COUNT(*) AS n
+        |  FROM sess GROUP BY user_id, sid)
+        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+        |  MAX(n) AS max_sess_events
+        |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q14_asof_join" ->
+      """SELECT p.event_id, p.user_id,
+        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s, l.signup_event_id
+        |FROM (SELECT event_id, user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event_id
+        |                FROM events WHERE event_type = 'signup') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts
+        |ORDER BY p.event_id""".stripMargin)
+}

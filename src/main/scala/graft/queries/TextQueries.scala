@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.operators.Multimodal
+
+/** Text analysis + multimodal metadata (SURVEY.md §2.G, §2.A). */
+object TextQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "t01_lang_id" -> { (s, d) =>
+      val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
+        case (df, (l, words)) => df.withColumn(s"s_$l", expr(scoreSpark(words)))
+      }
+      scored.withColumn("predicted", expr(predictCaseSql))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+
+    "t02_quality_score" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tok", expr(wsTokensSpark))
+        .withColumn("n_stop", expr(scoreSpark(langMarkers.head._2)))
+        .withColumn("n_short", expr(shortTokensSpark))
+        .withColumn("quality",
+          round(lit(1.0) - (col("n_stop") + col("n_short")) / (col("n_tok") + 1), 4))
+        .select(col("doc_id"), col("n_tok"), col("n_stop"), col("n_short"),
+          col("quality"))
+        .orderBy("doc_id")
+    },
+
+    "t03_token_count" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("ws", expr(wsTokensSpark))
+        .withColumn("bpe", expr(bpeTokensSpark))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
+          sum(col("bpe")).as("bpe_tokens"),
+          round(sum(col("ws")) / count(lit(1)), 4).as("avg_ws"))
+        .orderBy("source")
+    },
+
+    "t04_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), expr(fingerprintSpark).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    "m01_multimodal_meta" -> { (s, d) =>
+      // Real plumbing path: binary payload column → partition-batched
+      // typed decode (stub codec) → DataFrame. Oracle replays the stub's
+      // arithmetic on octet_length.
+      Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
+        .toDF()
+        .orderBy("doc_id")
+    })
+
+  private val langScoresDuck: String =
+    langMarkers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(",\n    ")
+
+  val oracle: Map[String, String] = Map(
+    "t01_lang_id" ->
+      s"""WITH scored AS (SELECT lang,
+         |    $langScoresDuck
+         |  FROM documents)
+         |SELECT lang, $predictCaseSql AS predicted, COUNT(*) AS n
+         |FROM scored GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+
+    "t02_quality_score" ->
+      s"""SELECT doc_id, $wsTokensDuck AS n_tok,
+         |  ${scoreDuck(langMarkers.head._2)} AS n_stop,
+         |  $shortTokensDuck AS n_short,
+         |  round(1.0 - ($shortTokensDuck + ${scoreDuck(langMarkers.head._2)}) /
+         |        ($wsTokensDuck + 1), 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t03_token_count" ->
+      s"""SELECT source, COUNT(*) AS n_docs,
+         |  SUM($wsTokensDuck) AS ws_tokens,
+         |  SUM($bpeTokensDuck) AS bpe_tokens,
+         |  round(SUM($wsTokensDuck) / COUNT(*), 4) AS avg_ws
+         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t04_fingerprint" ->
+      s"""SELECT doc_id, $fingerprintDuck AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m01_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

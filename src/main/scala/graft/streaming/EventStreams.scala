@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactNum.{cents, sumCents}
+
+/** Structured Streaming pipelines (SURVEY.md §2.H) — the continuous-ingest
+  * analog of Jane's upload→index→query loop. Each transform works on both
+  * a batch DataFrame and a `readStream` DataFrame; streaming-only concerns
+  * (watermarks, output modes) live here, and the batch-equivalent oracle
+  * queries live in [[graft.queries.StreamingQueries]].
+  */
+object EventStreams {
+
+  /** 5-minute tumbling counts per event type. With a streaming source the
+    * 10-min watermark bounds state; aggregation is map-side-combined then
+    * shuffled on (window, event_type).
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_c"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_c"))
+
+  /** Session windows with a 30-minute inactivity gap, per user. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on an id column; the watermark bounds the
+    * dedup-state retention window (Jane: idempotent re-uploads).
+    */
+  def dedupeStream(events: DataFrame, idCol: String): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(idCol)
+}

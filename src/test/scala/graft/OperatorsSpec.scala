@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.functions.GeoFunctions
+import graft.operators.{AsOfJoin, Dedup, FdsnQuery, Multimodal, SimilaritySearch}
+
+class FdsnWildcardSpec extends SparkSpec {
+  test("FDSN wildcards translate to LIKE with escaping") {
+    assert(FdsnQuery.fdsnWildcardToLike("BH*") == "BH%")
+    assert(FdsnQuery.fdsnWildcardToLike("B?Z") == "B_Z")
+    assert(FdsnQuery.fdsnWildcardToLike("a%b_c") == "a\\%b\\_c")
+    assert(FdsnQuery.fdsnWildcardToLike("*?") == "%_")
+  }
+
+  test("matchesFdsn filters like the FDSN station service") {
+    import spark.implicits._
+    val df = Seq("BHZ", "BHN", "LHZ", "BDF").toDF("ch")
+    val got = df.filter(FdsnQuery.matchesFdsn($"ch", "BH?")).as[String].collect().sorted
+    assert(got.toSeq == Seq("BHN", "BHZ"))
+  }
+}
+
+class GeoFunctionsSpec extends SparkSpec {
+  test("haversine matches a known great-circle distance") {
+    import spark.implicits._
+    // Paris (48.8566, 2.3522) to London (51.5074, -0.1278) ~ 343.5 km
+    val d = Seq((48.8566, 2.3522, 51.5074, -0.1278)).toDF("a", "b", "c", "e")
+      .select(GeoFunctions.haversineKm(col("a"), col("b"), col("c"), col("e")))
+      .as[Double].head()
+    assert(math.abs(d - 343.5) < 1.0, s"got $d")
+  }
+
+  test("convex polygon contains interior, excludes exterior") {
+    import spark.implicits._
+    val square = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    val df = Seq((5.0, 5.0), (11.0, 5.0), (-1.0, 5.0), (0.0, 0.0)).toDF("lat", "lon")
+    val inside = df.filter(GeoFunctions.inConvexPolygon(col("lat"), col("lon"), square))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(inside == Set((5.0, 5.0), (0.0, 0.0))) // boundary counts as inside
+  }
+}
+
+class AsOfJoinSpec extends SparkSpec {
+  test("leftAsOf picks the latest right row at or before each left ts") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L), (2L, "k", 205L), (3L, "k", 50L), (4L, "z", 10L))
+      .toDF("id", "key", "ts")
+    val right = Seq(("k", 90L, 900L), ("k", 100L, 901L), ("k", 200L, 902L))
+      .toDF("key", "ts", "rid")
+    val got = AsOfJoin.leftAsOf(left, right, "key", "ts", Map("rid" -> "rid"))
+      .select("id", "rid").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(
+      1L -> Some(901L), // ts=100: equal-ts right row included
+      2L -> Some(902L), // ts=205: latest prior is 200
+      3L -> None,       // ts=50: nothing before
+      4L -> None))      // key with no right rows
+  }
+}
+
+class DedupSpec extends SparkSpec {
+  test("minhash signatures are deterministic and text-sensitive") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "a completely different doc here")).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(df, k = 16).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L), "identical texts must collide on every perm")
+    assert(sig(1L) != sig(3L), "different texts must differ somewhere")
+  }
+
+  test("LSH pairs find identical docs") {
+    import spark.implicits._
+    val df = Seq((1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated content with other words entirely")).toDF("doc_id", "text")
+    val pairs = Dedup.minHashLshPairs(df, k = 16, bands = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("exact dedup keeps min id with dup_count") {
+    import spark.implicits._
+    val df = Seq((5L, "b a"), (9L, "a b"), (7L, "c")).toDF("doc_id", "text")
+    val got = Dedup.exact(df).as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 2L), (7L, 1L))) // "b a" ≡ "a b" bag-of-words
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private def vecs: DataFrame = {
+    import spark.implicits._
+    // query 0 is axis-aligned; cand 10 equals it, cand 11 is orthogonal
+    Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (10L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (12L, Array(0.9f, 0.1f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+      .withColumn("q", expr(SimilaritySearch.quantizeSql("embedding")))
+      .select(col("vec_id"), col("q"))
+  }
+
+  test("brute-force top-k ranks by exact integer dot product") {
+    import spark.implicits._
+    val got = SimilaritySearch.bruteForceTopK(
+      vecs.filter(col("vec_id") < 10), vecs.filter(col("vec_id") >= 10), k = 2)
+      .select("query_id", "cand_id", "rn").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 10L, 1L), (0L, 12L, 2L)))
+  }
+
+  test("lsh top-k only scores same-bucket candidates") {
+    val got = SimilaritySearch.lshTopK(
+      vecs.filter(col("vec_id") < 10), vecs.filter(col("vec_id") >= 10),
+      k = 3, planes = 4, dims = 4)
+      .select("cand_id").collect().map(_.getLong(0)).toSet
+    assert(got.contains(10L), "identical vector shares every hyperplane sign")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  test("binary payload plumbing produces typed metadata per row") {
+    import spark.implicits._
+    val docs = Seq((1L, "abc"), (2L, "x" * 600)).toDF("doc_id", "text")
+    val meta = Multimodal.extractMeta(spark, Multimodal.withPayload(docs))
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(meta(1L).byte_len == 3L && meta(1L).width == 64 + 3 && meta(1L).frames == 1 + 3 % 24)
+    assert(meta(2L).byte_len == 600L && meta(2L).width == 64 + 600 % 512)
+  }
+}

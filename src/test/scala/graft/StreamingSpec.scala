@@ -1,0 +1,50 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStreams
+
+/** Structured Streaming path: MemoryStream → transform → memory sink. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 00:$minute%02d:00")
+
+  test("tumblingCounts aggregates a stream into 5-minute windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.tumblingCounts(events).writeStream
+      .format("memory").queryName("tumbling_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), "click", 1.0), (ts(1), "click", 2.0), (ts(6), "view", 3.0))
+      q.processAllAvailable()
+      // advance event time far enough to close the first windows
+      mem.addData((ts(59), "click", 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, event_type, n, value_c FROM tumbling_test")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 2L, 300L)), s"got $rows")
+      assert(rows.contains((ts(5), "view", 1L, 300L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("dedupeStream drops duplicate ids within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "event_id")
+    val q = EventStreams.dedupeStream(events, "event_id").writeStream
+      .format("memory").queryName("dedupe_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L), (ts(1), 1L), (ts(2), 2L))
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedupe_test").as[Long].head()
+      assert(n == 2L, s"expected 2 distinct ids, got $n")
+    } finally q.stop()
+  }
+}
