@@ -7,9 +7,19 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm-up: JVM/codegen/session init + file listing, so per-query times
+    // measure the queries rather than first-action setup costs.
+    try {
+      Tables.lineitem(spark, sfDir).count()
+      Tables.events(spark, sfDir).count()
+      Tables.documents(spark, sfDir).count()
+      Tables.embeddings(spark, sfDir).count()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

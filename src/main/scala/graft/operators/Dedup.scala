@@ -79,6 +79,50 @@ object Dedup {
       .distinct()
   }
 
+  /** Exact Jaccard near-dup pairs at threshold `t` within length buckets,
+    * with lossless prefix filtering (AllPairs/PPJoin family): order each
+    * doc's shingles by global document frequency (rare first, shingle text
+    * as tie-break); if J(A,B) >= t then |A∩B| >= ceil(t*max(|A|,|B|)), so
+    * A and B must share an element inside their first
+    * |X| - ceil(t*|X|) + 1 shingles. Joining only on those prefixes cuts
+    * the candidate join by ~(1-t)^2 while provably losing no pair — the
+    * oracle checks against the naive all-pairs formulation.
+    */
+  def jaccardPairs(df: DataFrame, t: Double): DataFrame = {
+    val sh = df
+      .withColumn("bkt", expr("n_chars div 50"))
+      .select(col("doc_id"), col("bkt"), explode(expr(shingleArraySql)).as("sh3"))
+    val dfCounts = sh.groupBy("sh3").agg(count(lit(1)).as("df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("sh3").asc)
+    val ranked = sh.join(broadcast(dfCounts), "sh3")
+      .withColumn("rnk", row_number().over(wDoc))
+      .withColumn("sz", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
+    val prefix = ranked.filter(col("rnk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
+      .select(col("doc_id"), col("bkt"), col("sh3"), col("sz"))
+    // size-compatibility: J >= t forces t*|B| <= |A| (else inter/union < t)
+    val cands = prefix.as("x").join(prefix.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.sh3") === col("y.sh3") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          col("x.sz") >= lit(t) * col("y.sz") && col("y.sz") >= lit(t) * col("x.sz"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    // Verify stage: join the candidate pairs back to the per-doc shingle
+    // arrays. AQE picks broadcast vs shuffle per scale; at 100 TB this
+    // join runs bucketed on doc_id and candidates per bucket stay bounded
+    // by the prefix filter.
+    val arrays = df.select(col("doc_id"), expr(shingleArraySql).as("sh"))
+    cands
+      .join(arrays.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(arrays.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("j", col("inter") /
+        ((size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
+      .filter(col("j") >= t)
+      .select(col("a"), col("b"), col("inter"), round(col("j"), 4).as("j4"))
+  }
+
   /** Horner-form SQL for a token code over `rp` (token right-padded to
     * `len` chars); kept under 2^31 via a final mod P so universal hashes
     * can multiply it without 64-bit overflow.

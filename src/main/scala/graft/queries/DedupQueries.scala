@@ -26,19 +26,10 @@ object DedupQueries {
     },
 
     "d02_ngram_jaccard" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .withColumn("sh", expr(Dedup.shingleArraySql))
-        .withColumn("bkt", expr("n_chars div 50"))
-        .select(col("doc_id"), col("bkt"), col("sh"))
-      docs.as("x").join(docs.as("y"),
-          col("x.bkt") === col("y.bkt") && col("x.doc_id") < col("y.doc_id"))
-        .withColumn("inter", size(array_intersect(col("x.sh"), col("y.sh"))).cast("long"))
-        .withColumn("uni", (size(col("x.sh")) + size(col("y.sh"))).cast("long") - col("inter"))
-        .withColumn("j", col("inter") / col("uni"))
-        .filter(col("j") >= 0.8)
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("inter"), round(col("j"), 4).as("j4"))
-        .orderBy("a", "b")
+      // Prefix-filtered exact Jaccard (see Dedup.jaccardPairs): identical
+      // result to the oracle's all-pairs formulation, ~(1-t)^2 of its
+      // candidate-join work.
+      Dedup.jaccardPairs(Tables.documents(s, d), t = 0.8).orderBy("a", "b")
     },
 
     "d03_minhash_lsh" -> { (s, d) =>

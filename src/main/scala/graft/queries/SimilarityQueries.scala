@@ -39,6 +39,27 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQueries),
         e.filter(col("vec_id") >= NQueries), K, Planes, Dims)
         .orderBy("query_id", "rn")
+    },
+
+    // Production f32 fast path via the custom codegen expression
+    // (graft.plans.DotProductF32). Float sums can't hash-match a foreign
+    // engine, so this is intentionally rows-only checked; d05 is the
+    // integer-exact oracle twin.
+    "d07_embed_cosine_f32" -> { (s, d) =>
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = e.filter(col("vec_id") >= NQueries)
+        .crossJoin(broadcast(q))
+        .withColumn("dot", expr("graft_dot_f32(qe, embedding)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dot").desc, col("vec_id").asc)
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          round(col("dot"), 4).as("dot4"), col("rn"))
+        .orderBy("query_id", "rn")
     })
 
   // --- generated oracle SQL ----------------------------------------------
