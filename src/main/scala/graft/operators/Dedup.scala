@@ -109,14 +109,17 @@ object Dedup {
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // Verify stage: join the candidate pairs back to the per-doc shingle
-    // arrays. AQE picks broadcast vs shuffle per scale; at 100 TB this
-    // join runs bucketed on doc_id and candidates per bucket stay bounded
-    // by the prefix filter.
-    val arrays = df.select(col("doc_id"), expr(shingleArraySql).as("sh"))
+    // arrays (pre-sorted once per doc) and merge-walk the intersection
+    // with the codegen expression — no per-pair hash set. AQE picks
+    // broadcast vs shuffle per scale; at 100 TB this join runs bucketed
+    // on doc_id and candidates per bucket stay bounded by the prefix
+    // filter.
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    val arrays = df.select(col("doc_id"), sort_array(expr(shingleArraySql)).as("sh"))
     cands
       .join(arrays.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(arrays.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))).cast("long"))
+      .withColumn("inter", expr("graft_isect_sorted(sha, shb)"))
       .withColumn("j", col("inter") /
         ((size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
       .filter(col("j") >= t)

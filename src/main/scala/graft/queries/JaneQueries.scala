@@ -127,6 +127,32 @@ object JaneQueries {
       DocumentStore.page(Tables.documents(s, d),
         Seq(col("n_chars").desc, col("doc_id").asc), offset = 20, limit = 10)
         .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    "j10_fdsn_text_format" -> { (s, d) =>
+      // fdsnws-event format=text: one pipe-delimited line per event.
+      // Integer-rendered fields only — double->string formatting is not
+      // engine-portable, integer casts are.
+      ev(s, d)
+        .filter(col("magnitude") >= 8.0)
+        .select(col("event_id"), concat_ws("|",
+          col("event_id").cast("string"),
+          unix_timestamp(col("time")).cast("string"),
+          (col("latitude") * 10).cast("long").cast("string"),
+          (col("longitude") * 10).cast("long").cast("string"),
+          cents(col("magnitude")).cast("string")).as("line"))
+        .orderBy("event_id")
+    },
+
+    "j11_point_lookup" -> { (s, d) =>
+      // Document fetch by id (Jane REST /documents/<id>); at scale this is
+      // a pushed-down point predicate, pruning row groups via statistics.
+      ev(s, d)
+        .filter(col("event_id") === 421)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          unix_timestamp(col("time")).as("time_s"),
+          col("latitude"), col("longitude"), col("depth"),
+          cents(col("value")).as("value_c"))
     })
 
   private def evCte: String = EventIndex.oracleCte
@@ -198,5 +224,23 @@ object JaneQueries {
 
     "j09_pagination" ->
       """SELECT doc_id, source, n_chars FROM documents
-        |ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20""".stripMargin)
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20""".stripMargin,
+
+    "j10_fdsn_text_format" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id,
+         |  CAST(event_id AS VARCHAR) || '|' ||
+         |  CAST(CAST(floor(epoch(time)) AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(CAST(latitude * 10 AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(CAST(longitude * 10 AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(CAST(round(magnitude * 100) AS BIGINT) AS VARCHAR) AS line
+         |FROM ev WHERE magnitude >= 8.0 ORDER BY event_id""".stripMargin,
+
+    "j11_point_lookup" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id, event_type, user_id,
+         |  CAST(floor(epoch(time)) AS BIGINT) AS time_s,
+         |  latitude, longitude, depth,
+         |  CAST(round(value * 100) AS BIGINT) AS value_c
+         |FROM ev WHERE event_id = 421""".stripMargin)
 }

@@ -60,6 +60,26 @@ object SimilarityQueries {
         .select(col("query_id"), col("vec_id").as("cand_id"),
           round(col("dot"), 4).as("dot4"), col("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    // Embedding-cosine near-dup scan: top-20 most-similar pairs by
+    // cos^2 = dot^2/(|a|^2*|b|^2), all in exact integer/rational math
+    // (sqrt-free; the production threshold form `cos >= t` is the same
+    // predicate as t^2*na*nb <= dot^2). This corpus is near-orthogonal
+    // (max cos ~0.51), so ranking — not thresholding — keeps the oracle
+    // evidence non-trivial.
+    "d08_embed_neardup" -> { (s, d) =>
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+        .withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
+      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
+        .withColumn("dot", expr(SimilaritySearch.dotSql("x.q", "y.q")))
+        .filter(col("dot") > 0)
+        .withColumn("cos2_4",
+          round((col("dot") * col("dot")).cast("double") / (col("x.nq") * col("y.nq")), 4))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("dot"), col("cos2_4"))
+        .orderBy(col("cos2_4").desc, col("a").asc, col("b").asc)
+        .limit(20)
     })
 
   // --- generated oracle SQL ----------------------------------------------
@@ -104,5 +124,16 @@ object SimilarityQueries {
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
-         |ORDER BY query_id, rn""".stripMargin)
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "d08_embed_neardup" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS nq FROM e),
+         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
+         |    ${dotDuck("x.q", "y.q")} AS dot, x.nq AS na, y.nq AS nb
+         |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+         |SELECT a, b, dot,
+         |  round(CAST(dot * dot AS DOUBLE) / (na * nb), 4) AS cos2_4
+         |FROM p WHERE dot > 0
+         |ORDER BY cos2_4 DESC, a ASC, b ASC LIMIT 20""".stripMargin)
 }

@@ -52,6 +52,27 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t05_stratified_sample" -> { (s, d) =>
+      // Deterministic hash-mod stratified sampling (reproducible training
+      // splits): per-language keep rates, no RNG, engine-exact.
+      Tables.documents(s, d)
+        .withColumn("rate", expr(
+          "CASE WHEN lang = 'en' THEN 10 ELSE 50 END"))
+        .filter(expr("(doc_id * 2654435761) % 100 < rate"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    },
+
+    "t06_vocab_topk" -> { (s, d) =>
+      // Vocabulary building: term + document frequency, top 50.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+        .groupBy("tok")
+        .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("n").desc, col("tok").asc)
+        .limit(50)
+    },
+
     "m01_multimodal_meta" -> { (s, d) =>
       // Real plumbing path: binary payload column → partition-batched
       // typed decode (stub codec) → DataFrame. Oracle replays the stub's
@@ -90,6 +111,18 @@ object TextQueries {
     "t04_fingerprint" ->
       s"""SELECT doc_id, $fingerprintDuck AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t05_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 100 <
+        |      (CASE WHEN lang = 'en' THEN 10 ELSE 50 END)
+        |ORDER BY doc_id""".stripMargin,
+
+    "t06_vocab_topk" ->
+      """SELECT tok, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""".stripMargin,
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,

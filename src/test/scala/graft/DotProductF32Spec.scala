@@ -22,6 +22,36 @@ class DotProductF32Spec extends SparkSpec {
     assert(diff == 0L, "fused loop must accumulate identically to the fold")
   }
 
+  test("codegen i64 dot product equals the declarative fold") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS q")
+    val pairs = e.select(col("vec_id").as("a"), col("q").as("qa"))
+      .crossJoin(e.select(col("vec_id").as("b"), col("q").as("qb")))
+    val diff = pairs
+      .withColumn("fast", expr("graft_dot_i64(qa, qb)"))
+      .withColumn("slow", expr(
+        "aggregate(zip_with(qa, qb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0L)
+  }
+
+  test("merge-walk intersect count equals array_intersect on sorted distinct arrays") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir).limit(80)
+      .selectExpr("doc_id",
+        "sort_array(array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))) AS sh")
+    val pairs = docs.select(col("doc_id").as("a"), col("sh").as("sha"))
+      .crossJoin(docs.select(col("doc_id").as("b"), col("sh").as("shb")))
+    val diff = pairs
+      .withColumn("fast", expr("graft_isect_sorted(sha, shb)"))
+      .withColumn("slow", expr("CAST(size(array_intersect(sha, shb)) AS BIGINT)"))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("null inputs yield null") {
     GraftFunctions.register(spark)
     import spark.implicits._
