@@ -144,6 +144,21 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j12_geojson" -> { (s, d) =>
+      // REST GeoJSON output format. Coordinates are always x.5 by
+      // construction, so double->string rendering is engine-portable
+      // (arbitrary doubles would not be).
+      ev(s, d)
+        .filter(col("magnitude") >= 9.0)
+        .select(col("event_id"), concat(
+          lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
+          col("longitude").cast("string"), lit(","),
+          col("latitude").cast("string"),
+          lit("""]},"properties":{"mag_c":"""),
+          cents(col("magnitude")).cast("string"), lit("}}")).as("feature"))
+        .orderBy("event_id")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -235,6 +250,15 @@ object JaneQueries {
          |  CAST(CAST(longitude * 10 AS BIGINT) AS VARCHAR) || '|' ||
          |  CAST(CAST(round(magnitude * 100) AS BIGINT) AS VARCHAR) AS line
          |FROM ev WHERE magnitude >= 8.0 ORDER BY event_id""".stripMargin,
+
+    "j12_geojson" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id,
+         |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
+         |  CAST(longitude AS VARCHAR) || ',' || CAST(latitude AS VARCHAR) ||
+         |  ']},"properties":{"mag_c":' ||
+         |  CAST(CAST(round(magnitude * 100) AS BIGINT) AS VARCHAR) || '}}' AS feature
+         |FROM ev WHERE magnitude >= 9.0 ORDER BY event_id""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

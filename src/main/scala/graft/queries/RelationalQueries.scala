@@ -163,6 +163,32 @@ object RelationalQueries {
         .orderBy("event_type")
     },
 
+    "q16_salted_agg" -> { (s, d) =>
+      // Hot-key aggregation via two-phase salting (see operators.Skew):
+      // event_type has 5 values — the unsalted shuffle would bottleneck on
+      // 5 reducers at scale. Oracle checks the unsalted equivalent.
+      graft.operators.Skew.saltedAgg(
+        Tables.events(s, d), key = "event_type",
+        saltCol = col("event_id"), salts = 16,
+        partials = Seq(
+          "n_events" -> count(lit(1)),
+          "value_c" -> sum(cents(col("value")))))
+        .orderBy("event_type")
+    },
+
+    "q17_moving_window" -> { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+      Tables.events(s, d)
+        .filter(col("user_id") < 5)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("mv_sum_c", sum(cents(col("value"))).over(w))
+        .withColumn("mv_n", count(lit(1)).over(w))
+        .select(col("user_id"), col("event_id"), col("sec"),
+          col("mv_sum_c"), col("mv_n"))
+        .orderBy("user_id", "sec", "event_id")
+    },
+
     "q15_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -270,6 +296,22 @@ object RelationalQueries {
       """SELECT event_type, SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
         |FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q16_salted_agg" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_moving_window" ->
+      """SELECT user_id, event_id, sec,
+        |  SUM(vc) OVER w AS mv_sum_c, COUNT(*) OVER w AS mv_n
+        |FROM (SELECT user_id, event_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |        CAST(round(value * 100) AS BIGINT) AS vc
+        |      FROM events WHERE user_id < 5)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
+        |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, sec, event_id""".stripMargin,
 
     "q15_percentile" ->
       """SELECT l_returnflag,

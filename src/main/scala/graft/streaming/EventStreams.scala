@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 import graft.functions.ExactNum.{cents, sumCents}
+
+/** Running per-user totals carried across micro-batches. */
+final case class UserRunning(user_id: Long, n_events: Long, value_c: Long)
 
 /** Structured Streaming pipelines (SURVEY.md §2.H) — the continuous-ingest
   * analog of Jane's upload→index→query loop. Each transform works on both
@@ -40,4 +44,25 @@ object EventStreams {
   def dedupeStream(events: DataFrame, idCol: String): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
+
+  /** Custom keyed state via mapGroupsWithState: running per-user event and
+    * value totals that survive across micro-batches (Jane: per-station
+    * ingest counters). State is one tiny struct per user — bounded by key
+    * cardinality, shuffled once per batch on user_id.
+    * Emit with OutputMode.Update.
+    */
+  def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
+    import spark.implicits._
+    events.selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS vc")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid, rows, state) =>
+          val (dn, dv) = rows.foldLeft((0L, 0L)) { case ((n, v), (_, vc)) => (n + 1, v + vc) }
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0L))
+          val next = UserRunning(uid, prev.n_events + dn, prev.value_c + dv)
+          state.update(next)
+          next
+      }
+  }
 }

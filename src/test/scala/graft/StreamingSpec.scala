@@ -33,6 +33,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runningUserTotals carries custom state across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    val events = mem.toDF().toDF("user_id", "value")
+    val q = graft.streaming.EventStreams.runningUserTotals(spark, events)
+      .writeStream.format("memory").queryName("running_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData((1L, 1.0), (1L, 2.0), (2L, 5.0))
+      q.processAllAvailable()
+      mem.addData((1L, 4.0)) // second batch: state must accumulate
+      q.processAllAvailable()
+      val byUser = spark.sql("SELECT * FROM running_test")
+        .as[graft.streaming.UserRunning].collect()
+        .groupBy(_.user_id).map { case (u, rs) => u -> rs.maxBy(_.n_events) }
+      assert(byUser(1L).n_events == 3L && byUser(1L).value_c == 700L,
+        s"state did not accumulate: ${byUser(1L)}")
+      assert(byUser(2L).n_events == 1L && byUser(2L).value_c == 500L)
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
