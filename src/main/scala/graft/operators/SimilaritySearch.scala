@@ -56,10 +56,10 @@ object SimilaritySearch {
     val scored = candidates.as("c")
       .crossJoin(broadcast(queries.select(col("vec_id").as("query_id"), col("q").as("qq"))))
       .withColumn("dot", expr(dotSql("qq", "c.q")))
-    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("c.vec_id").asc)
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("c.vec_id").as("cand_id"), col("dot"), col("rn"))
+      .select(col("query_id"), col("c.vec_id").as("cand_id"), col("dot"))
+    // map-side pruned top-k: only ~k rows per (query, partition) shuffle
+    TopK.perKey(scored, Seq("query_id"), "dot", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("dot"), col("rn"))
   }
 
   /** LSH-bucketed ANN top-k: candidates scored only within the query's
@@ -75,9 +75,8 @@ object SimilaritySearch {
     val scored = cb.as("c")
       .join(broadcast(qb), col("c.bkt") === qb("bkt"))
       .withColumn("dot", expr(dotSql("qq", "c.q")))
-    val w = Window.partitionBy("query_id").orderBy(col("dot").desc, col("c.vec_id").asc)
-    scored.withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("query_id"), col("c.vec_id").as("cand_id"), col("dot"), col("rn"))
+      .select(col("query_id"), col("c.vec_id").as("cand_id"), col("dot"))
+    TopK.perKey(scored, Seq("query_id"), "dot", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("dot"), col("rn"))
   }
 }
