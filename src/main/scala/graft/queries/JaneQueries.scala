@@ -159,6 +159,18 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j13_nearest_events" -> { (s, d) =>
+      // "nearby documents": 20 closest events to the query point, ordered
+      // by great-circle distance (identical formula text both engines →
+      // identical doubles → identical order; event_id breaks exact ties).
+      ev(s, d)
+        .withColumn("dist_km", expr(havSql))
+        .select(col("event_id"), round(col("dist_km"), 2).as("dist_km2"),
+          col("latitude"), col("longitude"))
+        .orderBy(col("dist_km2").asc, col("event_id").asc)
+        .limit(20)
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -259,6 +271,12 @@ object JaneQueries {
          |  ']},"properties":{"mag_c":' ||
          |  CAST(CAST(round(magnitude * 100) AS BIGINT) AS VARCHAR) || '}}' AS feature
          |FROM ev WHERE magnitude >= 9.0 ORDER BY event_id""".stripMargin,
+
+    "j13_nearest_events" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id, round($havSql, 2) AS dist_km2, latitude, longitude
+         |FROM ev
+         |ORDER BY round($havSql, 2) ASC, event_id ASC LIMIT 20""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

@@ -73,6 +73,40 @@ object TextQueries {
         .limit(50)
     },
 
+    "t07_bigrams" -> { (s, d) =>
+      // n-gram LM preparation: top bigrams by count. Spark arrays are
+      // 0-indexed in SQL, DuckDB lists 1-indexed — dialects differ, the
+      // pairs don't.
+      Tables.documents(s, d)
+        .withColumn("toks", expr("split(trim(text), ' ')"))
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(30)
+    },
+
+    "t08_length_histogram" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(expr("n_chars div 50").as("bin"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("bin")
+    },
+
+    "m02_attachment_stats" -> { (s, d) =>
+      // Attachment inventory (Jane: binary attachments per index row):
+      // byte accounting over the payload column, per source.
+      Multimodal.withPayload(Tables.documents(s, d))
+        .withColumn("bytes", octet_length(col("payload")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).as("total_bytes"),
+          max(col("bytes")).as("max_bytes"))
+        .orderBy("source")
+    },
+
     "m01_multimodal_meta" -> { (s, d) =>
       // Real plumbing path: binary payload column → partition-batched
       // typed decode (stub codec) → DataFrame. Oracle replays the stub's
@@ -123,6 +157,24 @@ object TextQueries {
         |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
         |      FROM documents)
         |GROUP BY tok ORDER BY n DESC, tok ASC LIMIT 50""".stripMargin,
+
+    "t07_bigrams" ->
+      """SELECT bigram, COUNT(*) AS n
+        |FROM (SELECT unnest(list_transform(range(1, len(toks)),
+        |        i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
+        |      FROM (SELECT string_split(trim(text), ' ') AS toks FROM documents))
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 30""".stripMargin,
+
+    "t08_length_histogram" ->
+      """SELECT n_chars // 50 AS bin, COUNT(*) AS n,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        |FROM documents GROUP BY bin ORDER BY bin""".stripMargin,
+
+    "m02_attachment_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+        |  MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,
