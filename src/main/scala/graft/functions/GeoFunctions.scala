@@ -44,4 +44,24 @@ object GeoFunctions {
       val (y2, x2) = verts((i + 1) % verts.length)
       (lit(x2 - x1) * (lat - lit(y1)) - lit(y2 - y1) * (lon - lit(x1))) >= 0
     }.reduce(_ && _)
+
+  /** Arbitrary (possibly non-convex) simple-polygon containment by ray
+    * casting — PostGIS `ST_Contains` parity: the point is inside iff a ray
+    * to +longitude crosses an odd number of edges. Generates the
+    * crossing-count parity predicate over column names `latC`/`lonC` as
+    * ONE text used by both Spark `expr` and the DuckDB oracle; every edge
+    * is a CASE term, the whole test stays a codegen'd scalar expression.
+    * Horizontal edges are safe: their straddle conjunct is false and the
+    * IEEE ±Inf/NaN division result never decides the AND.
+    */
+  def rayCastSql(latC: String, lonC: String)(verts: Seq[(Double, Double)]): String = {
+    val terms = verts.indices.map { i =>
+      val (y1, x1) = verts(i)
+      val (y2, x2) = verts((i + 1) % verts.length)
+      s"(CASE WHEN (($y1 > $latC) != ($y2 > $latC)) AND " +
+        s"($lonC < (${x2 - x1}) * ($latC - ($y1)) / (${y2 - y1}) + ($x1)) " +
+        "THEN 1 ELSE 0 END)"
+    }
+    s"((${terms.mkString(" + ")}) % 2) = 1"
+  }
 }

@@ -42,6 +42,14 @@ object JaneQueries {
     s"((${x2 - x1}) * (latitude - ($y1)) - (${y2 - y1}) * (longitude - ($x1))) >= 0"
   }.mkString(" AND ")
 
+  /** Non-convex star: alternating outer/inner vertices around (10, 10). */
+  private val starVerts: Seq[(Double, Double)] = Seq(
+    (50.0, 10.0), (20.0, 25.0), (25.0, 58.0), (10.0, 35.0), (-15.0, 45.0),
+    (0.0, 10.0), (-15.0, -25.0), (10.0, -15.0), (25.0, -38.0), (20.0, -5.0))
+
+  private val starPolySql: String =
+    graft.functions.GeoFunctions.rayCastSql("latitude", "longitude")(starVerts)
+
   private def ev(s: SparkSession, d: String): DataFrame =
     EventIndex.attach(Tables.events(s, d))
 
@@ -159,6 +167,16 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j14_polygon_raycast" -> { (s, d) =>
+      // Non-convex (star) polygon via ray casting — PostGIS-parity for
+      // arbitrary simple polygons, unlike j03's convex half-plane test.
+      ev(s, d)
+        .filter(expr(starPolySql))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+
     "j13_nearest_events" -> { (s, d) =>
       // "nearby documents": 20 closest events to the query point, ordered
       // by great-circle distance (identical formula text both engines →
@@ -271,6 +289,12 @@ object JaneQueries {
          |  ']},"properties":{"mag_c":' ||
          |  CAST(CAST(round(magnitude * 100) AS BIGINT) AS VARCHAR) || '}}' AS feature
          |FROM ev WHERE magnitude >= 9.0 ORDER BY event_id""".stripMargin,
+
+    "j14_polygon_raycast" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT event_type, COUNT(*) AS n
+         |FROM ev WHERE $starPolySql
+         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j13_nearest_events" ->
       s"""WITH ev AS ($evCte)

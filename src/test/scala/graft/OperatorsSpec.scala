@@ -32,6 +32,28 @@ class GeoFunctionsSpec extends SparkSpec {
     assert(math.abs(d - 343.5) < 1.0, s"got $d")
   }
 
+  test("ray-cast polygon agrees with half-plane test on a convex square") {
+    import spark.implicits._
+    val square = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
+    val pts = Seq((5.0, 5.0), (15.0, 5.0), (-1.0, -1.0), (9.9, 0.1), (5.0, 10.5))
+      .toDF("latitude", "longitude")
+    val ray = pts.filter(expr(GeoFunctions.rayCastSql("latitude", "longitude")(square)))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    assert(ray == Set((5.0, 5.0), (9.9, 0.1)))
+  }
+
+  test("ray-cast handles a non-convex polygon (L-shape notch)") {
+    import spark.implicits._
+    // L-shape: big square minus top-right quadrant
+    val ell = Seq((0.0, 0.0), (0.0, 10.0), (5.0, 10.0), (5.0, 5.0),
+      (10.0, 5.0), (10.0, 0.0))
+    val pts = Seq((2.0, 8.0), (8.0, 8.0), (8.0, 2.0)).toDF("latitude", "longitude")
+    val inside = pts.filter(expr(GeoFunctions.rayCastSql("latitude", "longitude")(ell)))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toSet
+    // (8,8) is in the notch — a convex test could not exclude it
+    assert(inside == Set((2.0, 8.0), (8.0, 2.0)))
+  }
+
   test("convex polygon contains interior, excludes exterior") {
     import spark.implicits._
     val square = Seq((0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0))
