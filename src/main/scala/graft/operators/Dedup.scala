@@ -40,6 +40,18 @@ object Dedup {
   val shingleCodeSql =
     "CAST(ascii(substring(sh3, 1, 1)) * 65536 + ascii(substring(sh3, 2, 1)) * 256 + ascii(substring(sh3, 3, 1)) AS BIGINT)"
 
+  /** Distinct 3-gram shingles packed directly as 24-bit BIGINT codes.
+    * Injective for ASCII text, and numeric code order == lexicographic
+    * shingle order (fixed length, most-significant byte first), so
+    * distinctness, prefix ranks, and intersection counts all match the
+    * string formulation exactly — while joins, sorts, and merge walks run
+    * on primitive longs.
+    */
+  val shingleCodesArraySql =
+    "array_distinct(transform(sequence(1, length(text) - 2), i -> " +
+      "CAST(ascii(substring(text, i, 1)) * 65536 + ascii(substring(text, i + 1, 1)) * 256 + " +
+      "ascii(substring(text, i + 2, 1)) AS BIGINT)))"
+
   /** Exact dedup: keep the lowest id per normalized-text group.
     * Output: doc_id (kept representative), dup_count.
     */
@@ -89,37 +101,39 @@ object Dedup {
     * oracle checks against the naive all-pairs formulation.
     */
   def jaccardPairs(df: DataFrame, t: Double): DataFrame = {
+    // Shingles as packed integer codes throughout (see shingleCodesArraySql)
+    // — same distinctness/order/intersections as strings, primitive speed.
     val sh = df
       .withColumn("bkt", expr("n_chars div 50"))
-      .select(col("doc_id"), col("bkt"), explode(expr(shingleArraySql)).as("sh3"))
-    val dfCounts = sh.groupBy("sh3").agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), col("bkt"), explode(expr(shingleCodesArraySql)).as("code"))
+    val dfCounts = sh.groupBy("code").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
-      .partitionBy("doc_id").orderBy(col("df").asc, col("sh3").asc)
-    val ranked = sh.join(broadcast(dfCounts), "sh3")
+      .partitionBy("doc_id").orderBy(col("df").asc, col("code").asc)
+    val ranked = sh.join(broadcast(dfCounts), "code")
       .withColumn("rnk", row_number().over(wDoc))
       .withColumn("sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     val prefix = ranked.filter(col("rnk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("doc_id"), col("bkt"), col("sh3"), col("sz"))
+      .select(col("doc_id"), col("bkt"), col("code"), col("sz"))
     // size-compatibility: J >= t forces t*|B| <= |A| (else inter/union < t)
     val cands = prefix.as("x").join(prefix.as("y"),
-        col("x.bkt") === col("y.bkt") && col("x.sh3") === col("y.sh3") &&
+        col("x.bkt") === col("y.bkt") && col("x.code") === col("y.code") &&
           col("x.doc_id") < col("y.doc_id") &&
           col("x.sz") >= lit(t) * col("y.sz") && col("y.sz") >= lit(t) * col("x.sz"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
-    // Verify stage: join the candidate pairs back to the per-doc shingle
+    // Verify stage: join the candidate pairs back to the per-doc code
     // arrays (pre-sorted once per doc) and merge-walk the intersection
     // with the codegen expression — no per-pair hash set. AQE picks
     // broadcast vs shuffle per scale; at 100 TB this join runs bucketed
     // on doc_id and candidates per bucket stay bounded by the prefix
     // filter.
     graft.plans.GraftFunctions.register(df.sparkSession)
-    val arrays = df.select(col("doc_id"), sort_array(expr(shingleArraySql)).as("sh"))
+    val arrays = df.select(col("doc_id"), sort_array(expr(shingleCodesArraySql)).as("sh"))
     cands
       .join(arrays.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
       .join(arrays.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      .withColumn("inter", expr("graft_isect_sorted(sha, shb)"))
+      .withColumn("inter", expr("graft_isect_sorted_i64(sha, shb)"))
       .withColumn("j", col("inter") /
         ((size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))
       .filter(col("j") >= t)

@@ -124,6 +124,7 @@ object GraftFunctions {
   val dotF32Info = new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot_f32")
   val dotI64Info = new ExpressionInfo(classOf[DotProductI64].getName, "graft_dot_i64")
   val isectInfo = new ExpressionInfo(classOf[IntersectCountSorted].getName, "graft_isect_sorted")
+  val isectI64Info = new ExpressionInfo(classOf[IntersectCountSortedI64].getName, "graft_isect_sorted_i64")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -135,6 +136,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_isect_sorted"), isectInfo,
       (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_isect_sorted_i64"), isectI64Info,
+      (exprs: Seq[Expression]) => IntersectCountSortedI64(exprs(0), exprs(1)))
   }
 }
 
