@@ -189,6 +189,19 @@ object RelationalQueries {
         .orderBy("user_id", "sec", "event_id")
     },
 
+    // Sketch-based approximations for 100 TB interactive use: HLL++
+    // distinct counts and quantile sketches. Sketch internals differ
+    // across engines, so this is intentionally rows-only checked; the
+    // exact twins are q07 (distinct) and q15 (percentile).
+    "q18_approx_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          expr("approx_percentile(l_quantity, 0.5)").as("approx_median"))
+        .orderBy("l_returnflag")
+    },
+
     "q15_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")

@@ -45,6 +45,20 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: each purchase joined to signups of the
+    * same user within the preceding 2 hours. Watermarks on BOTH sides
+    * bound the join state; without them the state store grows forever.
+    */
+  def purchaseSignupJoin(purchases: DataFrame, signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val s = signups.withWatermark("ts", "1 hour").alias("s")
+    p.join(s, expr(
+      """p.user_id = s.user_id AND
+        |p.ts >= s.ts AND p.ts <= s.ts + interval 2 hours""".stripMargin))
+      .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
+        col("s.ts").as("signup_ts"))
+  }
+
   /** Custom keyed state via mapGroupsWithState: running per-user event and
     * value totals that survive across micro-batches (Jane: per-station
     * ingest counters). State is one tiny struct per user — bounded by key

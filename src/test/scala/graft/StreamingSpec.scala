@@ -55,6 +55,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join pairs purchases with recent signups") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[(Timestamp, Long)]
+    val sm = MemoryStream[(Timestamp, Long)]
+    val purchases = pm.toDF().toDF("ts", "user_id")
+    val signups = sm.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.EventStreams.purchaseSignupJoin(purchases, signups)
+      .writeStream.format("memory").queryName("ssj_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      sm.addData((ts(0), 1L), (ts(0), 2L))
+      pm.addData((ts(30), 1L))   // within 2h of user 1's signup
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id FROM ssj_test")
+        .as[Long].collect().toSeq
+      assert(rows == Seq(1L), s"got $rows") // user 2 never purchased
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
