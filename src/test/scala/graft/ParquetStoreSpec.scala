@@ -24,4 +24,39 @@ class ParquetStoreSpec extends SparkSpec {
     val expected = events.filter(to_date(col("ts")) === "2024-01-05").count()
     assert(pruned.count() == expected)
   }
+
+  test("co-bucketed tables join without a shuffle") {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled", "true")
+    val bjt = conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      // force a sort-merge join and a stable (non-adaptive) plan to inspect
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the in-memory catalog forgets tables between JVMs but their
+      // warehouse directories survive — clear both
+      Seq("lineitem_b", "orders_b").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      graft.sources.ParquetStore.writeBucketed(
+        Tables.lineitem(spark, sfDir), "lineitem_b", "l_orderkey", 8)
+      graft.sources.ParquetStore.writeBucketed(
+        Tables.orders(spark, sfDir), "orders_b", "o_orderkey", 8)
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      assert(joined.count() == Tables.lineitem(spark, sfDir).count())
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bjt)
+    }
+  }
 }
