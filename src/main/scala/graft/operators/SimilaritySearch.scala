@@ -47,6 +47,43 @@ object SimilaritySearch {
       s"(CASE WHEN $proj >= 0 THEN ${1L << p}L ELSE 0L END)"
     }.mkString(" + ")
 
+  /** IVF-style ANN: a small set of coarse-quantizer centroids partitions
+    * the candidates into inverted lists (each candidate assigned to its
+    * nearest centroid by exact integer distance ||x-c||² = |x|²+|c|²-2·x·c);
+    * each query probes its `nprobe` nearest lists and scores only their
+    * members. This is the IVF index shape at 100 TB: the assignment is one
+    * broadcast map-side pass, lists are the partition key, and scan cost
+    * per query drops by ~|lists|/nprobe. Centroids here are caller-chosen
+    * vectors (a trained k-means codebook plugs into the same interface).
+    * All arithmetic is BIGINT — oracle-exact.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val cents = broadcast(centroids.select(
+      col("vec_id").as("cent_id"), col("q").as("cq"),
+      expr(dotSql("q", "q")).as("cn")))
+
+    def nearestLists(df: DataFrame, idOut: String, keep: Int): DataFrame = {
+      val scored = df.crossJoin(cents)
+        .withColumn("dist",
+          expr(dotSql("q", "q")) + col("cn") - lit(2L) * expr(dotSql("q", "cq")))
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
+      scored.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= keep)
+        .select(col("vec_id").as(idOut), col("q"), col("cent_id"))
+    }
+
+    val lists = nearestLists(candidates, "cand_id", 1)
+    val probes = nearestLists(queries, "query_id", nprobe)
+      .select(col("query_id"), col("q").as("qq"), col("cent_id"))
+    val scored = lists.join(broadcast(probes), "cent_id")
+      .withColumn("dot", expr(dotSql("qq", "q")))
+      .select(col("query_id"), col("cand_id"), col("dot"))
+    TopK.perKey(scored, Seq("query_id"), "dot", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("dot"), col("rn"))
+  }
+
   /** Brute-force exact top-k: every query row scored against every
     * candidate row (queries broadcast), ranked per query.
     * Inputs need columns (vec_id, q: array<bigint>).

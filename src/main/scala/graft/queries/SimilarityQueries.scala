@@ -41,6 +41,19 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // IVF inverted-list ANN: coarse centroids (vec_id<8), queries probe
+    // their nprobe=2 nearest lists. The full IVF shape minus codebook
+    // training (a k-means codebook plugs into the same operator).
+    "d09_embed_ivf_ann" -> { (s, d) =>
+      val e = quantized(s, d)
+      SimilaritySearch.ivfTopK(
+        queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        candidates = e.filter(col("vec_id") >= 20),
+        centroids = e.filter(col("vec_id") < 8),
+        nprobe = 2, k = K)
+        .orderBy("query_id", "rn")
+    },
+
     // Production f32 fast path via the custom codegen expression
     // (graft.plans.DotProductF32). Float sums can't hash-match a foreign
     // engine, so this is intentionally rows-only checked; d05 is the
@@ -121,6 +134,33 @@ object SimilarityQueries {
          |scored AS (SELECT query_id, cs.vec_id AS cand_id,
          |    ${dotDuck("qq", "q")} AS dot
          |  FROM cs JOIN qs ON cs.bkt = qs.bkt),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
+         |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
+         |ORDER BY query_id, rn""".stripMargin,
+
+    "d09_embed_ivf_ann" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS nq FROM e),
+         |cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cn FROM n WHERE vec_id < 8),
+         |cand AS (SELECT vec_id, q, nq FROM n WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id, q, nq FROM n WHERE vec_id >= 10 AND vec_id < 20),
+         |ca AS (SELECT cand_id, q, cent_id FROM (
+         |    SELECT c.vec_id AS cand_id, c.q, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY c.nq + ct.cn - 2 * ${dotDuck("c.q", "ct.cq")} ASC,
+         |                 ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct)
+         |  WHERE pr = 1),
+         |qp AS (SELECT query_id, qq, cent_id FROM (
+         |    SELECT s.vec_id AS query_id, s.q AS qq, ct.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY s.nq + ct.cn - 2 * ${dotDuck("s.q", "ct.cq")} ASC,
+         |                 ct.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ct)
+         |  WHERE pr <= 2),
+         |scored AS (SELECT qp.query_id, ca.cand_id, ${dotDuck("qp.qq", "ca.q")} AS dot
+         |  FROM ca JOIN qp USING (cent_id)),
          |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
