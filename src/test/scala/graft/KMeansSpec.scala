@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{KMeans, SimilaritySearch}
+
+class KMeansSpec extends SparkSpec {
+
+  private lazy val vecs = Tables.embeddings(spark, sfDir)
+    .withColumn("q", expr(SimilaritySearch.quantizeSql("embedding")))
+    .select(col("vec_id"), col("q"))
+    .limit(200).cache()
+
+  test("Lloyd iterations never increase the clustering cost") {
+    val c0 = KMeans.fit(spark, vecs, k = 4, iters = 0)
+    val c1 = KMeans.fit(spark, vecs, k = 4, iters = 1)
+    val c3 = KMeans.fit(spark, vecs, k = 4, iters = 3)
+    val costs = Seq(c0, c1, c3).map(KMeans.cost(vecs, _))
+    assert(costs(1) <= costs(0) + 1e-6, s"iter1 worse: $costs")
+    assert(costs(2) <= costs(1) + 1e-6, s"iter3 worse: $costs")
+  }
+
+  test("training is deterministic across runs") {
+    def snapshot() = KMeans.fit(spark, vecs, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1).toSeq
+    assert(snapshot() == snapshot())
+  }
+
+  test("every vector is assigned to exactly one of k centroids") {
+    val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
+    val assigned = KMeans.assign(vecs, codebook)
+    assert(assigned.count() == vecs.count())
+    val cents = assigned.select("cent_id").distinct().count()
+    assert(cents <= 4 && cents > 1)
+  }
+}
