@@ -125,6 +125,7 @@ object GraftFunctions {
   val dotI64Info = new ExpressionInfo(classOf[DotProductI64].getName, "graft_dot_i64")
   val isectInfo = new ExpressionInfo(classOf[IntersectCountSorted].getName, "graft_isect_sorted")
   val isectI64Info = new ExpressionInfo(classOf[IntersectCountSortedI64].getName, "graft_isect_sorted_i64")
+  val fpInfo = new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -139,6 +140,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_isect_sorted_i64"), isectI64Info,
       (exprs: Seq[Expression]) => IntersectCountSortedI64(exprs(0), exprs(1)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_fingerprint"), fpInfo,
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs(0)))
   }
 }
 

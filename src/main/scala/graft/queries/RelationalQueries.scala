@@ -202,6 +202,36 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    "q19_correlated_subquery" -> { (s, d) =>
+      // Correlated scalar subquery — Catalyst decorrelates this into a
+      // join + agg; at 100 TB the naive per-row re-execution a document DB
+      // would do becomes one shuffle. Averages are over integer cents
+      // (exact in f64 up to 2^53), so the comparison is engine-stable.
+      Tables.orders(s, d).createOrReplaceTempView("graft_q19_orders")
+      s.sql(
+        """SELECT o_orderkey, o_custkey,
+          |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+          |FROM graft_q19_orders o
+          |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+          |      1.5 * (SELECT AVG(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+          |             FROM graft_q19_orders o2 WHERE o2.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    "q20_grouping_sets" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"), col("c_acctbal"))
+        .createOrReplaceTempView("graft_q20_cnr")
+      s.sql(
+        """SELECT r_name, n_name, COUNT(*) AS n_cust,
+          |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+          |FROM graft_q20_cnr
+          |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+          |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
+    },
+
     "q15_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -325,6 +355,24 @@ object RelationalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id
         |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, sec, event_id""".stripMargin,
+
+    "q19_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |FROM orders o
+        |WHERE CAST(round(o_totalprice * 100) AS BIGINT) >
+        |      1.5 * (SELECT AVG(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+        |             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q20_grouping_sets" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_cust,
+        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
 
     "q15_percentile" ->
       """SELECT l_returnflag,

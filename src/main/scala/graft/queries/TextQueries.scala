@@ -47,8 +47,12 @@ object TextQueries {
     },
 
     "t04_fingerprint" -> { (s, d) =>
+      // Single-pass codegen expression; the DuckDB oracle replays the
+      // declarative list_reduce formulation — their hash match proves the
+      // fused loop equivalent (see also TextFunctions.fingerprintSpark).
+      graft.plans.GraftFunctions.register(s)
       Tables.documents(s, d)
-        .select(col("doc_id"), expr(fingerprintSpark).as("fp"))
+        .select(col("doc_id"), expr("graft_fingerprint(text)").as("fp"))
         .orderBy("doc_id")
     },
 

@@ -52,6 +52,20 @@ class DotProductF32Spec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("single-pass fingerprint equals the declarative fold, incl. edge shapes") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val edge = Seq("", " ", "a", "  double  spaces  ", "exactlyeightchars!",
+      "the quick brown fox", "x " * 200).toDF("text")
+    val corpus = Tables.documents(spark, sfDir).select("text").union(edge)
+    val diff = corpus
+      .withColumn("fast", expr("graft_fingerprint(text)"))
+      .withColumn("slow", expr(graft.functions.TextFunctions.fingerprintSpark))
+      .filter(col("fast") =!= col("slow"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("null inputs yield null") {
     GraftFunctions.register(spark)
     import spark.implicits._
