@@ -25,4 +25,15 @@ object DocumentStore {
   def page(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
       offset: Int, limit: Int): DataFrame =
     df.orderBy(orderCols: _*).offset(offset).limit(limit)
+
+  /** Upsert: rows from `updates` replace same-key rows in `existing`;
+    * unmatched update rows are inserts (Jane: re-upload supersedes, new
+    * uploads append). Plain-parquet merge semantics: one anti-join + one
+    * union, both shuffling only on the key — the rewrite pattern for
+    * stores without ACID merge. Deletes compose as
+    * `upsert(existing.join(tombstones, "left_anti"), inserts, key)`.
+    */
+  def upsert(existing: DataFrame, updates: DataFrame, key: String): DataFrame =
+    existing.join(updates.select(col(key)), Seq(key), "left_anti")
+      .unionByName(updates)
 }

@@ -189,6 +189,19 @@ object JaneQueries {
         .limit(20)
     },
 
+    "j15_upsert" -> { (s, d) =>
+      // Re-upload simulation: every doc_id % 7 == 0 document arrives again
+      // with a revised payload; the store keeps the revision and all
+      // untouched documents.
+      val docs = Tables.documents(s, d)
+      val revised = docs.filter(col("doc_id") % 7 === 0)
+        .withColumn("n_chars", col("n_chars") + 1000)
+        .withColumn("source", lit("reupload"))
+      DocumentStore.upsert(docs, revised, "doc_id")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -301,6 +314,12 @@ object JaneQueries {
          |SELECT event_id, round($havSql, 2) AS dist_km2, latitude, longitude
          |FROM ev
          |ORDER BY round($havSql, 2) ASC, event_id ASC LIMIT 20""".stripMargin,
+
+    "j15_upsert" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'reupload' ELSE source END AS source,
+        |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

@@ -111,6 +111,20 @@ object TextQueries {
         .orderBy("source")
     },
 
+    "t09_profile" -> { (s, d) =>
+      // ANALYZE-style column profiling of the corpus (data-quality gate
+      // before a training run): null/distinct/extent stats per column.
+      Tables.documents(s, d)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("source")).as("n_sources"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+
     "m01_multimodal_meta" -> { (s, d) =>
       // Real plumbing path: binary payload column → partition-batched
       // typed decode (stub codec) → DataFrame. Oracle replays the stub's
@@ -179,6 +193,15 @@ object TextQueries {
         |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
         |  MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t09_profile" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+        |  COUNT(DISTINCT lang) AS n_langs,
+        |  COUNT(DISTINCT source) AS n_sources,
+        |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
+        |  SUM(n_chars) AS sum_chars
+        |FROM documents""".stripMargin,
 
     "m01_multimodal_meta" ->
       """SELECT doc_id,
