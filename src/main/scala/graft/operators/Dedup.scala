@@ -114,12 +114,19 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
     val prefix = ranked.filter(col("rnk") <= col("sz") - ceil(lit(t) * col("sz")) + 1)
-      .select(col("doc_id"), col("bkt"), col("code"), col("sz"))
-    // size-compatibility: J >= t forces t*|B| <= |A| (else inter/union < t)
+      .select(col("doc_id"), col("bkt"), col("code"), col("sz"), col("rnk"))
+    // size-compatibility: J >= t forces t*|B| <= |A| (else inter/union < t).
+    // positional (PPJoin) filter: an instance matched at prefix positions
+    // (px, py) bounds the overlap by min(|X|-px, |Y|-py)+1; J >= t needs
+    // overlap >= t/(1+t)*(|X|+|Y|). For a true pair the instance at the
+    // FIRST shared prefix element satisfies the bound, so per-row pruning
+    // before the distinct loses no pair.
     val cands = prefix.as("x").join(prefix.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.code") === col("y.code") &&
           col("x.doc_id") < col("y.doc_id") &&
-          col("x.sz") >= lit(t) * col("y.sz") && col("y.sz") >= lit(t) * col("x.sz"))
+          col("x.sz") >= lit(t) * col("y.sz") && col("y.sz") >= lit(t) * col("x.sz") &&
+          least(col("x.sz") - col("x.rnk"), col("y.sz") - col("y.rnk")) + 1 >=
+            ceil(lit(t / (1 + t)) * (col("x.sz") + col("y.sz"))))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
     // Verify stage: join the candidate pairs back to the per-doc code
