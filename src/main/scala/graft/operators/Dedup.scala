@@ -61,14 +61,27 @@ object Dedup {
       .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("dup_count"))
       .drop("__key")
 
-  /** Per-document MinHash signature columns h0..h{k-1} (one shuffle). */
-  def minHashSignatures(df: DataFrame, k: Int): DataFrame = {
-    val shingled = df
-      .select(col("doc_id"), explode(expr(shingleArraySql)).as("sh3"))
-      .withColumn("code", expr(shingleCodeSql))
-    val aggs = (0 until k).map(i => min(expr(hashSql(i, "code"))).as(s"h$i"))
-    shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
-  }
+  /** Per-document MinHash signature columns h0..h{k-1}.
+    *
+    * k=16 uses the fused single-pass expression
+    * [[graft.plans.MinHashSig]] — a pure map-side projection, NO shuffle
+    * (min is duplicate-insensitive, so no distinct is needed either).
+    * Other k fall back to the explode → groupBy(min×k) pipeline (one
+    * shuffle). Both produce identical signatures (same hash family).
+    */
+  def minHashSignatures(df: DataFrame, k: Int): DataFrame =
+    if (k == 16) {
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      df.select(col("doc_id"), expr("graft_minhash16(text)").as("__sig"))
+        .select(col("doc_id") +:
+          (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"h$i")): _*)
+    } else {
+      val shingled = df
+        .select(col("doc_id"), explode(expr(shingleArraySql)).as("sh3"))
+        .withColumn("code", expr(shingleCodeSql))
+      val aggs = (0 until k).map(i => min(expr(hashSql(i, "code"))).as(s"h$i"))
+      shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+    }
 
   /** LSH candidate pairs: docs sharing any band signature; `k` perms split
     * into `bands` bands of k/bands rows. Returns (a, b) with a < b.

@@ -126,6 +126,7 @@ object GraftFunctions {
   val isectInfo = new ExpressionInfo(classOf[IntersectCountSorted].getName, "graft_isect_sorted")
   val isectI64Info = new ExpressionInfo(classOf[IntersectCountSortedI64].getName, "graft_isect_sorted_i64")
   val fpInfo = new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint")
+  val mh16Info = new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash16")
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -143,6 +144,9 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_fingerprint"), fpInfo,
       (exprs: Seq[Expression]) => RollingFingerprint(exprs(0)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_minhash16"), mh16Info,
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), 16))
   }
 }
 

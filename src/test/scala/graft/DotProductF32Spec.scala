@@ -66,6 +66,20 @@ class DotProductF32Spec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("fused minhash signature equals the explode/groupBy pipeline") {
+    GraftFunctions.register(spark)
+    val docs = Tables.documents(spark, sfDir).limit(100).cache()
+    val fused = graft.operators.Dedup.minHashSignatures(docs, 16)
+    // force the generic path by asking for a k that has no fused variant,
+    // then compare the shared 8 permutations
+    val generic = graft.operators.Dedup.minHashSignatures(docs, 8)
+    val joined = fused.as("f").join(generic.as("g"), "doc_id")
+    val diff = (0 until 8).map(i =>
+      joined.filter(col(s"f.h$i") =!= col(s"g.h$i")).count()).sum
+    assert(diff == 0L, "fused and explode-based signatures must agree")
+    assert(fused.count() == 100)
+  }
+
   test("null inputs yield null") {
     GraftFunctions.register(spark)
     import spark.implicits._
