@@ -189,6 +189,17 @@ object JaneQueries {
         .limit(20)
     },
 
+    "j16_attr_operators" -> { (s, d) =>
+      // Jane REST comparison operators: __in (membership), != (negation),
+      // __icontains (case-insensitive substring).
+      Tables.documents(s, d)
+        .filter(col("lang").isin("en", "de") &&
+          col("source") =!= "src0" &&
+          lower(col("text")).contains("merge"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
+    },
+
     "j15_upsert" -> { (s, d) =>
       // Re-upload simulation: every doc_id % 7 == 0 document arrives again
       // with a revised payload; the store keeps the revision and all
@@ -314,6 +325,12 @@ object JaneQueries {
          |SELECT event_id, round($havSql, 2) AS dist_km2, latitude, longitude
          |FROM ev
          |ORDER BY round($havSql, 2) ASC, event_id ASC LIMIT 20""".stripMargin,
+
+    "j16_attr_operators" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE lang IN ('en', 'de') AND source <> 'src0'
+        |  AND lower(text) LIKE '%merge%'
+        |ORDER BY doc_id""".stripMargin,
 
     "j15_upsert" ->
       """SELECT doc_id,
