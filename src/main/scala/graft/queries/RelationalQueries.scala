@@ -232,6 +232,17 @@ object RelationalQueries {
           |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin)
     },
 
+    "q21_full_outer" -> { (s, d) =>
+      val nc = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val ns = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      nc.as("c").join(ns.as("s"), col("c.nk") === col("s.nk"), "full_outer")
+        .select(coalesce(col("c.nk"), col("s.nk")).as("nationkey"),
+          col("n_cust"), col("n_supp"))
+        .orderBy(asc_nulls_first("nationkey"))
+    },
+
     "q15_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -373,6 +384,15 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name), (n_name), ())
         |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+
+    "q21_full_outer" ->
+      """SELECT COALESCE(c.nk, s.nk) AS nationkey, n_cust, n_supp
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+        |      FROM customer GROUP BY c_nationkey) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+        |                 FROM supplier GROUP BY s_nationkey) s
+        |  ON c.nk = s.nk
+        |ORDER BY nationkey NULLS FIRST""".stripMargin,
 
     "q15_percentile" ->
       """SELECT l_returnflag,

@@ -111,6 +111,18 @@ object TextQueries {
         .orderBy("source")
     },
 
+    "t10_clean" -> { (s, d) =>
+      // Cleaning transform (training-data normalization): lowercase,
+      // strip non-alphanumerics, redact digit runs, collapse whitespace.
+      Tables.documents(s, d)
+        .withColumn("cleaned", expr(
+          "trim(regexp_replace(regexp_replace(regexp_replace(lower(text), " +
+            "'[0-9]+', '#'), '[^a-z0-9# ]', ''), ' +', ' '))"))
+        .select(col("doc_id"), col("cleaned"),
+          length(col("cleaned")).cast("long").as("clean_len"))
+        .orderBy("doc_id")
+    },
+
     "t09_profile" -> { (s, d) =>
       // ANALYZE-style column profiling of the corpus (data-quality gate
       // before a training run): null/distinct/extent stats per column.
@@ -193,6 +205,14 @@ object TextQueries {
         |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
         |  MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "t10_clean" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[0-9]+', '#', 'g'), '[^a-z0-9# ]', '', 'g'), ' +', ' ', 'g')) AS cleaned,
+        |  length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+        |    '[0-9]+', '#', 'g'), '[^a-z0-9# ]', '', 'g'), ' +', ' ', 'g'))) AS clean_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "t09_profile" ->
       """SELECT COUNT(*) AS n_rows,

@@ -59,6 +59,39 @@ object EventStreams {
         col("s.ts").as("signup_ts"))
   }
 
+  /** Continuous merge into a parquet document store: every micro-batch is
+    * upserted (latest-wins on `key`) via `foreachBatch` +
+    * [[graft.operators.DocumentStore.upsert]] — the streaming face of
+    * Jane's upload-supersedes semantics over a store without ACID merge.
+    * Returns the started query; caller stops it.
+    */
+  def upsertSink(spark: SparkSession, stream: DataFrame, key: String,
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val existing =
+          try spark.read.parquet(path)
+          catch { case _: Throwable => spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+        // latest-wins within the batch too: keep the highest ts per key
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(key).orderBy(col("ts").desc)
+        val deduped = batch.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+        graft.operators.DocumentStore.upsert(existing, deduped, key)
+          .write.mode("overwrite").parquet(s"$path.tmp")
+        // atomic-ish swap: parquet can't append-merge in place
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp")
+        if (fs.exists(p)) fs.delete(p, true)
+        fs.rename(tmp, p)
+        ()
+      }
+      .start()
+
   /** Custom keyed state via mapGroupsWithState: running per-user event and
     * value totals that survive across micro-batches (Jane: per-station
     * ingest counters). State is one tiny struct per user — bounded by key

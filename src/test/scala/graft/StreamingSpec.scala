@@ -75,6 +75,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch upsert sink merges micro-batches latest-wins") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_").toString
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "payload")
+    val q = graft.streaming.EventStreams.upsertSink(
+      spark, stream, "doc_id", s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData((1L, ts(0), "v1"), (2L, ts(0), "a"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(5), "v2"), (3L, ts(5), "new"))
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$dir/store")
+        .select("doc_id", "payload").as[(Long, String)].collect().toMap
+      assert(state == Map(1L -> "v2", 2L -> "a", 3L -> "new"),
+        s"got $state") // doc 1 superseded, others intact
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
