@@ -243,6 +243,42 @@ object RelationalQueries {
         .orderBy(asc_nulls_first("nationkey"))
     },
 
+    "q22_pivot" -> { (s, d) =>
+      // Pivot = shuffle once on the row key, conditional-agg the columns.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    "q23_except" -> { (s, d) =>
+      // Set difference: BUILDING-segment customers who never placed a
+      // large order (EXCEPT = left-anti on the whole row).
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("key")))
+        .orderBy("key")
+    },
+
+    "q25_range_join" -> { (s, d) =>
+      // Range join: events binned by value intervals. The bin dim is tiny
+      // and broadcast, so the non-equi predicate is map-side — the 100 TB
+      // shape for histogram/range-bucket joins (the generic range join
+      // would otherwise be a nested-loop blowup).
+      val bins = s.range(5).select(
+        col("id").as("bin"),
+        (col("id") * 100).cast("double").as("lo"),
+        ((col("id") + 1) * 100).cast("double").as("hi"))
+      Tables.events(s, d)
+        .join(broadcast(bins), col("value") >= col("lo") && col("value") < col("hi"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_c"))
+        .orderBy("bin")
+    },
+
     "q15_percentile" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -393,6 +429,30 @@ object RelationalQueries {
         |                 FROM supplier GROUP BY s_nationkey) s
         |  ON c.nk = s.nk
         |ORDER BY nationkey NULLS FIRST""".stripMargin,
+
+    "q22_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (event_type = 'click') AS click,
+        |  COUNT(*) FILTER (event_type = 'error') AS error,
+        |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+        |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+        |  COUNT(*) FILTER (event_type = 'view') AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q23_except" ->
+      """SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT
+        |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
+        |ORDER BY key""".stripMargin,
+
+    "q25_range_join" ->
+      """SELECT bin, COUNT(*) AS n,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |FROM events
+        |JOIN (SELECT i AS bin, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+        |      FROM range(5) t(i)) bins
+        |  ON value >= lo AND value < hi
+        |GROUP BY bin ORDER BY bin""".stripMargin,
 
     "q15_percentile" ->
       """SELECT l_returnflag,

@@ -26,6 +26,19 @@ class KMeansSpec extends SparkSpec {
     assert(snapshot() == snapshot())
   }
 
+  test("trained codebook plugs into ivfTopK end to end") {
+    val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
+      .select(col("cent_id").as("vec_id"),
+        expr("transform(cq, x -> CAST(round(x) AS BIGINT))").as("q"))
+    val out = SimilaritySearch.ivfTopK(
+      queries = vecs.filter(col("vec_id") < 5),
+      candidates = vecs.filter(col("vec_id") >= 5),
+      centroids = codebook, nprobe = 2, k = 3)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(3) <= 3)) // rn within k
+  }
+
   test("every vector is assigned to exactly one of k centroids") {
     val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
     val assigned = KMeans.assign(vecs, codebook)
