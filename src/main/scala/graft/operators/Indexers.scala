@@ -15,6 +15,29 @@ import org.apache.spark.sql.functions._
   */
 object Indexers {
 
+  /** Indexer plugin contract (Jane: one plugin per document type, each
+    * producing queryable index rows from raw documents). Implementations
+    * must be pure DataFrame transforms so extraction runs as ordinary
+    * distributed jobs and re-indexing is just re-running the plugin.
+    */
+  trait IndexerPlugin {
+    /** Document type this plugin indexes (Jane: "quakeml", "stationxml"). */
+    def documentType: String
+    /** Raw document table → index table. */
+    def extract(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame
+  }
+
+  /** Plugin registry, keyed by document type. */
+  val plugins: Map[String, IndexerPlugin] = Seq(
+    new IndexerPlugin {
+      val documentType = "event"
+      def extract(docs: DataFrame): DataFrame = EventIndex.attach(docs)
+    },
+    new IndexerPlugin {
+      val documentType = "channel"
+      def extract(docs: DataFrame): DataFrame = ChannelIndex.build(docs)
+    }).map(p => p.documentType -> p).toMap
+
   /** Event index attribute derivations (QuakeML-indexer analog). */
   object EventIndex {
     val latitudeSql = "((user_id * 37) % 180) - 90 + 0.5"

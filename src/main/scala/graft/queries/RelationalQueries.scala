@@ -263,6 +263,20 @@ object RelationalQueries {
         .orderBy("key")
     },
 
+    "q26_cube" -> { (s, d) =>
+      Tables.events(s, d)
+        .withColumn("day", col("ts").cast("date"))
+        .filter(col("user_id") < 3)
+        .select(col("event_type"), col("day"), col("value"))
+        .createOrReplaceTempView("graft_q26_ev")
+      s.sql(
+        """SELECT event_type, day, COUNT(*) AS n,
+          |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+          |FROM graft_q26_ev
+          |GROUP BY CUBE (event_type, day)
+          |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin)
+    },
+
     "q25_range_join" -> { (s, d) =>
       // Range join: events binned by value intervals. The bin dim is tiny
       // and broadcast, so the non-equi predicate is map-side — the 100 TB
@@ -444,6 +458,13 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
         |ORDER BY key""".stripMargin,
+
+    "q26_cube" ->
+      """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
+        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |FROM events WHERE user_id < 3
+        |GROUP BY CUBE (event_type, CAST(ts AS DATE))
+        |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
 
     "q25_range_join" ->
       """SELECT bin, COUNT(*) AS n,
