@@ -45,6 +45,19 @@ object StreamingQueries {
         .orderBy("user_id")
     },
 
+    "s03_transitions" -> { (s, d) =>
+      // Per-user event-type transition counts (Markov edges over the
+      // session stream) via lag window — the behavioral-analytics shape.
+      val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    },
+
     "q14_asof_join" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
@@ -79,6 +92,15 @@ object StreamingQueries {
         |SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
         |  MAX(n) AS max_sess_events
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "s03_transitions" ->
+      """SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |FROM (SELECT event_type,
+        |        lag(event_type) OVER (PARTITION BY user_id
+        |          ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS prev_type
+        |      FROM events)
+        |WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
 
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id,

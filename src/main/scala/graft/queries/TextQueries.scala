@@ -123,6 +123,30 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t11_tfidf" -> { (s, d) =>
+      // TF-IDF over the corpus vocabulary: ranking stays on exact integers
+      // (n desc, tok); the ln-based score is output-only and rounded, so
+      // libm ulp differences can't flip anything.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+      val n = Tables.documents(s, d).count()
+      toks.groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
+        .withColumn("tfidf4", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .orderBy(col("tf").desc, col("tok").asc)
+        .limit(40)
+    },
+
+    "q27_fuzzy_match" -> { (s, d) =>
+      // Fuzzy key matching by edit distance (pipeline record linkage).
+      Tables.documents(s, d)
+        .withColumn("dist", levenshtein(col("source"), lit("src1")))
+        .filter(col("dist") <= 1)
+        .groupBy("source", "dist")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dist", "source")
+    },
+
     "t09_profile" -> { (s, d) =>
       // ANALYZE-style column profiling of the corpus (data-quality gate
       // before a training run): null/distinct/extent stats per column.
@@ -213,6 +237,19 @@ object TextQueries {
         |  length(trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
         |    '[0-9]+', '#', 'g'), '[^a-z0-9# ]', '', 'g'), ' +', ' ', 'g'))) AS clean_len
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t11_tfidf" ->
+      """SELECT tok, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df,
+        |  round(COUNT(*) * ln((SELECT COUNT(*) FROM documents) /
+        |        CAST(COUNT(DISTINCT doc_id) AS DOUBLE)), 4) AS tfidf4
+        |FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+        |      FROM documents)
+        |GROUP BY tok ORDER BY tf DESC, tok ASC LIMIT 40""".stripMargin,
+
+    "q27_fuzzy_match" ->
+      """SELECT source, levenshtein(source, 'src1') AS dist, COUNT(*) AS n
+        |FROM documents WHERE levenshtein(source, 'src1') <= 1
+        |GROUP BY source, dist ORDER BY dist, source""".stripMargin,
 
     "t09_profile" ->
       """SELECT COUNT(*) AS n_rows,
