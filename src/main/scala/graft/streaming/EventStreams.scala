@@ -9,6 +9,13 @@ import graft.functions.ExactNum.{cents, sumCents}
 /** Running per-user totals carried across micro-batches. */
 final case class UserRunning(user_id: Long, n_events: Long, value_c: Long)
 
+/** Open-session state for the event-time sessionizer (epoch millis). */
+final case class OpenSession(start: Long, end: Long, n: Long)
+
+/** A closed session emitted once its gap elapsed (event time). */
+final case class ClosedSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
 /** Structured Streaming pipelines (SURVEY.md §2.H) — the continuous-ingest
   * analog of Jane's upload→index→query loop. Each transform works on both
   * a batch DataFrame and a `readStream` DataFrame; streaming-only concerns
@@ -57,6 +64,52 @@ object EventStreams {
         |p.ts >= s.ts AND p.ts <= s.ts + interval 2 hours""".stripMargin))
       .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
         col("s.ts").as("signup_ts"))
+  }
+
+  /** Event-time sessionizer emitting CLOSED sessions only (unlike
+    * [[sessionCounts]], which emits on watermark via `session_window`,
+    * this keeps explicit per-user state and closes a session either when
+    * a later event arrives past the gap or when the event-time timeout
+    * fires). The state is one `OpenSession` per active user — bounded by
+    * live-key cardinality; the watermark drives timeout GC.
+    */
+  def closedSessions(spark: SparkSession, events: DataFrame,
+      gapMinutes: Int = 30): Dataset[ClosedSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.withWatermark("ts", "10 minutes")
+      .selectExpr("user_id", "ts").as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid, rows, state) =>
+          def close(o: OpenSession) = ClosedSession(uid,
+            new java.sql.Timestamp(o.start), new java.sql.Timestamp(o.end), o.n)
+          if (state.hasTimedOut) {
+            val out = state.getOption.map(close).iterator.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val times = rows.map(_._2.getTime).toArray.sorted
+            val closed = scala.collection.mutable.ArrayBuffer.empty[ClosedSession]
+            var open = state.getOption
+            times.foreach { t =>
+              open = open match {
+                case Some(o) if t - o.end <= gapMs =>
+                  Some(o.copy(end = math.max(o.end, t), n = o.n + 1))
+                case Some(o) =>
+                  closed += close(o); Some(OpenSession(t, t, 1))
+                case None => Some(OpenSession(t, t, 1))
+              }
+            }
+            open.foreach { o =>
+              state.update(o)
+              state.setTimeoutTimestamp(o.end + gapMs)
+            }
+            closed.iterator
+          }
+      }
   }
 
   /** Continuous merge into a parquet document store: every micro-batch is

@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("closedSessions emits a session when a later event breaks the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val q = graft.streaming.EventStreams.closedSessions(spark, events, gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L), (ts(10), 1L))
+      q.processAllAvailable()
+      // 50-minute gap: the next event closes session [00:00, 00:10]
+      mem.addData((Timestamp.valueOf("2024-01-01 01:00:00"), 1L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, session_start, session_end, n_events FROM sess_test")
+        .as[(Long, Timestamp, Timestamp, Long)].collect().toSet
+      assert(rows == Set((1L, ts(0), ts(10), 2L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches latest-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
