@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.plans.GraftFunctions
+
+/** Forces CODEGEN_ONLY evaluation so a broken doGenCode cannot hide
+  * behind silent interpreted fallback.
+  */
+class CodegenOnlySpec extends SparkSpec {
+
+  private def withCodegenOnly[T](body: => T): T = {
+    val key = "spark.sql.codegen.factoryMode"
+    val prev = spark.conf.get(key, "FALLBACK")
+    spark.conf.set(key, "CODEGEN_ONLY")
+    try body finally spark.conf.set(key, prev)
+  }
+
+  test("every graft expression evaluates under CODEGEN_ONLY") {
+    GraftFunctions.register(spark)
+    withCodegenOnly {
+      import spark.implicits._
+      val r = Seq(("the quick brown fox the lazy dog jumps over it",
+        Array(1.0f, 2.0f), Array(1L, 2L, 5L), Array(2L, 5L, 9L)))
+        .toDF("text", "fv", "la", "lb")
+        .selectExpr(
+          "graft_fingerprint(text) AS fp",
+          "graft_minhash16(text) AS mh",
+          "graft_dot_f32(fv, fv) AS d32",
+          "graft_dot_i64(la, lb) AS d64",
+          "graft_isect_sorted_i64(la, lb) AS i64",
+          "graft_isect_sorted(array('a','b'), array('b','c')) AS istr")
+        .head()
+      assert(!r.anyNull)
+      assert(r.getSeq[Long](r.fieldIndex("mh")).length == 16)
+      assert(r.getAs[Double]("d32") == 5.0)
+      assert(r.getAs[Long]("d64") == 1L * 2 + 2 * 5 + 5 * 9)
+      assert(r.getAs[Long]("i64") == 2L) // {2,5}
+      assert(r.getAs[Long]("istr") == 1L) // {b}
+    }
+  }
+}
