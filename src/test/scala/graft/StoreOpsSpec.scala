@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DocumentStore, Skew}
+
+class StoreOpsSpec extends SparkSpec {
+
+  test("saltedAgg equals the direct groupBy for sum-mergeable aggregates") {
+    val events = Tables.events(spark, sfDir)
+    val salted = Skew.saltedAgg(events, "event_type", col("event_id"), 16,
+      Seq("n" -> count(lit(1)), "vc" -> sum(expr("CAST(round(value*100) AS BIGINT)"))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val direct = events.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(round(value*100) AS BIGINT)")).as("vc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("upsert replaces matched keys and appends unmatched ones") {
+    import spark.implicits._
+    val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val got = DocumentStore.upsert(existing, updates, "k")
+      .as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
+  }
+
+  test("latestVersions keeps exactly the max version per group") {
+    import spark.implicits._
+    val df = Seq((1L, 1L, "old"), (1L, 3L, "new"), (2L, 5L, "only"))
+      .toDF("g", "ver", "v")
+    val got = DocumentStore.latestVersions(df, Seq("g"), "ver")
+      .select("g", "v").as[(Long, String)].collect().toSet
+    assert(got == Set((1L, "new"), (2L, "only")))
+  }
+
+  test("page returns the exact slice of the total ordering") {
+    import spark.implicits._
+    val df = (1L to 100L).map(i => (i, 100 - i)).toDF("id", "rankv")
+    val got = DocumentStore.page(df, Seq(col("rankv").desc, col("id").asc), 10, 5)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(11L, 12L, 13L, 14L, 15L)) // rankv desc == id asc
+  }
+}
