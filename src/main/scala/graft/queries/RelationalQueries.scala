@@ -263,6 +263,19 @@ object RelationalQueries {
         .orderBy("key")
     },
 
+    "q28_json_map" -> { (s, d) =>
+      // Full JSON-payload parse into a typed map (vs q13's single-path
+      // extract): every attribute key becomes a row — the generic shape
+      // of Jane's schemaless index attributes.
+      Tables.events(s, d)
+        .select(explode(from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>")))
+          .as(Seq("key", "v")))
+        .groupBy("key")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sum_v"), max(col("v")).as("max_v"))
+        .orderBy("key")
+    },
+
     "q26_cube" -> { (s, d) =>
       Tables.events(s, d)
         .withColumn("day", col("ts").cast("date"))
@@ -458,6 +471,13 @@ object RelationalQueries {
         |EXCEPT
         |SELECT o_custkey AS key FROM orders WHERE o_totalprice > 300000
         |ORDER BY key""".stripMargin,
+
+    "q28_json_map" ->
+      """SELECT key, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_v,
+        |  MAX(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_v
+        |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
+        |GROUP BY key ORDER BY key""".stripMargin,
 
     "q26_cube" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,

@@ -37,4 +37,21 @@ object Ingest {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
+
+  /** ORC interchange (columnar alternative store format; same schema). */
+  def readOrcEvents(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Raw text-line documents (one doc per line): deterministic doc ids
+    * from a line fingerprint, not from partition-dependent counters
+    * (`monotonically_increasing_id` would renumber on repartition).
+    */
+  def readTextDocs(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .withColumnRenamed("value", "text")
+      .filter(length(trim(col("text"))) > 0)
+      .withColumn("doc_id", abs(xxhash64(col("text"))))
+      .withColumn("n_chars", length(col("text")))
+  }
 }

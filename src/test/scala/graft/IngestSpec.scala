@@ -24,6 +24,27 @@ class IngestSpec extends SparkSpec {
     assert(ids == Set(1L, 2L))
   }
 
+  test("orc round-trips events losslessly") {
+    val dir = Files.createTempDirectory("graft_orc_").toString
+    val events = Tables.events(spark, sfDir)
+    events.write.mode("overwrite").orc(dir)
+    val back = Ingest.readOrcEvents(spark, dir)
+    assert(back.count() == events.count())
+    val a = events.agg(sum(expr("CAST(round(value*100) AS BIGINT)"))).head().getLong(0)
+    val b = back.agg(sum(expr("CAST(round(value*100) AS BIGINT)"))).head().getLong(0)
+    assert(a == b)
+  }
+
+  test("text-line docs get deterministic ids and skip blank lines") {
+    val dir = Files.createTempDirectory("graft_text_")
+    Files.writeString(dir.resolve("docs.txt"), "first doc\n\nsecond doc\n")
+    val d1 = Ingest.readTextDocs(spark, dir.toString).collect()
+    val d2 = Ingest.readTextDocs(spark, dir.toString).collect()
+    assert(d1.length == 2)
+    assert(d1.map(_.getAs[Long]("doc_id")).toSet ==
+      d2.map(_.getAs[Long]("doc_id")).toSet) // stable across reads
+  }
+
   test("csv feed round-trips the same schema") {
     val dir = Files.createTempDirectory("graft_ingest_csv_")
     Files.writeString(dir.resolve("feed.csv"),
