@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -147,6 +148,54 @@ object TextQueries {
         .orderBy("dist", "source")
     },
 
+    "t12_chunking" -> { (s, d) =>
+      // Context-window chunking: 200-char windows with 100-char stride
+      // (overlapping halves), the standard long-document training prep.
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, greatest(cast(ceil((length(text) - 200) / 100.0) as int), 0)), " +
+            "i -> substring(text, i * 100 + 1, 200))")).as(Seq("chunk_id", "chunk")))
+        .withColumn("chunk_len", length(col("chunk")).cast("long"))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          col("chunk_len"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
+    "t13_sequence_packing" -> { (s, d) =>
+      // Deterministic sample packing: documents stream per source in
+      // doc_id order; cumulative token counts assign each doc to a
+      // ~1000-token bin (window cumsum, no greedy state).
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_tok", expr(wsTokensSpark))
+        .withColumn("cum", sum(col("n_tok")).over(w))
+        .withColumn("bin", expr("(cum - n_tok) div 1000"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
+        .orderBy("source", "bin")
+    },
+
+    "t14_decontamination" -> { (s, d) =>
+      // Eval-set contamination scan: eval docs (hash-mod split) sharing
+      // any 13-gram character shingle with a train doc are flagged, with
+      // the count of distinct contaminated shingles. 13 is the
+      // conventional decontamination n-gram size — and measured 8x fewer
+      // candidate join rows than 8-grams on this corpus.
+      val docs = Tables.documents(s, d)
+        .withColumn("is_eval", expr("(doc_id * 2654435761) % 100 < 10"))
+      def sh(df: DataFrame, idAs: String) = df.select(col("doc_id").as(idAs),
+        explode(expr(
+          "array_distinct(transform(sequence(1, length(text) - 12), i -> substring(text, i, 13)))"))
+          .as(s"sh_$idAs"))
+      sh(docs.filter(col("is_eval")), "eval_id").as("e")
+        .join(sh(docs.filter(!col("is_eval")), "train_id").as("t"),
+          col("e.sh_eval_id") === col("t.sh_train_id"))
+        .groupBy("eval_id")
+        .agg(countDistinct(col("e.sh_eval_id")).as("n_contaminated_shingles"))
+        .orderBy("eval_id")
+    },
+
     "t09_profile" -> { (s, d) =>
       // ANALYZE-style column profiling of the corpus (data-quality gate
       // before a training run): null/distinct/extent stats per column.
@@ -250,6 +299,40 @@ object TextQueries {
       """SELECT source, levenshtein(source, 'src1') AS dist, COUNT(*) AS n
         |FROM documents WHERE levenshtein(source, 'src1') <= 1
         |GROUP BY source, dist ORDER BY dist, source""".stripMargin,
+
+    "t12_chunking" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+        |  CAST(length(substring(text, CAST(i * 100 + 1 AS INT), 200)) AS BIGINT) AS chunk_len
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, greatest(CAST(ceil((length(text) - 200) / 100.0) AS INT), 0) + 1)) AS i
+        |      FROM documents)
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "t13_sequence_packing" ->
+      """SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+        |FROM (SELECT source, (cum - n_tok) // 1000 AS bin, n_tok
+        |      FROM (SELECT source, doc_id, n_tok,
+        |              SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS cum
+        |            FROM (SELECT source, doc_id,
+        |                    len(regexp_extract_all(text, '[^ ]+')) AS n_tok
+        |                  FROM documents)))
+        |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+
+    "t14_decontamination" ->
+      """WITH docs AS (SELECT *, (doc_id * 2654435761) % 100 < 10 AS is_eval
+        |  FROM documents),
+        |es AS (SELECT doc_id AS eval_id,
+        |    unnest(list_distinct(list_transform(range(1, length(text) - 11),
+        |      i -> substring(text, CAST(i AS INT), 13)))) AS sh
+        |  FROM docs WHERE is_eval),
+        |ts AS (SELECT doc_id AS train_id,
+        |    unnest(list_distinct(list_transform(range(1, length(text) - 11),
+        |      i -> substring(text, CAST(i AS INT), 13)))) AS sh
+        |  FROM docs WHERE NOT is_eval)
+        |SELECT eval_id, COUNT(DISTINCT es.sh) AS n_contaminated_shingles
+        |FROM es JOIN ts ON es.sh = ts.sh
+        |GROUP BY eval_id ORDER BY eval_id""".stripMargin,
 
     "t09_profile" ->
       """SELECT COUNT(*) AS n_rows,
