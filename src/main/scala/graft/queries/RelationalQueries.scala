@@ -276,6 +276,20 @@ object RelationalQueries {
         .orderBy("key")
     },
 
+    "q29_parts_analysis" -> { (s, d) =>
+      // Brand-level revenue over the parts dim (completes coverage of
+      // every testdata table). Part is small → broadcast.
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+          countDistinct(col("p_partkey")).as("n_parts"),
+          sum(cents(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue_c"),
+          sumCents(col("l_quantity")).as("qty_c"),
+          round(avg(col("p_size")), 4).as("avg_size"))
+        .orderBy("p_brand")
+    },
+
     "q26_cube" -> { (s, d) =>
       Tables.events(s, d)
         .withColumn("day", col("ts").cast("date"))
@@ -478,6 +492,14 @@ object RelationalQueries {
         |  MAX(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_v
         |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
         |GROUP BY key ORDER BY key""".stripMargin,
+
+    "q29_parts_analysis" ->
+      """SELECT p_brand, COUNT(DISTINCT p_partkey) AS n_parts,
+        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
+        |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
+        |  round(AVG(p_size), 4) AS avg_size
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q26_cube" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
