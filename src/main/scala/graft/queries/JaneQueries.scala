@@ -230,7 +230,7 @@ object JaneQueries {
     "j01_geo_bbox" ->
       s"""WITH ev AS ($evCte)
          |SELECT event_type, COUNT(*) AS n,
-         |  SUM(CAST(round(magnitude * 100) AS BIGINT)) AS mag_c
+         |  CAST(SUM(CAST(round(magnitude * 100) AS BIGINT)) AS BIGINT) AS mag_c
          |FROM ev
          |WHERE latitude BETWEEN -30 AND 30 AND longitude BETWEEN 0 AND 90
          |GROUP BY event_type ORDER BY event_type""".stripMargin,

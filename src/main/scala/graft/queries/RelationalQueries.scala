@@ -332,11 +332,14 @@ object RelationalQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
+    // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
+    // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-        |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_c,
-        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS sum_disc_c,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
         |  COUNT(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
@@ -353,7 +356,7 @@ object RelationalQueries {
 
     "q03_join_agg" ->
       """SELECT n_name,
-        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
         |  COUNT(*) AS n_lines
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -370,7 +373,7 @@ object RelationalQueries {
 
     "q05_topk" ->
       """SELECT c_custkey, c_name,
-        |  SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS spend_c
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_name
         |ORDER BY spend_c DESC, c_custkey ASC LIMIT 10""".stripMargin,
@@ -398,19 +401,19 @@ object RelationalQueries {
 
     "q09_conditional_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c,
-        |  SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS n_big,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  CAST(SUM(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q10_time_bucket" ->
       """SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY day, event_type ORDER BY day, event_type""".stripMargin,
 
     "q11_rollup" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -424,18 +427,18 @@ object RelationalQueries {
         |ORDER BY key""".stripMargin,
 
     "q13_json_extract" ->
-      """SELECT event_type, SUM(k) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
+      """SELECT event_type, CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k, COUNT(*) AS n
         |FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q16_salted_agg" ->
       """SELECT event_type, COUNT(*) AS n_events,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q17_moving_window" ->
       """SELECT user_id, event_id, sec,
-        |  SUM(vc) OVER w AS mv_sum_c, COUNT(*) OVER w AS mv_n
+        |  CAST(SUM(vc) OVER w AS BIGINT) AS mv_sum_c, COUNT(*) OVER w AS mv_n
         |FROM (SELECT user_id, event_id,
         |        CAST(floor(epoch(ts)) AS BIGINT) AS sec,
         |        CAST(round(value * 100) AS BIGINT) AS vc
@@ -455,7 +458,7 @@ object RelationalQueries {
 
     "q20_grouping_sets" ->
       """SELECT r_name, n_name, COUNT(*) AS n_cust,
-        |  SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS acctbal_c
+        |  CAST(SUM(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS acctbal_c
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
@@ -488,29 +491,29 @@ object RelationalQueries {
 
     "q28_json_map" ->
       """SELECT key, COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_v,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS BIGINT) AS sum_v,
         |  MAX(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_v
         |FROM (SELECT props, unnest(json_keys(props)) AS key FROM events)
         |GROUP BY key ORDER BY key""".stripMargin,
 
     "q29_parts_analysis" ->
       """SELECT p_brand, COUNT(DISTINCT p_partkey) AS n_parts,
-        |  SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS revenue_c,
-        |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c,
         |  round(AVG(p_size), 4) AS avg_size
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q26_cube" ->
       """SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events WHERE user_id < 3
         |GROUP BY CUBE (event_type, CAST(ts AS DATE))
         |ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
 
     "q25_range_join" ->
       """SELECT bin, COUNT(*) AS n,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events
         |JOIN (SELECT i AS bin, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
         |      FROM range(5) t(i)) bins

@@ -75,7 +75,7 @@ object StreamingQueries {
     "s01_tumbling_counts" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_s,
         |  event_type, COUNT(*) AS n,
-        |  SUM(CAST(round(value * 100) AS BIGINT)) AS value_c
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY bucket_s, event_type
         |ORDER BY bucket_s, event_type""".stripMargin,
 
@@ -89,7 +89,7 @@ object StreamingQueries {
         |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM flags),
         |per_sess AS (SELECT user_id, sid, COUNT(*) AS n
         |  FROM sess GROUP BY user_id, sid)
-        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n) AS n_events,
+        |SELECT user_id, COUNT(*) AS n_sessions, CAST(SUM(n) AS BIGINT) AS n_events,
         |  MAX(n) AS max_sess_events
         |FROM per_sess GROUP BY user_id ORDER BY user_id""".stripMargin,
 

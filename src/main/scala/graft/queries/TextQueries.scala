@@ -240,8 +240,8 @@ object TextQueries {
 
     "t03_token_count" ->
       s"""SELECT source, COUNT(*) AS n_docs,
-         |  SUM($wsTokensDuck) AS ws_tokens,
-         |  SUM($bpeTokensDuck) AS bpe_tokens,
+         |  CAST(SUM($wsTokensDuck) AS BIGINT) AS ws_tokens,
+         |  CAST(SUM($bpeTokensDuck) AS BIGINT) AS bpe_tokens,
          |  round(SUM($wsTokensDuck) / COUNT(*), 4) AS avg_ws
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -275,7 +275,7 @@ object TextQueries {
 
     "m02_attachment_stats" ->
       """SELECT source, COUNT(*) AS n_docs,
-        |  SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+        |  CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         |  MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
@@ -309,11 +309,11 @@ object TextQueries {
         |ORDER BY doc_id, chunk_id""".stripMargin,
 
     "t13_sequence_packing" ->
-      """SELECT source, bin, COUNT(*) AS n_docs, SUM(n_tok) AS bin_tokens
+      """SELECT source, bin, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
         |FROM (SELECT source, (cum - n_tok) // 1000 AS bin, n_tok
         |      FROM (SELECT source, doc_id, n_tok,
-        |              SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-        |                ROWS UNBOUNDED PRECEDING) AS cum
+        |              CAST(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
         |            FROM (SELECT source, doc_id,
         |                    len(regexp_extract_all(text, '[^ ]+')) AS n_tok
         |                  FROM documents)))
@@ -336,11 +336,11 @@ object TextQueries {
 
     "t09_profile" ->
       """SELECT COUNT(*) AS n_rows,
-        |  SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+        |  CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
         |  COUNT(DISTINCT lang) AS n_langs,
         |  COUNT(DISTINCT source) AS n_sources,
         |  MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars,
-        |  SUM(n_chars) AS sum_chars
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents""".stripMargin,
 
     "m01_multimodal_meta" ->
