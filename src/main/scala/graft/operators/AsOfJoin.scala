@@ -30,8 +30,14 @@ object AsOfJoin {
       Seq(col(key), col(tsCol), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).as(c)) ++
         rightCols.map { case (src, dst) => col(src).as(s"__r_$dst") }: _*)
-    // right rows sort before left rows at equal ts => asof is inclusive (>=)
-    val w = Window.partitionBy(key).orderBy(col(tsCol).asc, col("__side").asc)
+    // right rows sort before left rows at equal ts => asof is inclusive (>=).
+    // Tie-break among duplicate right rows at the same (key, ts): order by the
+    // carried payload columns themselves, so the carried value is the maximum
+    // payload tuple — a pure function of the data, deterministic across runs
+    // and partitionings (no synthetic row ids).
+    val tieBreak = rightCols.values.toSeq.sorted.map(v => col(s"__r_$v").asc)
+    val w = Window.partitionBy(key)
+      .orderBy(Seq(col(tsCol).asc, col("__side").asc) ++ tieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = rightCols.values.foldLeft(l.unionByName(r)) { (df, v) =>
       df.withColumn(v, last(col(s"__r_$v"), ignoreNulls = true).over(w))

@@ -40,17 +40,35 @@ object Dedup {
   val shingleCodeSql =
     "CAST(ascii(substring(sh3, 1, 1)) * 65536 + ascii(substring(sh3, 2, 1)) * 256 + ascii(substring(sh3, 3, 1)) AS BIGINT)"
 
+  /** Per-character code array of `text`. DuckDB's `string_split(text, '')`
+    * splits identically (verified incl. non-ASCII codepoints, no trailing
+    * empty on either engine).
+    */
+  val charCodesSql = "transform(split(text, ''), c -> ascii(c))"
+
   /** Distinct 3-gram shingles packed directly as 24-bit BIGINT codes.
     * Injective for ASCII text, and numeric code order == lexicographic
     * shingle order (fixed length, most-significant byte first), so
     * distinctness, prefix ranks, and intersection counts all match the
     * string formulation exactly — while joins, sorts, and merge walks run
     * on primitive longs.
+    *
+    * Shape matters for performance: `substring(text, i, _)` is O(i) on
+    * UTF8 strings, so a per-position-substring transform is quadratic in
+    * doc length (the original form). zip_with over three shifted slices
+    * of the char-code array is linear — the codes array is embedded once
+    * per slice, never per element. Deliberately SELF-CONTAINED (no bound
+    * `__chars` alias): optimizer rules substitute aliases into inferred
+    * predicates (e.g. the join-constraint `isnotnull(sort_array(…))`),
+    * where a per-element alias reference re-executes the split per lambda
+    * iteration — measured 166 s vs 12 s on the d02 verify stage.
     */
-  val shingleCodesArraySql =
-    "array_distinct(transform(sequence(1, length(text) - 2), i -> " +
-      "CAST(ascii(substring(text, i, 1)) * 65536 + ascii(substring(text, i + 1, 1)) * 256 + " +
-      "ascii(substring(text, i + 2, 1)) AS BIGINT)))"
+  val shingleCodesArraySql: String = {
+    val n = "greatest(length(text) - 2, 0)"
+    s"array_distinct(zip_with(zip_with(slice($charCodesSql, 1, $n), " +
+      s"slice($charCodesSql, 2, $n), (x, y) -> x * 65536 + y * 256), " +
+      s"slice($charCodesSql, 3, $n), (xy, z) -> CAST(xy + z AS BIGINT)))"
+  }
 
   /** Exact dedup: keep the lowest id per normalized-text group.
     * Output: doc_id (kept representative), dup_count.

@@ -43,7 +43,9 @@ object TextQueries {
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"), sum(col("ws")).as("ws_tokens"),
           sum(col("bpe")).as("bpe_tokens"),
-          round(sum(col("ws")) / count(lit(1)), 4).as("avg_ws"))
+          // mean as integer 1e-4 units: no float output column to hash
+          round(sum(col("ws")) * lit(10000.0) / count(lit(1)))
+            .cast("long").as("avg_ws_e4"))
         .orderBy("source")
     },
 
@@ -128,12 +130,19 @@ object TextQueries {
       // TF-IDF over the corpus vocabulary: ranking stays on exact integers
       // (n desc, tok); the ln-based score is output-only and rounded, so
       // libm ulp differences can't flip anything.
-      val toks = Tables.documents(s, d)
+      // Corpus size N enters as a broadcast scalar-aggregate cross join —
+      // ONE plan, no eager driver-side count() job (a second full corpus
+      // scan at 100 TB).
+      val docs = Tables.documents(s, d)
+      val toks = docs
         .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
-      val n = Tables.documents(s, d).count()
+      val n = docs.agg(count(lit(1)).as("__n_total"))
       toks.groupBy("tok")
         .agg(count(lit(1)).as("tf"), countDistinct(col("doc_id")).as("df"))
-        .withColumn("tfidf4", round(col("tf") * log(lit(n.toDouble) / col("df")), 4))
+        .crossJoin(broadcast(n))
+        .withColumn("tfidf4",
+          round(col("tf") * log(col("__n_total").cast("double") / col("df")), 4))
+        .drop("__n_total")
         .orderBy(col("tf").desc, col("tok").asc)
         .limit(40)
     },
@@ -181,13 +190,16 @@ object TextQueries {
       // any 13-gram character shingle with a train doc are flagged, with
       // the count of distinct contaminated shingles. 13 is the
       // conventional decontamination n-gram size — and measured 8x fewer
-      // candidate join rows than 8-grams on this corpus.
+      // candidate join rows than 8-grams on this corpus. Shingles are
+      // packed to BIGINT rolling hashes mod 2^56 (engine-replayable Horner
+      // over ascii codes): the contamination join shuffles fixed 8-byte
+      // keys and the distinct count runs on longs instead of 13-char
+      // strings — the 100 TB-safe key shape (collision odds at 2^56 are
+      // ~1e-5 even for 10^9 distinct shingles).
       val docs = Tables.documents(s, d)
         .withColumn("is_eval", expr("(doc_id * 2654435761) % 100 < 10"))
       def sh(df: DataFrame, idAs: String) = df.select(col("doc_id").as(idAs),
-        explode(expr(
-          "array_distinct(transform(sequence(1, length(text) - 12), i -> substring(text, i, 13)))"))
-          .as(s"sh_$idAs"))
+        explode(expr(shingleHash13ArraySpark)).as(s"sh_$idAs"))
       sh(docs.filter(col("is_eval")), "eval_id").as("e")
         .join(sh(docs.filter(!col("is_eval")), "train_id").as("t"),
           col("e.sh_eval_id") === col("t.sh_train_id"))
@@ -219,6 +231,40 @@ object TextQueries {
         .orderBy("doc_id")
     })
 
+  /** 13-gram → BIGINT rolling hash (Horner base 31, mod 2^56): identical
+    * arithmetic in Spark and DuckDB over `ascii()` codes; 31*(2^56) + 127
+    * stays far below 2^63, so no overflow on either engine.
+    */
+  private val shingleHashMod = 72057594037927936L // 2^56
+
+  // Spark side: Horner as a zip_with fold over 13 shifted slices of the
+  // char-code array — linear in doc length (substring(text, i, …) is O(i)
+  // on UTF8 strings, so per-position substrings are quadratic: measured
+  // 27 s vs 7 s at sf0.1) and deliberately alias-free: optimizer rules
+  // substitute column aliases into inferred predicates, where a
+  // per-element alias reference re-executes the split per lambda
+  // iteration (see Dedup.shingleCodesArraySql).
+  private val shingleHash13ArraySpark: String = {
+    val codes = graft.operators.Dedup.charCodesSql
+    val n = "greatest(length(text) - 12, 0)"
+    val init = s"transform(slice($codes, 1, $n), c -> CAST(c AS BIGINT))"
+    val folded = (1 until 13).foldLeft(init) { (acc, j) =>
+      s"zip_with($acc, slice($codes, ${j + 1}, $n), (a, c) -> (c + 31 * a) % $shingleHashMod)"
+    }
+    s"array_distinct($folded)"
+  }
+
+  // DuckDB side replays the identical Horner arithmetic over a chars CTE
+  // (1-indexed list access; binding the list in a subquery is safe there —
+  // no alias-inlining hazard).
+  private def horner13Duck: String =
+    (0 until 13).foldLeft("CAST(0 AS BIGINT)") { (acc, j) =>
+      s"((__chars[CAST(i AS INT) + $j] + 31 * $acc) % $shingleHashMod)"
+    }
+
+  private val shingleHash13ArrayDuck: String =
+    s"list_distinct(list_transform(range(1, length(text) - 11), i -> $horner13Duck))"
+
   private val langScoresDuck: String =
     langMarkers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(",\n    ")
 
@@ -242,7 +288,7 @@ object TextQueries {
       s"""SELECT source, COUNT(*) AS n_docs,
          |  CAST(SUM($wsTokensDuck) AS BIGINT) AS ws_tokens,
          |  CAST(SUM($bpeTokensDuck) AS BIGINT) AS bpe_tokens,
-         |  round(SUM($wsTokensDuck) / COUNT(*), 4) AS avg_ws
+         |  CAST(round(SUM($wsTokensDuck) * 10000.0 / COUNT(*)) AS BIGINT) AS avg_ws_e4
          |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "t04_fingerprint" ->
@@ -320,16 +366,18 @@ object TextQueries {
         |GROUP BY source, bin ORDER BY source, bin""".stripMargin,
 
     "t14_decontamination" ->
-      """WITH docs AS (SELECT *, (doc_id * 2654435761) % 100 < 10 AS is_eval
+      s"""WITH docs AS (SELECT *, (doc_id * 2654435761) % 100 < 10 AS is_eval
         |  FROM documents),
         |es AS (SELECT doc_id AS eval_id,
-        |    unnest(list_distinct(list_transform(range(1, length(text) - 11),
-        |      i -> substring(text, CAST(i AS INT), 13)))) AS sh
-        |  FROM docs WHERE is_eval),
+        |    unnest($shingleHash13ArrayDuck) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
+        |        FROM docs WHERE is_eval)),
         |ts AS (SELECT doc_id AS train_id,
-        |    unnest(list_distinct(list_transform(range(1, length(text) - 11),
-        |      i -> substring(text, CAST(i AS INT), 13)))) AS sh
-        |  FROM docs WHERE NOT is_eval)
+        |    unnest($shingleHash13ArrayDuck) AS sh
+        |  FROM (SELECT doc_id, text,
+        |          list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
+        |        FROM docs WHERE NOT is_eval))
         |SELECT eval_id, COUNT(DISTINCT es.sh) AS n_contaminated_shingles
         |FROM es JOIN ts ON es.sh = ts.sh
         |GROUP BY eval_id ORDER BY eval_id""".stripMargin,

@@ -117,16 +117,31 @@ object EventStreams {
     * [[graft.operators.DocumentStore.upsert]] — the streaming face of
     * Jane's upload-supersedes semantics over a store without ACID merge.
     * Returns the started query; caller stops it.
+    *
+    * Durability: "store absent" is decided by an explicit existence check,
+    * never by catching read exceptions — a transient IO error or corrupt
+    * footer fails the batch (the checkpoint retries it) instead of being
+    * mistaken for an empty store and wiping it. The swap is rename-aside
+    * (`path`→`path.old`, tmp→`path`, delete old): at every instant either
+    * `path` or `path.old` holds the full pre/post-merge store, and an
+    * interrupted swap is healed at the start of the next batch.
     */
   def upsertSink(spark: SparkSession, stream: DataFrame, key: String,
       path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp")
+        val old = new org.apache.hadoop.fs.Path(s"$path.old")
+        // heal an interrupted swap: the aside copy is the live store
+        if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
         val existing =
-          try spark.read.parquet(path)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
+          if (fs.exists(p)) spark.read.parquet(path) // read errors fail the batch
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
         // latest-wins within the batch too: keep the highest ts per key
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(key).orderBy(col("ts").desc)
@@ -134,13 +149,13 @@ object EventStreams {
           .filter(col("__rn") === 1).drop("__rn")
         graft.operators.DocumentStore.upsert(existing, deduped, key)
           .write.mode("overwrite").parquet(s"$path.tmp")
-        // atomic-ish swap: parquet can't append-merge in place
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val p = new org.apache.hadoop.fs.Path(path)
-        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp")
-        if (fs.exists(p)) fs.delete(p, true)
-        fs.rename(tmp, p)
+        // rename-aside swap: never a window with no complete store on disk
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(p) && !fs.rename(p, old))
+          throw new java.io.IOException(s"upsertSink: cannot move $path aside")
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"upsertSink: cannot publish $tmp")
+        fs.delete(old, true)
         ()
       }
       .start()

@@ -79,6 +79,20 @@ class AsOfJoinSpec extends SparkSpec {
       3L -> None,       // ts=50: nothing before
       4L -> None))      // key with no right rows
   }
+
+  test("leftAsOf carries a deterministic payload on duplicate (key, ts) right rows") {
+    import spark.implicits._
+    val left = Seq((1L, "k", 100L)).toDF("id", "key", "ts")
+    // three right rows at the same (key, ts): max payload tuple must win,
+    // independent of input order or partitioning
+    val right = Seq(("k", 100L, 7L), ("k", 100L, 42L), ("k", 100L, 13L))
+      .toDF("key", "ts", "rid")
+    (1 to 3).foreach { n =>
+      val got = AsOfJoin.leftAsOf(left, right.repartition(n), "key", "ts",
+        Map("rid" -> "rid")).select("rid").as[Long].head()
+      assert(got == 42L, s"nondeterministic carry with $n partitions: $got")
+    }
+  }
 }
 
 class DedupSpec extends SparkSpec {

@@ -17,6 +17,19 @@ class StoreOpsSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("saltedAggMerge equals the direct groupBy for MIN/MAX merges") {
+    val events = Tables.events(spark, sfDir)
+    val salted = Skew.saltedAggMerge(events, "event_type", col("event_id"), 16,
+      Seq(("lo", min(col("event_id")), min(_)), ("hi", max(col("event_id")), max(_)),
+        ("n", count(lit(1)), sum(_))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val direct = events.groupBy("event_type")
+      .agg(min(col("event_id")).as("lo"), max(col("event_id")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(salted == direct)
+  }
+
   test("upsert replaces matched keys and appends unmatched ones") {
     import spark.implicits._
     val existing = Seq((1L, "a"), (2L, "b")).toDF("k", "v")

@@ -116,6 +116,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsert sink survives a corrupt store read instead of wiping it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_corrupt_").toString
+    // a store directory whose parquet footer is garbage: reading it must FAIL
+    // the batch (checkpoint retries), never be mistaken for an empty store
+    val storeDir = java.nio.file.Paths.get(dir, "store")
+    java.nio.file.Files.createDirectories(storeDir)
+    val corrupt = storeDir.resolve("part-00000.parquet")
+    java.nio.file.Files.write(corrupt, "not parquet at all".getBytes)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "payload")
+    val q = graft.streaming.EventStreams.upsertSink(
+      spark, stream, "doc_id", s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData((1L, ts(0), "v1"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // the corrupt store was not deleted or overwritten with the lone batch
+    assert(java.nio.file.Files.exists(corrupt),
+      "upsert sink destroyed the store on a read failure")
+  }
+
+  test("upsert sink heals an interrupted rename-aside swap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_upsert_heal_").toString
+    // simulate a crash between `path`→`path.old` and tmp→`path`: only the
+    // aside copy exists; the next batch must recover it, not start empty
+    Seq((1L, ts(0), "survivor")).toDF("doc_id", "ts", "payload")
+      .write.parquet(s"$dir/store.old")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val stream = mem.toDF().toDF("doc_id", "ts", "payload")
+    val q = graft.streaming.EventStreams.upsertSink(
+      spark, stream, "doc_id", s"$dir/store", s"$dir/ckpt")
+    try {
+      mem.addData((2L, ts(5), "new"))
+      q.processAllAvailable()
+      val state = spark.read.parquet(s"$dir/store")
+        .select("doc_id", "payload").as[(Long, String)].collect().toMap
+      assert(state == Map(1L -> "survivor", 2L -> "new"), s"got $state")
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

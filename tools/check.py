@@ -20,6 +20,19 @@ def canon(rows, cols):
         out.append(tuple(norm(r[i]) for i in order))
     return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
 
+def tclass(t):
+    """Type equivalence class for the driver's hash compare. HUGEINT is
+    deliberately NOT in the integer class — that's the divergence that cost
+    round 1 its 21 fails."""
+    if t is None:
+        return None
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "INT"
+    if t.startswith("DECIMAL"):  # precision-insensitive, scale-sensitive
+        scale = t.rstrip(")").split(",")[1] if "," in t else "0"
+        return f"DECIMAL(scale={scale.strip()})"
+    return t
+
 def norm(v):
     import datetime, decimal
     if isinstance(v, decimal.Decimal):
@@ -58,6 +71,25 @@ def main(sf_dir, out_dir):
         oc, orr = canon(orows, ocols)
         if sc != oc:
             print(f"FAIL {name}: cols {sc} vs {oc}"); n_fail += 1; continue
+        # Type gate: the driver's hash compare is type-sensitive (round 1's
+        # 21 failures were DuckDB HUGEINT sums vs Spark BIGINT), so compare
+        # declared result types, not just Python values (int == int would
+        # mask HUGEINT/BIGINT and DECIMAL/DOUBLE divergences). Calibrated
+        # to the driver's observed behavior: int widths (INTEGER/BIGINT)
+        # and DECIMAL precision at equal scale compare equal there, while
+        # HUGEINT, DECIMAL-scale and cross-class diffs flake — flag those.
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet('{res_dir}/*.parquet')").fetchall()}
+        otypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE {oracle[name]}").fetchall()}
+        tdiff = [(c, stypes.get(c), otypes.get(c))
+                 for c in sorted(stypes)
+                 if tclass(stypes.get(c)) != tclass(otypes.get(c))]
+        if tdiff:
+            print(f"FAIL {name}: result types diverge (spark vs oracle):")
+            for c, st, ot in tdiff:
+                print(f"  {c}: {st} vs {ot}")
+            n_fail += 1; continue
         if sr != orr:
             diff = [i for i, (a, b) in enumerate(zip(sr, orr)) if a != b][:3]
             print(f"FAIL {name}: {len(sr)} vs {len(orr)} rows; first diffs:")
