@@ -34,6 +34,18 @@ object GeoFunctions {
     d >= minKm && d <= maxKm
   }
 
+  /** Great-circle central angle in DEGREES from a fixed center — the unit
+    * the FDSN spec defines for event/station minradius/maxradius. One
+    * generated SQL text over index columns `latC`/`lonC`, spliced verbatim
+    * into both the Spark plan and the DuckDB oracle so both engines run
+    * the identical double formula (bit-exact comparisons).
+    */
+  def centralAngleDegSql(latC: String, lonC: String,
+      centerLat: Double, centerLon: Double): String =
+    s"degrees(2 * asin(sqrt(pow(sin(radians($latC - ($centerLat)) / 2), 2) + " +
+      s"cos(radians($centerLat)) * cos(radians($latC)) * " +
+      s"pow(sin(radians($lonC - ($centerLon)) / 2), 2))))"
+
   /** Convex-polygon containment: the point is inside iff it is on the same
     * (left) side of every edge of a counter-clockwise vertex ring. Pure
     * multiply/compare — engine-exact. Vertices are (lat, lon).

@@ -33,7 +33,10 @@ object FdsnQuery {
   def matchesFdsn(c: Column, pattern: String): Column =
     c.like(fdsnWildcardToLike(pattern))
 
-  /** fdsnws-event query parameters (public FDSN spec surface). */
+  /** fdsnws-event query parameters (public FDSN spec surface).
+    * minradius/maxradius are great-circle DEGREES per the FDSN spec (not
+    * km), so real fdsnws clients can pass their values through unchanged.
+    */
   final case class EventParams(
       starttime: Option[String] = None,
       endtime: Option[String] = None,
@@ -43,18 +46,23 @@ object FdsnQuery {
       maxLongitude: Option[Double] = None,
       latitude: Option[Double] = None,
       longitude: Option[Double] = None,
-      minRadiusKm: Option[Double] = None,
-      maxRadiusKm: Option[Double] = None,
+      minRadius: Option[Double] = None, // degrees
+      maxRadius: Option[Double] = None, // degrees
       minDepth: Option[Double] = None,
       maxDepth: Option[Double] = None,
       minMagnitude: Option[Double] = None,
       maxMagnitude: Option[Double] = None,
+      magnitudeType: Option[String] = None,
+      agency: Option[String] = None,
+      contributor: Option[String] = None,
+      updatedAfter: Option[String] = None, // ISO timestamp
       orderBy: String = "time", // time | time-asc | magnitude | magnitude-asc
       limit: Option[Int] = None,
       offset: Option[Int] = None)
 
   /** Compile event params over an event-index DataFrame with columns
-    * `time: timestamp, latitude, longitude, depth, magnitude` (+ id cols).
+    * `time: timestamp, latitude, longitude, depth, magnitude,
+    * magnitude_type, agency, contributor, updated_s` (+ id cols).
     */
   def events(index: DataFrame, p: EventParams): DataFrame = {
     val preds = Seq(
@@ -67,11 +75,19 @@ object FdsnQuery {
       p.minDepth.map(col("depth") >= _),
       p.maxDepth.map(col("depth") <= _),
       p.minMagnitude.map(col("magnitude") >= _),
-      p.maxMagnitude.map(col("magnitude") <= _)
+      p.maxMagnitude.map(col("magnitude") <= _),
+      p.magnitudeType.map(col("magnitude_type") === _),
+      p.agency.map(col("agency") === _),
+      p.contributor.map(col("contributor") === _),
+      // updatedafter compares on integer epoch seconds (engine-portable)
+      p.updatedAfter.map(t =>
+        col("updated_s") >= unix_timestamp(lit(t).cast("timestamp")))
     ).flatten ++ (for {
       lat <- p.latitude; lon <- p.longitude
-    } yield GeoFunctions.inRadiusKm(col("latitude"), col("longitude"), lat, lon,
-      p.minRadiusKm.getOrElse(0.0), p.maxRadiusKm.getOrElse(20037.5)))
+    } yield {
+      val deg = expr(GeoFunctions.centralAngleDegSql("latitude", "longitude", lat, lon))
+      deg >= p.minRadius.getOrElse(0.0) && deg <= p.maxRadius.getOrElse(180.0)
+    })
 
     val filtered = preds.foldLeft(index)(_ filter _)
     val sorted = p.orderBy match {
@@ -86,7 +102,9 @@ object FdsnQuery {
     p.limit.fold(paged)(paged.limit)
   }
 
-  /** fdsnws-station epoch parameters (subset: epoch + wildcard surface). */
+  /** fdsnws-station epoch parameters (epoch + wildcard surface plus the
+    * FDSN `level` rollup: network | station | channel).
+    */
   final case class StationParams(
       network: Option[String] = None,
       station: Option[String] = None,
@@ -97,10 +115,18 @@ object FdsnQuery {
       endAfter: Option[String] = None,
       // epoch must overlap [starttime, endtime]
       starttime: Option[String] = None,
-      endtime: Option[String] = None)
+      endtime: Option[String] = None,
+      level: String = "channel")
 
   /** Compile station params over a channel-epoch DataFrame with columns
     * `network, station, channel, epoch_start, epoch_end`.
+    *
+    * `level` follows the FDSN station service: `channel` returns matching
+    * epoch rows as-is; `station` rolls up to one row per (network,
+    * station) and `network` to one row per network, each with the covering
+    * epoch extent and member counts. The rollups are plain map-side-
+    * combined groupBys on the rollup key — the filters still push to the
+    * scan below them.
     */
   def channels(index: DataFrame, p: StationParams): DataFrame = {
     def ts(s: String): Column = lit(s).cast("timestamp")
@@ -115,6 +141,21 @@ object FdsnQuery {
       p.starttime.map(col("epoch_end") >= ts(_)),
       p.endtime.map(col("epoch_start") <= ts(_))
     ).flatten
-    preds.foldLeft(index)(_ filter _)
+    val filtered = preds.foldLeft(index)(_ filter _)
+    p.level match {
+      case "channel" => filtered
+      case "station" =>
+        filtered.groupBy("network", "station")
+          .agg(count(lit(1)).as("n_channels"),
+            min(col("epoch_start")).as("epoch_start"),
+            max(col("epoch_end")).as("epoch_end"))
+      case "network" =>
+        filtered.groupBy("network")
+          .agg(countDistinct(col("station")).as("n_stations"),
+            count(lit(1)).as("n_channels"),
+            min(col("epoch_start")).as("epoch_start"),
+            max(col("epoch_end")).as("epoch_end"))
+      case other => throw new IllegalArgumentException(s"level: $other")
+    }
   }
 }

@@ -38,18 +38,36 @@ object Indexers {
       def extract(docs: DataFrame): DataFrame = ChannelIndex.build(docs)
     }).map(p => p.documentType -> p).toMap
 
-  /** Event index attribute derivations (QuakeML-indexer analog). */
+  /** Event index attribute derivations (QuakeML-indexer analog). The
+    * catalog-provenance attributes (agency/contributor/magnitude_type —
+    * every fdsnws-event federation client filters on these) and the
+    * update-time column behind `updatedafter` are likewise derived
+    * deterministically; each derivation is one engine-portable SQL text.
+    */
   object EventIndex {
     val latitudeSql = "((user_id * 37) % 180) - 90 + 0.5"
     val longitudeSql = "((event_id * 53) % 360) - 180 + 0.5"
     val depthSql = "(event_id % 700) + 0.0"
     val magnitudeSql = "value / 50.0"
+    val agencySql = "concat('AG', cast(user_id % 7 as string))"
+    val contributorSql = "concat('C', cast(event_id % 5 as string))"
+    val magnitudeTypeSql =
+      "case when event_id % 4 = 0 then 'mb' when event_id % 4 = 1 then 'ms' " +
+        "when event_id % 4 = 2 then 'mw' else 'ml' end"
+    /** Upload/update time as epoch seconds (timestamp arithmetic spellings
+      * differ across engines; integer seconds don't).
+      */
+    val updatedSparkSql = "unix_timestamp(ts) + (event_id % 97) * 3600"
+    val updatedDuckSql = "CAST(floor(epoch(ts)) AS BIGINT) + (event_id % 97) * 3600"
 
     /** DuckDB CTE body over raw `events` producing the same index. */
     val oracleCte: String =
       s"""SELECT event_id, ts AS time, user_id, event_type, value,
          |  $latitudeSql AS latitude, $longitudeSql AS longitude,
-         |  $depthSql AS depth, $magnitudeSql AS magnitude
+         |  $depthSql AS depth, $magnitudeSql AS magnitude,
+         |  $agencySql AS agency, $contributorSql AS contributor,
+         |  $magnitudeTypeSql AS magnitude_type,
+         |  $updatedDuckSql AS updated_s
          |FROM events""".stripMargin
 
     def attach(events: DataFrame): DataFrame = events
@@ -58,6 +76,10 @@ object Indexers {
       .withColumn("longitude", expr(longitudeSql))
       .withColumn("depth", expr(depthSql))
       .withColumn("magnitude", expr(magnitudeSql))
+      .withColumn("agency", expr(agencySql))
+      .withColumn("contributor", expr(contributorSql))
+      .withColumn("magnitude_type", expr(magnitudeTypeSql))
+      .withColumn("updated_s", expr(updatedSparkSql))
   }
 
   /** Channel-epoch index (StationXML-indexer analog): one row per

@@ -113,12 +113,55 @@ object JaneQueries {
     "j07_fdsn_station_epochs" -> { (s, d) =>
       FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
         station = Some("ST1*"), channel = Some("*e*"),
-        startBefore = Some("2024-01-03"), endAfter = Some("2024-01-28")))
-        .groupBy("network", "station")
-        .agg(count(lit(1)).as("n_channels"),
-          unix_timestamp(min(col("epoch_start"))).as("start_s"),
-          unix_timestamp(max(col("epoch_end"))).as("end_s"))
+        startBefore = Some("2024-01-03"), endAfter = Some("2024-01-28"),
+        level = "station"))
+        .select(col("network"), col("station"), col("n_channels"),
+          unix_timestamp(col("epoch_start")).as("start_s"),
+          unix_timestamp(col("epoch_end")).as("end_s"))
         .orderBy("network", "station")
+    },
+
+    "j17_fdsn_event_full" -> { (s, d) =>
+      // The complete fdsnws-event parameter surface in one query: time
+      // window, point-radius in FDSN-spec degrees, depth + magnitude
+      // ranges, magnitudetype, catalog agency/contributor, updatedafter,
+      // orderby magnitude with stable paging.
+      FdsnQuery.events(ev(s, d), EventParams(
+        starttime = Some("2024-01-03"), endtime = Some("2024-02-20"),
+        latitude = Some(10.5), longitude = Some(45.5), maxRadius = Some(60.0),
+        minDepth = Some(50), maxDepth = Some(650),
+        minMagnitude = Some(2.0), maxMagnitude = Some(9.5),
+        magnitudeType = Some("mw"), agency = Some("AG3"),
+        contributor = Some("C2"), updatedAfter = Some("2024-01-10"),
+        orderBy = "magnitude", limit = Some(50)))
+        .select(col("event_id"), cents(col("magnitude")).as("mag_c"),
+          col("magnitude_type"), col("agency"), col("contributor"),
+          unix_timestamp(col("time")).as("time_s"), col("updated_s"),
+          col("latitude"), col("longitude"))
+    },
+
+    "j18_fdsn_level_rollup" -> { (s, d) =>
+      // fdsnws-station level=network: one row per network with covering
+      // epoch extent and member counts (j07 exercises level=station).
+      FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
+        channel = Some("*a*"), endAfter = Some("2024-01-15"),
+        level = "network"))
+        .select(col("network"), col("n_stations"), col("n_channels"),
+          unix_timestamp(col("epoch_start")).as("start_s"),
+          unix_timestamp(col("epoch_end")).as("end_s"))
+        .orderBy("network")
+    },
+
+    "j19_nullness" -> { (s, d) =>
+      // REST __isnull filter over an optional attribute (Jane: index
+      // attributes may be absent per document; derived here: every third
+      // doc is missing its language tag).
+      Tables.documents(s, d)
+        .withColumn("opt_lang",
+          expr("case when doc_id % 3 = 0 then NULL else lang end"))
+        .filter(col("opt_lang").isNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     },
 
     "j08_latest_version" -> { (s, d) =>
@@ -330,6 +373,39 @@ object JaneQueries {
       """SELECT doc_id, lang, source FROM documents
         |WHERE lang IN ('en', 'de') AND source <> 'src0'
         |  AND lower(text) LIKE '%merge%'
+        |ORDER BY doc_id""".stripMargin,
+
+    "j17_fdsn_event_full" -> {
+      val radiusDeg = graft.functions.GeoFunctions
+        .centralAngleDegSql("latitude", "longitude", 10.5, 45.5)
+      s"""WITH ev AS ($evCte)
+         |SELECT event_id, CAST(round(magnitude * 100) AS BIGINT) AS mag_c,
+         |  magnitude_type, agency, contributor,
+         |  CAST(floor(epoch(time)) AS BIGINT) AS time_s, updated_s,
+         |  latitude, longitude
+         |FROM ev
+         |WHERE time >= TIMESTAMP '2024-01-03' AND time <= TIMESTAMP '2024-02-20'
+         |  AND $radiusDeg >= 0.0 AND $radiusDeg <= 60.0
+         |  AND depth >= 50 AND depth <= 650
+         |  AND magnitude >= 2.0 AND magnitude <= 9.5
+         |  AND magnitude_type = 'mw' AND agency = 'AG3' AND contributor = 'C2'
+         |  AND updated_s >= CAST(floor(epoch(TIMESTAMP '2024-01-10')) AS BIGINT)
+         |ORDER BY magnitude DESC, event_id ASC LIMIT 50""".stripMargin
+    },
+
+    "j18_fdsn_level_rollup" ->
+      s"""WITH ch AS (${ChannelIndex.oracleCte})
+         |SELECT network, COUNT(DISTINCT station) AS n_stations,
+         |  COUNT(*) AS n_channels,
+         |  CAST(floor(epoch(MIN(epoch_start))) AS BIGINT) AS start_s,
+         |  CAST(floor(epoch(MAX(epoch_end))) AS BIGINT) AS end_s
+         |FROM ch
+         |WHERE channel LIKE '%a%' AND epoch_end > TIMESTAMP '2024-01-15'
+         |GROUP BY network ORDER BY network""".stripMargin,
+
+    "j19_nullness" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (case when doc_id % 3 = 0 then NULL else lang end) IS NULL
         |ORDER BY doc_id""".stripMargin,
 
     "j15_upsert" ->

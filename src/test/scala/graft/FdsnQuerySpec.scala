@@ -11,17 +11,42 @@ class FdsnQuerySpec extends SparkSpec {
 
   private lazy val index = EventIndex.attach(Tables.events(spark, sfDir)).cache()
 
-  test("radius params select a strict subset of the bounding circle's box") {
+  test("radius params are FDSN-spec degrees of great-circle arc") {
     val ring = FdsnQuery.events(index, EventParams(
       latitude = Some(10.5), longitude = Some(45.5),
-      minRadiusKm = Some(500.0), maxRadiusKm = Some(3000.0)))
+      minRadius = Some(5.0), maxRadius = Some(30.0)))
     val n = ring.count()
     assert(n > 0)
-    // every hit is within the ring per the reference haversine
+    // every hit's km distance matches the degree ring: 1 deg = R*pi/180 km
+    val degKm = 6371.0 * math.Pi / 180.0
     val bad = ring.withColumn("d", graft.functions.GeoFunctions.haversineKm(
         lit(10.5), lit(45.5), col("latitude"), col("longitude")))
-      .filter(col("d") < 500.0 || col("d") > 3000.0).count()
+      .filter(col("d") < 5.0 * degKm - 1e-6 || col("d") > 30.0 * degKm + 1e-6)
+      .count()
     assert(bad == 0)
+  }
+
+  test("provenance + updatedafter params filter the event index") {
+    val hits = FdsnQuery.events(index, EventParams(
+      agency = Some("AG3"), contributor = Some("C2"),
+      magnitudeType = Some("mw"), updatedAfter = Some("2024-01-10")))
+    assert(hits.count() > 0)
+    assert(hits.filter(col("agency") =!= "AG3" ||
+      col("contributor") =!= "C2" || col("magnitude_type") =!= "mw").count() == 0)
+  }
+
+  test("station level rollups aggregate consistently across levels") {
+    val channels = ChannelIndex.build(Tables.events(spark, sfDir)).cache()
+    val p = StationParams(channel = Some("*a*"))
+    val chanRows = FdsnQuery.channels(channels, p).count()
+    val stations = FdsnQuery.channels(channels, p.copy(level = "station"))
+    val networks = FdsnQuery.channels(channels, p.copy(level = "network"))
+    assert(stations.agg(sum("n_channels")).head.getLong(0) == chanRows)
+    assert(networks.agg(sum("n_channels")).head.getLong(0) == chanRows)
+    assert(networks.agg(sum("n_stations")).head.getLong(0) == stations.count())
+    intercept[IllegalArgumentException] {
+      FdsnQuery.channels(channels, p.copy(level = "response"))
+    }
   }
 
   test("orderby + limit + offset page deterministically") {
