@@ -39,13 +39,39 @@ object SimilaritySearch {
   def planeWeight(plane: Int, dim: Int): Long =
     ((plane + 1).toLong * (dim + 7).toLong * 2654435761L) % 1997L - 998L
 
-  /** SQL: LSH bucket id (0..2^planes-1) of a quantized BIGINT array col. */
-  def bucketSql(c: String, planes: Int, dims: Int): String =
+  /** SQL: LSH bucket id (0..2^planes-1) of a quantized BIGINT array col.
+    * `planeOffset` selects an independent plane family, so multiple hash
+    * tables (OR-combined candidate generation) reuse one weight formula.
+    */
+  def bucketSql(c: String, planes: Int, dims: Int, planeOffset: Int = 0): String =
     (0 until planes).map { p =>
-      val weights = (0 until dims).map(planeWeight(p, _)).mkString(", ")
+      val weights = (0 until dims).map(planeWeight(planeOffset + p, _)).mkString(", ")
       val proj = s"aggregate(zip_with(array($weights), $c, (w, x) -> w * x), 0L, (acc, t) -> acc + t)"
       s"(CASE WHEN $proj >= 0 THEN ${1L << p}L ELSE 0L END)"
     }.mkString(" + ")
+
+  /** Near-dup candidate pairs via `tables` independent hyperplane hash
+    * tables (OR-combined): a pair is a candidate iff it shares the full
+    * sign bucket in at least one table. Input needs (vec_id, q); output
+    * (a, b) with a < b, distinct. This is the linear-scale candidate
+    * generator for pairwise similarity: |rows| = n·tables exploded keys,
+    * per-bucket joins instead of an O(n²) cross join.
+    */
+  def hyperplanePairs(vectors: DataFrame, tables: Int, planes: Int,
+      dims: Int): DataFrame = {
+    val bucketStructs = (0 until tables).map { t =>
+      struct(lit(t).as("tbl"),
+        expr(bucketSql("q", planes, dims, planeOffset = t * planes)).as("bkt"))
+    }
+    val bucketed = vectors
+      .select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    bucketed.as("x").join(bucketed.as("y"),
+        col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
+      .distinct()
+  }
 
   /** IVF-style ANN: a small set of coarse-quantizer centroids partitions
     * the candidates into inverted lists (each candidate assigned to its

@@ -19,6 +19,12 @@ object SimilarityQueries {
   private val Planes = 4
   private val Dims = 64
   private val NQueries = 10
+  // d08 near-dup candidate generation: 8 OR-combined tables of 4 planes
+  private val NdTables = 8
+  private val NdPlanes = 4
+  // d10 trained-IVF codebook size and Lloyd iterations
+  private val IvfK = 8
+  private val IvfIters = 2
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("q", expr(quantizeSql("embedding")))
@@ -54,6 +60,27 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // IVF with a TRAINED coarse quantizer: the codebook comes from the
+    // integer-exact Lloyd trainer (KMeans.fitQuantized — k=8, 2
+    // iterations, deterministic init on the first k candidate vectors),
+    // then probing/scoring run through the same ivfTopK operator as d09.
+    // Because every training step is exact BIGINT arithmetic, the DuckDB
+    // oracle replays the ENTIRE pipeline — init, both Lloyd iterations,
+    // list assignment, probing, scoring — as generated CTEs: the training
+    // itself is oracle-checked, not just the search.
+    "d10_embed_ivf_trained" -> { (s, d) =>
+      val e = quantized(s, d)
+      val cand = e.filter(col("vec_id") >= 20)
+      val codebook = graft.operators.KMeans
+        .fitQuantized(cand, k = IvfK, iters = IvfIters)
+        .select(col("cent_id").as("vec_id"), col("cq").as("q"))
+      SimilaritySearch.ivfTopK(
+        queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        candidates = cand,
+        centroids = codebook, nprobe = 2, k = K)
+        .orderBy("query_id", "rn")
+    },
+
     // Production f32 fast path via the custom codegen expression
     // (graft.plans.DotProductF32). Float sums can't hash-match a foreign
     // engine, so this is intentionally rows-only checked; d05 is the
@@ -75,24 +102,32 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
-    // Embedding-cosine near-dup scan: top-20 most-similar pairs by
-    // cos^2 = dot^2/(|a|^2*|b|^2), all in exact integer/rational math
-    // (sqrt-free; the production threshold form `cos >= t` is the same
-    // predicate as t^2*na*nb <= dot^2). This corpus is near-orthogonal
-    // (max cos ~0.51), so ranking — not thresholding — keeps the oracle
-    // evidence non-trivial.
+    // Embedding-cosine near-dup scan at threshold cos >= 2/5, entirely in
+    // exact integer/rational math (sqrt-free: cos >= t  <=>  dot > 0 AND
+    // t²·na·nb <= dot²). Candidates come from NdTables independent
+    // hyperplane hash tables (OR-combined) instead of an all-pairs self
+    // join: |bucketed rows| is linear in n and each per-bucket join is an
+    // AQE-splittable equi-join — the 100 TB shape. The oracle replays the
+    // identical bucket generation (the d03/d06 pattern), so the result is
+    // engine-exact; recall vs the all-pairs form is measured in
+    // SimilarityRecallSpec: 0.76 on this deliberately near-orthogonal
+    // corpus at cos>=0.4 (the hard regime for sign-LSH; at a production
+    // near-dup threshold cos>=0.9 the same 8x4 config retains ~99.8%).
     "d08_embed_neardup" -> { (s, d) =>
       graft.plans.GraftFunctions.register(s)
       val e = quantized(s, d)
-        .withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
-      e.as("x").join(e.as("y"), col("x.vec_id") < col("y.vec_id"))
-        .withColumn("dot", expr(SimilaritySearch.dotSql("x.q", "y.q")))
-        .filter(col("dot") > 0)
+      val norms = e.withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
+      val cands = SimilaritySearch.hyperplanePairs(e, NdTables, NdPlanes, Dims)
+      cands
+        .join(norms.select(col("vec_id").as("a"), col("q").as("qa"), col("nq").as("na")), "a")
+        .join(norms.select(col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb")), "b")
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qa", "qb")))
+        .filter(col("dot") > 0 &&
+          lit(25L) * col("dot") * col("dot") >= lit(4L) * col("na") * col("nb"))
         .withColumn("cos2_4",
-          round((col("dot") * col("dot")).cast("double") / (col("x.nq") * col("y.nq")), 4))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"), col("dot"), col("cos2_4"))
+          round((col("dot") * col("dot")).cast("double") / (col("na") * col("nb")), 4))
+        .select(col("a"), col("b"), col("dot"), col("cos2_4"))
         .orderBy(col("cos2_4").desc, col("a").asc, col("b").asc)
-        .limit(20)
     })
 
   // --- generated oracle SQL ----------------------------------------------
@@ -104,9 +139,9 @@ object SimilarityQueries {
     s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), " +
       s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])) AS BIGINT)"
 
-  private def bucketDuck(c: String): String =
-    (0 until Planes).map { p =>
-      val ws = (0 until Dims).map(planeWeight(p, _)).mkString(", ")
+  private def bucketDuck(c: String, planes: Int = Planes, planeOffset: Int = 0): String =
+    (0 until planes).map { p =>
+      val ws = (0 until Dims).map(planeWeight(planeOffset + p, _)).mkString(", ")
       val proj = s"list_sum(list_transform(range(1, ${Dims + 1}), " +
         s"i -> ([$ws][CAST(i AS INT)]) * $c[CAST(i AS INT)]))"
       s"(CASE WHEN $proj >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
@@ -166,14 +201,74 @@ object SimilarityQueries {
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
 
-    "d08_embed_neardup" ->
+    "d10_embed_ivf_trained" -> {
+      // squared-L2 in list form; algebraically equal to the nq+cn-2·dot
+      // form the Spark operator uses — identical in exact integer math
+      def distDuck(a: String, b: String): String =
+        s"list_sum(list_transform(range(1, ${Dims + 1}), " +
+          s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"
+      // one Lloyd iteration: argmin assignment + floored element-wise mean
+      def iterCtes(i: Int): String =
+        s"""a$i AS (SELECT vec_id, q, cent_id FROM (
+           |    SELECT c.vec_id, c.q, cb.cent_id,
+           |      row_number() OVER (PARTITION BY c.vec_id
+           |        ORDER BY ${distDuck("c.q", "cb.cq")} ASC, cb.cent_id ASC) AS pr
+           |    FROM cand c CROSS JOIN cb$i cb) WHERE pr = 1),
+           |cb${i + 1} AS (SELECT cent_id, list(m ORDER BY dim) AS cq FROM (
+           |    SELECT cent_id, dim,
+           |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+           |    FROM (SELECT cent_id, unnest(q) AS x,
+           |            unnest(range(1, len(q) + 1)) AS dim FROM a$i)
+           |    GROUP BY cent_id, dim)
+           |  GROUP BY cent_id)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |cand AS (SELECT vec_id, q FROM e WHERE vec_id >= 20),
+         |cb0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, q AS cq FROM
+         |    (SELECT q, row_number() OVER (ORDER BY vec_id ASC) AS rn FROM cand)
+         |  WHERE rn <= $IvfK),
+         |${(0 until IvfIters).map(iterCtes).mkString(",\n")},
+         |cents AS (SELECT cent_id, cq FROM cb$IvfIters),
+         |ca AS (SELECT cand_id, q, cent_id FROM (
+         |    SELECT c.vec_id AS cand_id, c.q, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuck("c.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct) WHERE pr = 1),
+         |qs AS (SELECT vec_id, q FROM e WHERE vec_id >= 10 AND vec_id < 20),
+         |qp AS (SELECT query_id, qq, cent_id FROM (
+         |    SELECT s.vec_id AS query_id, s.q AS qq, ct.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${distDuck("s.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ct) WHERE pr <= 2),
+         |scored AS (SELECT qp.query_id, ca.cand_id, ${dotDuck("qp.qq", "ca.q")} AS dot
+         |  FROM ca JOIN qp USING (cent_id)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
+         |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
+         |ORDER BY query_id, rn""".stripMargin
+    },
+
+    "d08_embed_neardup" -> {
+      val tableSelects = (0 until NdTables).map { t =>
+        s"SELECT vec_id, $t AS tbl, " +
+          s"${bucketDuck("q", NdPlanes, planeOffset = t * NdPlanes)} AS bkt FROM e"
+      }.mkString("\n  UNION ALL ")
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
          |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS nq FROM e),
-         |p AS (SELECT x.vec_id AS a, y.vec_id AS b,
-         |    ${dotDuck("x.q", "y.q")} AS dot, x.nq AS na, y.nq AS nb
-         |  FROM n x JOIN n y ON x.vec_id < y.vec_id)
+         |cb AS (
+         |  $tableSelects
+         |),
+         |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+         |  FROM cb x JOIN cb y
+         |    ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |p AS (SELECT cand.a, cand.b,
+         |    ${dotDuck("na.q", "nb.q")} AS dot, na.nq AS na, nb.nq AS nb
+         |  FROM cand
+         |  JOIN n na ON na.vec_id = cand.a
+         |  JOIN n nb ON nb.vec_id = cand.b)
          |SELECT a, b, dot,
          |  round(CAST(dot * dot AS DOUBLE) / (na * nb), 4) AS cos2_4
-         |FROM p WHERE dot > 0
-         |ORDER BY cos2_4 DESC, a ASC, b ASC LIMIT 20""".stripMargin)
+         |FROM p WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+         |ORDER BY cos2_4 DESC, a ASC, b ASC""".stripMargin
+    })
 }

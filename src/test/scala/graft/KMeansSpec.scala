@@ -39,6 +39,23 @@ class KMeansSpec extends SparkSpec {
     assert(rows.forall(_.getLong(3) <= 3)) // rn within k
   }
 
+  test("integer-exact trainer is deterministic and stays BIGINT throughout") {
+    def snapshot() = KMeans.fitQuantized(vecs, k = 4, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    val a = snapshot()
+    assert(a == snapshot())
+    assert(a.nonEmpty && a.forall(_._2.nonEmpty)) // integer codebook rows
+    // integer Lloyd also never increases its own exact cost
+    def costQ(cb: Seq[(Long, Seq[Long])]): Long = {
+      import spark.implicits._
+      val cbDf = cb.toDF("cent_id", "cq")
+      KMeans.assignQuantized(vecs, cbDf).agg(sum("dist")).head.getLong(0)
+    }
+    val c1 = KMeans.fitQuantized(vecs, k = 4, iters = 1)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+    assert(costQ(a) <= costQ(c1))
+  }
+
   test("every vector is assigned to exactly one of k centroids") {
     val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
     val assigned = KMeans.assign(vecs, codebook)

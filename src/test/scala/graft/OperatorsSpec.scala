@@ -157,6 +157,32 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class SimilarityRecallSpec extends SparkSpec {
+  test("d08 bucketed near-dup is an exact-threshold subset with measured recall") {
+    import spark.implicits._
+    import graft.operators.SimilaritySearch._
+    graft.plans.GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(quantizeSql("embedding")))
+      .select(col("vec_id"), col("q"))
+    val norms = e.withColumn("nq", expr(dotSql("q", "q")))
+    // ground truth: ALL pairs at the same exact integer threshold
+    val truth = norms.as("x").join(norms.as("y"), col("x.vec_id") < col("y.vec_id"))
+      .withColumn("dot", expr(dotSql("x.q", "y.q")))
+      .filter(col("dot") > 0 &&
+        lit(25L) * col("dot") * col("dot") >= lit(4L) * col("x.nq") * col("y.nq"))
+      .select(col("x.vec_id"), col("y.vec_id")).as[(Long, Long)].collect().toSet
+    val got = SparkEntry.queries("d08_embed_neardup")(spark, sfDir)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(got.subsetOf(truth),
+      "every bucketed pair must satisfy the exact threshold predicate")
+    assert(truth.nonEmpty && got.nonEmpty)
+    val recall = got.size.toDouble / truth.size
+    info(f"d08 LSH recall vs all-pairs: ${got.size}/${truth.size} = $recall%.2f")
+    assert(recall >= 0.5, f"recall $recall%.2f below documented floor")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("binary payload plumbing produces typed metadata per row") {
     import spark.implicits._
