@@ -131,7 +131,19 @@ object Dedup {
     * the candidate join by ~(1-t)^2 while provably losing no pair — the
     * oracle checks against the naive all-pairs formulation.
     */
-  def jaccardPairs(df: DataFrame, t: Double): DataFrame = {
+  def jaccardPairs(df: DataFrame, t: Double): DataFrame =
+    jaccardPairs(df, t, broadcastVerify = true)
+
+  /** @param broadcastVerify verify-join strategy: `true` broadcasts the
+    *   doc→codes dimension to both probe sides (measured 6 MB at sf0.1 —
+    *   the pair stream never shuffles with arrays attached); `false` is
+    *   the beyond-broadcast-range path: bucketed sort-merge joins on the
+    *   doc ids, sharding verification across executors (the pair stream
+    *   shuffles on `a` then `b`, carrying one codes array through the
+    *   second exchange). Both paths produce identical output — proven by
+    *   DedupSpec — so callers flip on corpus size alone.
+    */
+  def jaccardPairs(df: DataFrame, t: Double, broadcastVerify: Boolean): DataFrame = {
     // Shingles as packed integer codes throughout (see shingleCodesArraySql)
     // — same distinctness/order/intersections as strings, primitive speed.
     val sh = df
@@ -167,15 +179,14 @@ object Dedup {
     // on doc_id and candidates per bucket stay bounded by the prefix
     // filter.
     graft.plans.GraftFunctions.register(df.sparkSession)
-    // Broadcast the doc->codes dimension on BOTH probe sides: the pair
-    // stream then never shuffles with arrays attached (the second join
-    // would otherwise move |pairs| x |array| bytes — measured 1.4 GB at
-    // sf0.1 vs a ~6 MB broadcast). At corpus sizes beyond broadcast range
-    // this flips to a bucketed-on-doc_id join instead.
     val arrays = df.select(col("doc_id"), sort_array(expr(shingleCodesArraySql)).as("sh"))
+    def probeSide(idAs: String, shAs: String): DataFrame = {
+      val side = arrays.select(col("doc_id").as(idAs), col("sh").as(shAs))
+      if (broadcastVerify) broadcast(side) else side.hint("merge")
+    }
     cands
-      .join(broadcast(arrays.select(col("doc_id").as("a"), col("sh").as("sha"))), "a")
-      .join(broadcast(arrays.select(col("doc_id").as("b"), col("sh").as("shb"))), "b")
+      .join(probeSide("a", "sha"), "a")
+      .join(probeSide("b", "shb"), "b")
       .withColumn("inter", expr("graft_isect_sorted_i64(sha, shb)"))
       .withColumn("j", col("inter") /
         ((size(col("sha")) + size(col("shb"))).cast("long") - col("inter")))

@@ -123,6 +123,21 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.exact(df).as[(Long, Long)].collect().toSet
     assert(got == Set((5L, 2L), (7L, 1L))) // "b a" ≡ "a b" bag-of-words
   }
+
+  test("jaccard verify: bucketed sort-merge path equals the broadcast path") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    def run(bc: Boolean) = Dedup.jaccardPairs(docs, 0.8, broadcastVerify = bc)
+      .select("a", "b", "inter").as[(Long, Long, Long)].collect().toSet
+    val bcast = run(true)
+    val merged = run(false)
+    assert(bcast.nonEmpty && merged == bcast)
+    // and the non-broadcast path really plans shuffle joins for the verify
+    val plan = Dedup.jaccardPairs(docs, 0.8, broadcastVerify = false)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      "broadcastVerify=false must plan a sort-merge verify join")
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
