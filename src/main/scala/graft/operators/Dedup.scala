@@ -144,11 +144,14 @@ object Dedup {
     *   DedupSpec — so callers flip on corpus size alone.
     */
   def jaccardPairs(df: DataFrame, t: Double, broadcastVerify: Boolean): DataFrame = {
-    // Shingles as packed integer codes throughout (see shingleCodesArraySql)
-    // — same distinctness/order/intersections as strings, primitive speed.
+    graft.plans.GraftFunctions.register(df.sparkSession)
+    // Shingles as packed integer codes throughout — same distinctness/
+    // order/intersections as strings, primitive speed. graft_shingles3 is
+    // the fused one-pass form of shingleCodesArraySql (sorted distinct;
+    // bit-equality spec-proven in CodegenOnlySpec).
     val sh = df
       .withColumn("bkt", expr("n_chars div 50"))
-      .select(col("doc_id"), col("bkt"), explode(expr(shingleCodesArraySql)).as("code"))
+      .select(col("doc_id"), col("bkt"), explode(expr("graft_shingles3(text)")).as("code"))
     val dfCounts = sh.groupBy("code").agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("code").asc)
@@ -178,8 +181,8 @@ object Dedup {
     // broadcast vs shuffle per scale; at 100 TB this join runs bucketed
     // on doc_id and candidates per bucket stay bounded by the prefix
     // filter.
-    graft.plans.GraftFunctions.register(df.sparkSession)
-    val arrays = df.select(col("doc_id"), sort_array(expr(shingleCodesArraySql)).as("sh"))
+    // already sorted+distinct by construction — no sort_array needed
+    val arrays = df.select(col("doc_id"), expr("graft_shingles3(text)").as("sh"))
     def probeSide(idAs: String, shAs: String): DataFrame = {
       val side = arrays.select(col("doc_id").as(idAs), col("sh").as(shAs))
       if (broadcastVerify) broadcast(side) else side.hint("merge")

@@ -53,12 +53,18 @@ object SimilaritySearch {
   /** Near-dup candidate pairs via `tables` independent hyperplane hash
     * tables (OR-combined): a pair is a candidate iff it shares the full
     * sign bucket in at least one table. Input needs (vec_id, q); output
-    * (a, b) with a < b, distinct. This is the linear-scale candidate
-    * generator for pairwise similarity: |rows| = n·tables exploded keys,
-    * per-bucket joins instead of an O(n²) cross join.
+    * (a, b) with a < b. This is the linear-scale candidate generator for
+    * pairwise similarity: |rows| = n·tables exploded keys, per-bucket
+    * joins instead of an O(n²) cross join.
+    *
+    * `dedupe=false` skips the pre-scoring distinct (a full shuffle of the
+    * candidate stream): a pair sharing k tables then comes out k times,
+    * which is the right trade when the downstream scoring predicate is
+    * cheap (codegen dot) and selective — score the duplicates, dedupe the
+    * few survivors (measured 7.7 s → 5.5 s on d08 at sf0.1).
     */
   def hyperplanePairs(vectors: DataFrame, tables: Int, planes: Int,
-      dims: Int): DataFrame = {
+      dims: Int, dedupe: Boolean = true): DataFrame = {
     val bucketStructs = (0 until tables).map { t =>
       struct(lit(t).as("tbl"),
         expr(bucketSql("q", planes, dims, planeOffset = t * planes)).as("bkt"))
@@ -66,11 +72,11 @@ object SimilaritySearch {
     val bucketed = vectors
       .select(col("vec_id"), explode(array(bucketStructs: _*)).as("tb"))
       .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
-    bucketed.as("x").join(bucketed.as("y"),
+    val pairs = bucketed.as("x").join(bucketed.as("y"),
         col("x.tbl") === col("y.tbl") && col("x.bkt") === col("y.bkt") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
-      .distinct()
+    if (dedupe) pairs.distinct() else pairs
   }
 
   /** IVF-style ANN: a small set of coarse-quantizer centroids partitions

@@ -127,6 +127,15 @@ object GraftFunctions {
   val isectI64Info = new ExpressionInfo(classOf[IntersectCountSortedI64].getName, "graft_isect_sorted_i64")
   val fpInfo = new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint")
   val mh16Info = new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash16")
+  val sh3Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles3")
+  val sh13Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles13")
+
+  /** (n, base, mod) families: 3-gram exact 24-bit packing (codes < 2^24,
+    * so a 2^32 modulus never fires) and the 13-gram decontamination hash
+    * (Horner base 31 mod 2^56).
+    */
+  val Sh3Params: (Int, Long, Long) = (3, 256L, 1L << 32)
+  val Sh13Params: (Int, Long, Long) = (13, 31L, 1L << 56)
 
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.registerFunction(
@@ -147,6 +156,14 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_minhash16"), mh16Info,
       (exprs: Seq[Expression]) => MinHashSig(exprs(0), 16))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles3"), sh3Info,
+      (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs(0), Sh3Params._1, Sh3Params._2, Sh3Params._3))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_shingles13"), sh13Info,
+      (exprs: Seq[Expression]) =>
+        ShingleHashes(exprs(0), Sh13Params._1, Sh13Params._2, Sh13Params._3))
   }
 }
 

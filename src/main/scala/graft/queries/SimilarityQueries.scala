@@ -117,7 +117,11 @@ object SimilarityQueries {
       graft.plans.GraftFunctions.register(s)
       val e = quantized(s, d)
       val norms = e.withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
-      val cands = SimilaritySearch.hyperplanePairs(e, NdTables, NdPlanes, Dims)
+      // dedupe AFTER the threshold: a pair seen in k tables is scored k
+      // times (cheap codegen dots) instead of shuffling the full candidate
+      // stream through a distinct; the threshold survivors are few
+      val cands = SimilaritySearch
+        .hyperplanePairs(e, NdTables, NdPlanes, Dims, dedupe = false)
       cands
         .join(norms.select(col("vec_id").as("a"), col("q").as("qa"), col("nq").as("na")), "a")
         .join(norms.select(col("vec_id").as("b"), col("q").as("qb"), col("nq").as("nb")), "b")
@@ -127,6 +131,7 @@ object SimilarityQueries {
         .withColumn("cos2_4",
           round((col("dot") * col("dot")).cast("double") / (col("na") * col("nb")), 4))
         .select(col("a"), col("b"), col("dot"), col("cos2_4"))
+        .distinct()
         .orderBy(col("cos2_4").desc, col("a").asc, col("b").asc)
     })
 

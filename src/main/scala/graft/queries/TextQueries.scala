@@ -196,10 +196,13 @@ object TextQueries {
       // keys and the distinct count runs on longs instead of 13-char
       // strings — the 100 TB-safe key shape (collision odds at 2^56 are
       // ~1e-5 even for 10^9 distinct shingles).
+      graft.plans.GraftFunctions.register(s)
       val docs = Tables.documents(s, d)
         .withColumn("is_eval", expr("(doc_id * 2654435761) % 100 < 10"))
+      // graft_shingles13: fused one-pass form of shingleHash13ArraySpark
+      // (bit-equality spec-proven in CodegenOnlySpec)
       def sh(df: DataFrame, idAs: String) = df.select(col("doc_id").as(idAs),
-        explode(expr(shingleHash13ArraySpark)).as(s"sh_$idAs"))
+        explode(expr("graft_shingles13(text)")).as(s"sh_$idAs"))
       sh(docs.filter(col("is_eval")), "eval_id").as("e")
         .join(sh(docs.filter(!col("is_eval")), "train_id").as("t"),
           col("e.sh_eval_id") === col("t.sh_train_id"))
@@ -244,7 +247,7 @@ object TextQueries {
   // substitute column aliases into inferred predicates, where a
   // per-element alias reference re-executes the split per lambda
   // iteration (see Dedup.shingleCodesArraySql).
-  private val shingleHash13ArraySpark: String = {
+  private[graft] val shingleHash13ArraySpark: String = {
     val codes = graft.operators.Dedup.charCodesSql
     val n = "greatest(length(text) - 12, 0)"
     val init = s"transform(slice($codes, 1, $n), c -> CAST(c AS BIGINT))"

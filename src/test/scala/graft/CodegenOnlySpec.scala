@@ -39,4 +39,27 @@ class CodegenOnlySpec extends SparkSpec {
       assert(r.getAs[Long]("istr") == 1L) // {b}
     }
   }
+
+  test("graft_shingles3/13 are bit-equal to their declarative twins on the corpus") {
+    GraftFunctions.register(spark)
+    withCodegenOnly {
+      val docs = Tables.documents(spark, sfDir)
+      val mismatches = docs.selectExpr(
+        "graft_shingles3(text) AS fused3",
+        s"sort_array(${graft.operators.Dedup.shingleCodesArraySql}) AS decl3",
+        "graft_shingles13(text) AS fused13",
+        s"sort_array(${graft.queries.TextQueries.shingleHash13ArraySpark}) AS decl13")
+        .filter(col("fused3") =!= col("decl3") || col("fused13") =!= col("decl13"))
+        .count()
+      assert(mismatches == 0)
+      // short/empty-text edge: fused form yields empty arrays, same as the
+      // sliced zip_with forms
+      import spark.implicits._
+      val short = Seq("ab", "").toDF("text")
+        .selectExpr("size(graft_shingles3(text)) AS s3",
+          "size(graft_shingles13(text)) AS s13")
+        .collect()
+      assert(short.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
+    }
+  }
 }
