@@ -208,8 +208,27 @@ object Dedup {
     s"($horner % $P)"
   }
 
-  /** Per-document `bits`-bit SimHash over distinct whitespace tokens. */
-  def simHash(df: DataFrame, bits: Int): DataFrame = {
+  /** Per-document `bits`-bit SimHash over distinct whitespace tokens.
+    *
+    * bits=32 uses the fused single-pass expression
+    * [[graft.plans.SimHash32]] — a pure map-side projection that removes
+    * the explode → 32-conditional-sum groupBy SHUFFLE entirely (the
+    * deferral noted in SURVEY §7 — token-dedup semantics — is handled by
+    * an in-expression token set). Other widths keep the declarative
+    * pipeline; both produce identical signatures (bit-equality
+    * spec-proven), and d04's explode-based oracle keeps matching.
+    */
+  def simHash(df: DataFrame, bits: Int): DataFrame =
+    if (bits == 32) {
+      graft.plans.GraftFunctions.register(df.sparkSession)
+      df.select(col("doc_id"), col("n_chars"),
+        expr("graft_simhash32(text)").as("simhash"))
+    } else simHashDeclarative(df, bits)
+
+  /** The explode → groupBy formulation (any bit width); the oracle replays
+    * this shape, and CodegenOnlySpec proves it equal to the fused form.
+    */
+  def simHashDeclarative(df: DataFrame, bits: Int): DataFrame = {
     val tokens = df
       .select(col("doc_id"), col("n_chars"),
         explode(expr("array_distinct(split(trim(text), ' '))")).as("tok"))

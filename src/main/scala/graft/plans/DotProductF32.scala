@@ -129,6 +129,7 @@ object GraftFunctions {
   val mh16Info = new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash16")
   val sh3Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles3")
   val sh13Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles13")
+  val simh32Info = new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
 
   /** (n, base, mod) families: 3-gram exact 24-bit packing (codes < 2^24,
     * so a 2^32 modulus never fires) and the 13-gram decontamination hash
@@ -164,6 +165,9 @@ object GraftFunctions {
       FunctionIdentifier("graft_shingles13"), sh13Info,
       (exprs: Seq[Expression]) =>
         ShingleHashes(exprs(0), Sh13Params._1, Sh13Params._2, Sh13Params._3))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_simhash32"), simh32Info,
+      (exprs: Seq[Expression]) => SimHash32(exprs(0)))
   }
 }
 

@@ -62,4 +62,22 @@ class CodegenOnlySpec extends SparkSpec {
       assert(short.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
     }
   }
+
+  test("graft_simhash32 equals the declarative explode pipeline") {
+    GraftFunctions.register(spark)
+    withCodegenOnly {
+      import spark.implicits._
+      // corpus + hand-picked edges: dup tokens, shared 8-char prefixes
+      // (distinct tokens, same code), consecutive spaces, >8-char tokens
+      val edge = Seq((9000001L, 3L, "prefixaaXX prefixaaYY  dup dup longtokenbeyond8"),
+        (9000002L, 3L, "a")).toDF("doc_id", "n_chars", "text")
+      val docs = Tables.documents(spark, sfDir)
+        .select("doc_id", "n_chars", "text").union(edge)
+      val fused = graft.operators.Dedup.simHash(docs, 32)
+      val decl = graft.operators.Dedup.simHashDeclarative(docs, 32)
+      val joined = fused.as("f").join(decl.as("d"), Seq("doc_id"))
+        .filter(col("f.simhash") =!= col("d.simhash"))
+      assert(joined.count() == 0)
+    }
+  }
 }
