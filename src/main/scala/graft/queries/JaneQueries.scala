@@ -127,12 +127,12 @@ object JaneQueries {
       // ranges, magnitudetype, catalog agency/contributor, updatedafter,
       // orderby magnitude with stable paging.
       FdsnQuery.events(ev(s, d), EventParams(
-        starttime = Some("2024-01-03"), endtime = Some("2024-02-20"),
-        latitude = Some(10.5), longitude = Some(45.5), maxRadius = Some(60.0),
-        minDepth = Some(50), maxDepth = Some(650),
-        minMagnitude = Some(2.0), maxMagnitude = Some(9.5),
-        magnitudeType = Some("mw"), agency = Some("AG3"),
-        contributor = Some("C2"), updatedAfter = Some("2024-01-10"),
+        starttime = Some("2024-01-02"), endtime = Some("2024-03-31"),
+        latitude = Some(10.5), longitude = Some(45.5), maxRadius = Some(90.0),
+        minDepth = Some(10), maxDepth = Some(690),
+        minMagnitude = Some(0.5), maxMagnitude = Some(9.9),
+        magnitudeType = Some("ml"), agency = Some("AG2"),
+        contributor = Some("C2"), updatedAfter = Some("2024-01-05"),
         orderBy = "magnitude", limit = Some(50)))
         .select(col("event_id"), cents(col("magnitude")).as("mag_c"),
           col("magnitude_type"), col("agency"), col("contributor"),
@@ -384,12 +384,12 @@ object JaneQueries {
          |  CAST(floor(epoch(time)) AS BIGINT) AS time_s, updated_s,
          |  latitude, longitude
          |FROM ev
-         |WHERE time >= TIMESTAMP '2024-01-03' AND time <= TIMESTAMP '2024-02-20'
-         |  AND $radiusDeg >= 0.0 AND $radiusDeg <= 60.0
-         |  AND depth >= 50 AND depth <= 650
-         |  AND magnitude >= 2.0 AND magnitude <= 9.5
-         |  AND magnitude_type = 'mw' AND agency = 'AG3' AND contributor = 'C2'
-         |  AND updated_s >= CAST(floor(epoch(TIMESTAMP '2024-01-10')) AS BIGINT)
+         |WHERE time >= TIMESTAMP '2024-01-02' AND time <= TIMESTAMP '2024-03-31'
+         |  AND $radiusDeg >= 0.0 AND $radiusDeg <= 90.0
+         |  AND depth >= 10 AND depth <= 690
+         |  AND magnitude >= 0.5 AND magnitude <= 9.9
+         |  AND magnitude_type = 'ml' AND agency = 'AG2' AND contributor = 'C2'
+         |  AND updated_s >= CAST(floor(epoch(TIMESTAMP '2024-01-05')) AS BIGINT)
          |ORDER BY magnitude DESC, event_id ASC LIMIT 50""".stripMargin
     },
 
