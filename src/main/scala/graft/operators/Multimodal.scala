@@ -7,6 +7,10 @@ import org.apache.spark.sql.functions._
 final case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
     height: Long, frames: Long)
 
+/** One sampled frame of a media payload: byte extent + stub feature. */
+final case class FrameSample(doc_id: Long, frame_id: Long, frame_start: Long,
+    frame_len: Long, feature: Long)
+
 /** Multimodal column plumbing (SURVEY.md §2.A): treat image/audio/video as
   * opaque `binary` columns and run decode / feature-extraction as
   * partition-batched typed transforms.
@@ -41,6 +45,34 @@ object Multimodal {
       .mapPartitions { it =>
         // one "decoder" per partition — the amortization point for a real codec
         it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Frame sampling over a video-like payload: the stub "container" has
+    * `1 + n % 24` equal byte-extent frames; every `stride`-th frame
+    * (always including frame 0) is decoded to a feature — here a byte-sum
+    * stub; in production the per-frame pixel decode. The plumbing is the
+    * production shape: one flatMap row per sampled frame (row-count
+    * expansion happens on the executors, batched per partition), byte
+    * extents computed from the container header, nothing on the driver.
+    */
+  def sampleFrames(spark: SparkSession, withPayloadDf: DataFrame,
+      stride: Int): Dataset[FrameSample] = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length.toLong
+          val frames = 1 + n % 24
+          (0L until frames).iterator.filter(_ % stride == 0).map { f =>
+            val start = f * n / frames
+            val end = (f + 1) * n / frames
+            var s = 0L
+            var i = start.toInt
+            while (i < end) { s += bytes(i) & 0xff; i += 1 }
+            FrameSample(id, f, start, end - start, s % 997)
+          }
+        }
       }
   }
 }

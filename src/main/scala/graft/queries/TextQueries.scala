@@ -232,6 +232,17 @@ object TextQueries {
       Multimodal.extractMeta(s, Multimodal.withPayload(Tables.documents(s, d)))
         .toDF()
         .orderBy("doc_id")
+    },
+
+    "m03_frame_sample" -> { (s, d) =>
+      // Video-style frame sampling: every 5th frame of the stub container
+      // decoded to a byte-sum feature; executor-side row expansion via
+      // flatMap (the real frame-sample batch shape). Oracle replays the
+      // frame-extent and byte-sum arithmetic over ascii codes.
+      Multimodal.sampleFrames(s, Multimodal.withPayload(Tables.documents(s, d)),
+        stride = 5)
+        .toDF()
+        .orderBy("doc_id", "frame_id")
     })
 
   /** 13-gram → BIGINT rolling hash (Horner base 31, mod 2^56): identical
@@ -400,5 +411,23 @@ object TextQueries {
         |  CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
         |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m03_frame_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars
+        |  FROM documents),
+        |f AS (SELECT doc_id, n, frames, chars,
+        |    unnest(range(0, frames)) AS frame_id
+        |  FROM d)
+        |SELECT doc_id, frame_id,
+        |  (frame_id * n) // frames AS frame_start,
+        |  ((frame_id + 1) * n) // frames - (frame_id * n) // frames AS frame_len,
+        |  CAST(coalesce(list_sum(list_slice(chars,
+        |    CAST((frame_id * n) // frames + 1 AS INT),
+        |    CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT) AS feature
+        |FROM f WHERE frame_id % 5 = 0
+        |ORDER BY doc_id, frame_id""".stripMargin)
 }

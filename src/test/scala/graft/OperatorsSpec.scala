@@ -207,4 +207,20 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(1L).byte_len == 3L && meta(1L).width == 64 + 3 && meta(1L).frames == 1 + 3 % 24)
     assert(meta(2L).byte_len == 600L && meta(2L).width == 64 + 600 % 512)
   }
+
+  test("frame sampling expands rows on executors with exact byte extents") {
+    import spark.implicits._
+    val docs = Seq((1L, "x" * 240)).toDF("doc_id", "text") // 240 bytes, 1+240%24=1+0=1? no: 240%24=0 -> 1 frame
+    val one = Multimodal.sampleFrames(spark, Multimodal.withPayload(docs), stride = 5).collect()
+    assert(one.map(_.frame_id).toSeq == Seq(0L) && one.head.frame_len == 240L)
+    val docs2 = Seq((2L, "ab" * 121)).toDF("doc_id", "text") // 242 bytes -> 3 frames, stride samples frame 0
+    val s2 = Multimodal.sampleFrames(spark, Multimodal.withPayload(docs2), stride = 2).collect()
+      .sortBy(_.frame_id)
+    assert(s2.map(_.frame_id).toSeq == Seq(0L, 2L)) // frames {0,1,2}, stride 2
+    // frame extents tile the payload: starts/lens are the floor-division grid
+    assert(s2(0).frame_start == 0L && s2(0).frame_len == 242L / 3)
+    assert(s2(1).frame_start == 2 * 242L / 3 && s2(1).frame_len == 242L - 2 * 242L / 3)
+    // feature = byte sum of the slice mod 997
+    assert(s2(0).feature == (0 until (242 / 3)).map(i => if (i % 2 == 0) 'a' else 'b').map(_.toLong).sum % 997)
+  }
 }
