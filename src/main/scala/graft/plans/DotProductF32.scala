@@ -130,6 +130,7 @@ object GraftFunctions {
   val sh3Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles3")
   val sh13Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles13")
   val simh32Info = new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
+  val hplanesInfo = new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplanes")
 
   /** (n, base, mod) families: 3-gram exact 24-bit packing (codes < 2^24,
     * so a 2^32 modulus never fires) and the 13-gram decontamination hash
@@ -168,6 +169,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier("graft_simhash32"), simh32Info,
       (exprs: Seq[Expression]) => SimHash32(exprs(0)))
+    spark.sessionState.functionRegistry.registerFunction(
+      FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
+      // (q, tables, planes) — the table/plane counts must be int literals
+      (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
   }
 }
 

@@ -63,6 +63,22 @@ class CodegenOnlySpec extends SparkSpec {
     }
   }
 
+  test("graft_hyperplanes equals bucketSql for every table's plane family") {
+    GraftFunctions.register(spark)
+    withCodegenOnly {
+      import graft.operators.SimilaritySearch._
+      val e = Tables.embeddings(spark, sfDir)
+        .withColumn("q", expr(quantizeSql("embedding")))
+      val declCols = (0 until 8).map(t =>
+        expr(bucketSql("q", 4, 64, planeOffset = t * 4)).as(s"d$t"))
+      val bad = e.select(Seq(expr("graft_hyperplanes(q, 8, 4)").as("fused")) ++ declCols: _*)
+        .filter((0 until 8).map(t =>
+          expr(s"element_at(fused, ${t + 1})") =!= col(s"d$t")).reduce(_ || _))
+        .count()
+      assert(bad == 0)
+    }
+  }
+
   test("graft_simhash32 equals the declarative explode pipeline") {
     GraftFunctions.register(spark)
     withCodegenOnly {
