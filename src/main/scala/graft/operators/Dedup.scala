@@ -197,6 +197,47 @@ object Dedup {
       .select(col("a"), col("b"), col("inter"), round(col("j"), 4).as("j4"))
   }
 
+  /** Connected components over near-dup pairs: iterative min-label
+    * propagation (each node repeatedly adopts the smallest label among
+    * itself and its neighbors) until fixpoint. Pair lists alone don't
+    * dedup a corpus — the keep/drop decision needs one representative per
+    * duplicate CLUSTER, and near-dup relations are not transitive-closed.
+    *
+    * Scale shape: one equi-join + groupBy-min shuffle per iteration,
+    * O(component diameter) iterations — duplicate clusters are dense, so
+    * diameters are small. `localCheckpoint` truncates the growing lineage
+    * each round (the standard Spark idiom for iterative graph algorithms;
+    * GraphFrames' components does the same). The per-iteration
+    * convergence probe is a count-style action, not a data collect. The
+    * DuckDB oracle replays the closure with a recursive CTE.
+    *
+    * @param pairs (a, b) near-dup pairs, a < b
+    * @return (id, label) — label = min doc id of the component
+    */
+  def components(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val nmin = edges.join(labels.withColumnRenamed("id", "__nb"), col("b") === col("__nb"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("__nlabel"))
+      val next = labels.join(nmin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("__nlabel"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.label") =!= col("o.label")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
   /** Horner-form SQL for a token code over `rp` (token right-padded to
     * `len` chars); kept under 2^31 via a final mod P so universal hashes
     * can multiply it without 64-bit overflow.

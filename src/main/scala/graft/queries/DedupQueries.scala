@@ -36,6 +36,18 @@ object DedupQueries {
       Dedup.minHashLshPairs(Tables.documents(s, d), K, Bands).orderBy("a", "b")
     },
 
+    "d11_dedup_clusters" -> { (s, d) =>
+      // Near-dup pairs -> duplicate CLUSTERS: connected components with
+      // min-id representatives (the keep/drop decision a dedup pipeline
+      // actually needs; pair lists aren't transitively closed).
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d), K, Bands)
+      Dedup.components(pairs)
+        .groupBy("label")
+        .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_id"))
+        .select(col("label").as("rep_id"), col("cluster_size"), col("max_id"))
+        .orderBy("rep_id")
+    },
+
     "d04_simhash" -> { (s, d) =>
       // repartition = materialization barrier: without it, whole-stage
       // codegen defers the fused signature projection into the join's
@@ -66,6 +78,23 @@ object DedupQueries {
     s"SELECT doc_id, $bi AS band, $sig AS sig FROM mh"
   }.mkString("\n  UNION ALL ")
 
+  /** Shared CTE chain ending in `lsh_pairs(a, b)` — the d03 pair
+    * generation, reused by the d11 component closure.
+    */
+  private lazy val lshPairsCtes: String =
+    s"""shl AS (SELECT doc_id, unnest(${Dedup.shingleArrayOracleSql}) AS sh3
+       |             FROM documents),
+       |sh AS (SELECT doc_id, ${Dedup.shingleCodeSql} AS code FROM shl),
+       |mh AS (SELECT doc_id,
+       |    $minhashAggs
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSelects
+       |),
+       |lsh_pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM bands x JOIN bands y
+       |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+
   private val simhashSums: String = (0 until 32)
     .map(b => s"SUM(CASE WHEN ${hashSql(b, "code")} % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
     .mkString(",\n    ")
@@ -93,19 +122,23 @@ object DedupQueries {
          |ORDER BY a, b""".stripMargin,
 
     "d03_minhash_lsh" ->
-      s"""WITH shl AS (SELECT doc_id, unnest(${Dedup.shingleArrayOracleSql}) AS sh3
-         |             FROM documents),
-         |sh AS (SELECT doc_id, ${Dedup.shingleCodeSql} AS code FROM shl),
-         |mh AS (SELECT doc_id,
-         |    $minhashAggs
-         |  FROM sh GROUP BY doc_id),
-         |bands AS (
-         |  $bandSelects
-         |)
-         |SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-         |FROM bands x JOIN bands y
-         |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id
+      s"""WITH $lshPairsCtes
+         |SELECT a, b FROM lsh_pairs
          |ORDER BY a, b""".stripMargin,
+
+    "d11_dedup_clusters" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT a, b FROM lsh_pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM lsh_pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |)
+         |SELECT label AS rep_id, COUNT(*) AS cluster_size,
+         |  MAX(id) AS max_id
+         |FROM (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+         |GROUP BY label ORDER BY rep_id""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH tok AS (SELECT doc_id, n_chars,

@@ -124,6 +124,18 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((5L, 2L), (7L, 1L))) // "b a" ≡ "a b" bag-of-words
   }
 
+  test("components closes chains and stars to min-id labels") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3), star 10-{11,12,13}, pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (10L, 12L),
+      (10L, 13L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 4L).forall(got(_) == 1L), s"chain not closed: $got")
+    assert((10L to 13L).forall(got(_) == 10L))
+    assert(got(20L) == 20L && got(21L) == 20L)
+    assert(got.size == 10)
+  }
+
   test("jaccard verify: bucketed sort-merge path equals the broadcast path") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
