@@ -139,55 +139,46 @@ object GraftFunctions {
   val Sh3Params: (Int, Long, Long) = (3, 256L, 1L << 32)
   val Sh13Params: (Int, Long, Long) = (13, 31L, 1L << 56)
 
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot_f32"), dotF32Info,
-      (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_dot_i64"), dotI64Info,
-      (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_isect_sorted"), isectInfo,
-      (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_isect_sorted_i64"), isectI64Info,
-      (exprs: Seq[Expression]) => IntersectCountSortedI64(exprs(0), exprs(1)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_fingerprint"), fpInfo,
-      (exprs: Seq[Expression]) => RollingFingerprint(exprs(0)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_minhash16"), mh16Info,
-      (exprs: Seq[Expression]) => MinHashSig(exprs(0), 16))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingles3"), sh3Info,
+  /** One builder list shared by both registration paths, so the
+    * per-session registry and the cluster-wide injector cannot drift.
+    */
+  val builders: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot_f32"), dotF32Info,
+      (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_dot_i64"), dotI64Info,
+      (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_isect_sorted"), isectInfo,
+      (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_isect_sorted_i64"), isectI64Info,
+      (exprs: Seq[Expression]) => IntersectCountSortedI64(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_fingerprint"), fpInfo,
+      (exprs: Seq[Expression]) => RollingFingerprint(exprs(0))),
+    (FunctionIdentifier("graft_minhash16"), mh16Info,
+      (exprs: Seq[Expression]) => MinHashSig(exprs(0), 16)),
+    (FunctionIdentifier("graft_shingles3"), sh3Info,
       (exprs: Seq[Expression]) =>
-        ShingleHashes(exprs(0), Sh3Params._1, Sh3Params._2, Sh3Params._3))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_shingles13"), sh13Info,
+        ShingleHashes(exprs(0), Sh3Params._1, Sh3Params._2, Sh3Params._3)),
+    (FunctionIdentifier("graft_shingles13"), sh13Info,
       (exprs: Seq[Expression]) =>
-        ShingleHashes(exprs(0), Sh13Params._1, Sh13Params._2, Sh13Params._3))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_simhash32"), simh32Info,
-      (exprs: Seq[Expression]) => SimHash32(exprs(0)))
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
-      // (q, tables, planes) — the table/plane counts must be int literals
+        ShingleHashes(exprs(0), Sh13Params._1, Sh13Params._2, Sh13Params._3)),
+    (FunctionIdentifier("graft_simhash32"), simh32Info,
+      (exprs: Seq[Expression]) => SimHash32(exprs(0))),
+    // (q, tables, planes) — the table/plane counts must be int literals
+    (FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]))
-  }
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+
+  def register(spark: SparkSession): Unit =
+    builders.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }
 
-/** SparkSessionExtensions injector for cluster-wide deployment. */
+/** SparkSessionExtensions injector for cluster-wide deployment
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`): every graft
+  * expression, same builder list as the programmatic path.
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction((FunctionIdentifier("graft_dot_f32"),
-      GraftFunctions.dotF32Info,
-      (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_dot_i64"),
-      GraftFunctions.dotI64Info,
-      (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))))
-    ext.injectFunction((FunctionIdentifier("graft_isect_sorted"),
-      GraftFunctions.isectInfo,
-      (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1))))
-  }
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.builders.foreach(ext.injectFunction)
 }
