@@ -19,7 +19,7 @@ object Bench {
       Tables.events(spark, sfDir).count()
       Tables.documents(spark, sfDir).count()
       Tables.embeddings(spark, sfDir).count()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable => System.err.println(s"BENCH WARMUP: $e") }
     // optional args: bench only the named queries (iteration aid)
     val selected =
       if (args.isEmpty) SparkEntry.queries

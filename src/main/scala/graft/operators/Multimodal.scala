@@ -11,6 +11,10 @@ final case class MediaMeta(doc_id: Long, byte_len: Long, width: Long,
 final case class FrameSample(doc_id: Long, frame_id: Long, frame_start: Long,
     frame_len: Long, feature: Long)
 
+/** Aspect-preserving thumbnail plan for a media payload. */
+final case class Thumbnail(doc_id: Long, width: Long, height: Long,
+    thumb_w: Long, thumb_h: Long, thumb_bytes: Long)
+
 /** Multimodal column plumbing (SURVEY.md §2.A): treat image/audio/video as
   * opaque `binary` columns and run decode / feature-extraction as
   * partition-batched typed transforms.
@@ -45,6 +49,30 @@ object Multimodal {
       .mapPartitions { it =>
         // one "decoder" per partition — the amortization point for a real codec
         it.map { case (id, bytes) => decodeStub(id, bytes) }
+      }
+  }
+
+  /** Resize planning: fit each image's stub dimensions into a `box`×`box`
+    * thumbnail preserving aspect ratio (integer floor scaling, never
+    * upscaled), with the projected thumbnail byte cost (3 bytes/pixel).
+    * The real pixel resample replaces the byte-cost arithmetic only; the
+    * decode-once-then-derive plumbing is the production shape.
+    */
+  def planThumbnails(spark: SparkSession, withPayloadDf: DataFrame,
+      box: Long): Dataset[Thumbnail] = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val m = decodeStub(id, bytes)
+          val w = m.width
+          val h = m.height
+          val (tw, th) =
+            if (w <= box && h <= box) (w, h) // never upscale
+            else if (w >= h) (box, math.max(1L, h * box / w))
+            else (math.max(1L, w * box / h), box)
+          Thumbnail(id, w, h, tw, th, tw * th * 3)
+        }
       }
   }
 

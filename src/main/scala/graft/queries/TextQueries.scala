@@ -234,6 +234,16 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "m04_thumbnail" -> { (s, d) =>
+      // Resize planning: aspect-preserving integer fit of each image's
+      // stub dimensions into a 128x128 box (never upscaled) + projected
+      // thumbnail byte cost. Oracle replays the fit arithmetic.
+      Multimodal.planThumbnails(s, Multimodal.withPayload(Tables.documents(s, d)),
+        box = 128L)
+        .toDF()
+        .orderBy("doc_id")
+    },
+
     "m03_frame_sample" -> { (s, d) =>
       // Video-style frame sampling: every 5th frame of the stub container
       // decoded to a byte-sum feature; executor-side row expansion via
@@ -412,6 +422,22 @@ object TextQueries {
         |  CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height,
         |  CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m04_thumbnail" ->
+      """SELECT doc_id, width, height, thumb_w, thumb_h,
+        |  thumb_w * thumb_h * 3 AS thumb_bytes
+        |FROM (SELECT doc_id, width, height,
+        |    CASE WHEN width <= 128 AND height <= 128 THEN width
+        |         WHEN width >= height THEN 128
+        |         ELSE greatest(1, (width * 128) // height) END AS thumb_w,
+        |    CASE WHEN width <= 128 AND height <= 128 THEN height
+        |         WHEN width >= height THEN greatest(1, (height * 128) // width)
+        |         ELSE 128 END AS thumb_h
+        |  FROM (SELECT doc_id,
+        |      CAST(64 + octet_length(encode(text)) % 512 AS BIGINT) AS width,
+        |      CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
+        |    FROM documents))
+        |ORDER BY doc_id""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH d AS (SELECT doc_id,

@@ -220,6 +220,23 @@ class MultimodalSpec extends SparkSpec {
     assert(meta(2L).byte_len == 600L && meta(2L).width == 64 + 600 % 512)
   }
 
+  test("thumbnail planning preserves aspect ratio and never upscales") {
+    import spark.implicits._
+    // widths/heights via decodeStub: n=100 -> 164x252 (portrait),
+    // n=10 -> 74x134 (fits after... 134 > 128 so scales), n=1 -> 65x71 (fits)
+    val docs = Seq((1L, "x" * 100), (2L, "y" * 10), (3L, "z")).toDF("doc_id", "text")
+    val t = graft.operators.Multimodal
+      .planThumbnails(spark, graft.operators.Multimodal.withPayload(docs), box = 128L)
+      .collect().map(x => x.doc_id -> x).toMap
+    val p = t(1L) // 164x252 portrait: height pinned to 128
+    assert(p.thumb_h == 128L && p.thumb_w == p.width * 128L / p.height)
+    assert(p.thumb_w <= 128L && p.thumb_bytes == p.thumb_w * p.thumb_h * 3)
+    val q = t(2L) // 74x134: still taller than the box -> scaled
+    assert(q.thumb_h == 128L && q.thumb_w == q.width * 128L / q.height)
+    val r = t(3L) // 65x71 fits: unchanged (no upscale)
+    assert(r.thumb_w == r.width && r.thumb_h == r.height)
+  }
+
   test("frame sampling expands rows on executors with exact byte extents") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 240)).toDF("doc_id", "text") // 240 bytes, 1+240%24=1+0=1? no: 240%24=0 -> 1 frame
