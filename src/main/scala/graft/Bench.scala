@@ -21,6 +21,9 @@ object Bench {
       Tables.embeddings(spark, sfDir).count()
     } catch { case e: Throwable => System.err.println(s"BENCH WARMUP: $e") }
     // optional args: bench only the named queries (iteration aid)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(s"BENCH UNKNOWN QUERIES: ${unknown.mkString(", ")}")
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }

@@ -36,9 +36,13 @@ object GeoFunctions {
 
   /** Great-circle central angle in DEGREES from a fixed center — the unit
     * the FDSN spec defines for event/station minradius/maxradius. One
-    * generated SQL text over index columns `latC`/`lonC`, spliced verbatim
-    * into both the Spark plan and the DuckDB oracle so both engines run
-    * the identical double formula (bit-exact comparisons).
+    * generated SQL text over index columns `latC`/`lonC`, spliced
+    * verbatim into both the Spark plan and the DuckDB oracle. Honest
+    * contract: the multiply/add structure is identical, but sin/asin/pow
+    * go through each engine's libm, so values can differ in the last ulp
+    * — the same boundary-ulp exposure the long-green haversine filters
+    * (j02/j13) carry. Fine for filters over generic inputs; do NOT emit
+    * the raw angle as an output column (round it first, as j02 does).
     */
   def centralAngleDegSql(latC: String, lonC: String,
       centerLat: Double, centerLon: Double): String =

@@ -269,8 +269,11 @@ object Dedup {
   def simHash(df: DataFrame, bits: Int): DataFrame =
     if (bits == 32) {
       graft.plans.GraftFunctions.register(df.sparkSession)
-      df.select(col("doc_id"), col("n_chars"),
-        expr("graft_simhash32(text)").as("simhash"))
+      // null-text rows produce NO row in the declarative explode pipeline
+      // (and in the oracle's unnest); match that, not a null signature
+      df.filter(col("text").isNotNull)
+        .select(col("doc_id"), col("n_chars"),
+          expr("graft_simhash32(text)").as("simhash"))
     } else simHashDeclarative(df, bits)
 
   /** The explode → groupBy formulation (any bit width); the oracle replays

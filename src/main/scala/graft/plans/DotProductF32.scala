@@ -163,10 +163,27 @@ object GraftFunctions {
         ShingleHashes(exprs(0), Sh13Params._1, Sh13Params._2, Sh13Params._3)),
     (FunctionIdentifier("graft_simhash32"), simh32Info,
       (exprs: Seq[Expression]) => SimHash32(exprs(0))),
-    // (q, tables, planes) — the table/plane counts must be int literals
     (FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
-        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+        literalInt(exprs, 1, "graft_hyperplanes", "tables"),
+        literalInt(exprs, 2, "graft_hyperplanes", "planes"))))
+
+  /** Extract a required foldable integer argument with a real error
+    * message (a bare eval() on a column argument surfaces as an internal
+    * Spark error instead of naming the function).
+    */
+  private def literalInt(exprs: Seq[Expression], i: Int,
+      fn: String, argName: String): Int = {
+    if (exprs.lengthCompare(i + 1) < 0 || !exprs(i).foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$argName' (position ${i + 1}) must be an integer literal")
+    exprs(i).eval() match {
+      case v: Int => v
+      case v: Long if v.isValidInt => v.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$argName' must be an integer literal, got $other")
+    }
+  }
 
   def register(spark: SparkSession): Unit =
     builders.foreach { case (id, info, builder) =>

@@ -33,8 +33,10 @@ case class ShingleHashes(child: Expression, n: Int, base: Long, mod: Long)
   override def nullable: Boolean = child.nullable
 
   override def checkInputDataTypes(): TypeCheckResult =
+    // overflow-safe form of base*(mod-1)+255 < 2^63 (the naive product
+    // can itself wrap positive and wave bad params through)
     if (child.dataType == StringType && n > 0 && base > 0 && mod > 0 &&
-        base * (mod - 1) + 255 > 0) // no 64-bit overflow in the fold step
+        mod - 1 <= (Long.MaxValue - 255) / base)
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"graft_shingles expects (string) with n > 0 and base*(mod-1)+255 < 2^63, " +

@@ -59,15 +59,23 @@ object StreamingQueries {
     },
 
     "q14_asof_join" -> { (s, d) =>
+      // Floor-second BIGINT timestamps end to end (SURVEY §4): raw-ts
+      // asof would compare at µs on Spark but ns in DuckDB, and duplicate
+      // right timestamps would leave the tie choice to DuckDB's ASOF
+      // (unspecified). Deduping signups to one row per (user, sec) with
+      // the max id makes both sides tie-free and granularity-aligned;
+      // AsOfJoin itself also tie-breaks deterministically (spec-proven).
       val ev = Tables.events(s, d)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), unix_timestamp(col("ts")).as("sec"))
       val signups = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), col("event_id").as("signup_event_id"))
-      AsOfJoin.leftAsOf(purchases, signups, key = "user_id", tsCol = "ts",
+        .select(col("user_id"), unix_timestamp(col("ts")).as("sec"), col("event_id"))
+        .groupBy("user_id", "sec")
+        .agg(max(col("event_id")).as("signup_event_id"))
+      AsOfJoin.leftAsOf(purchases, signups, key = "user_id", tsCol = "sec",
         rightCols = Map("signup_event_id" -> "signup_event_id"))
         .select(col("event_id"), col("user_id"),
-          unix_timestamp(col("ts")).as("ts_s"), col("signup_event_id"))
+          col("sec").as("ts_s"), col("signup_event_id"))
         .orderBy("event_id")
     })
 
@@ -103,12 +111,15 @@ object StreamingQueries {
         |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
 
     "q14_asof_join" ->
-      """SELECT p.event_id, p.user_id,
-        |  CAST(floor(epoch(p.ts)) AS BIGINT) AS ts_s, l.signup_event_id
-        |FROM (SELECT event_id, user_id, ts FROM events
+      """SELECT p.event_id, p.user_id, p.sec AS ts_s, l.signup_event_id
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events
         |      WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, ts, event_id AS signup_event_id
-        |                FROM events WHERE event_type = 'signup') l
-        |  ON p.user_id = l.user_id AND p.ts >= l.ts
+        |ASOF LEFT JOIN (SELECT user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |        MAX(event_id) AS signup_event_id
+        |      FROM events WHERE event_type = 'signup'
+        |      GROUP BY user_id, sec) l
+        |  ON p.user_id = l.user_id AND p.sec >= l.sec
         |ORDER BY p.event_id""".stripMargin)
 }

@@ -136,8 +136,12 @@ object EventStreams {
         val p = new org.apache.hadoop.fs.Path(path)
         val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp")
         val old = new org.apache.hadoop.fs.Path(s"$path.old")
-        // heal an interrupted swap: the aside copy is the live store
-        if (!fs.exists(p) && fs.exists(old)) fs.rename(old, p)
+        // heal an interrupted swap: the aside copy is the live store. A
+        // failed heal must ABORT (Hadoop signals failure by returning
+        // false): proceeding would read "store absent", then delete the
+        // aside copy — the data-loss class this sink guards against.
+        if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+          throw new java.io.IOException(s"upsertSink: cannot heal $old -> $p")
         val existing =
           if (fs.exists(p)) spark.read.parquet(path) // read errors fail the batch
           else spark.createDataFrame(
