@@ -81,6 +81,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // Chunk-embedding mean pooling: consecutive chunk vectors (groups of
+    // 4 by vec_id) pool to one document vector — the standard reduce step
+    // between chunk-level encoding and document-level retrieval. Shape:
+    // posexplode -> groupBy(group, dim) sum -> re-assemble in dim order;
+    // ONE shuffle keyed by (group, dim), map-side combined. Exact math:
+    // element-wise mean as floored integer milli-units on both engines.
+    "d12_embed_pool" -> { (s, d) =>
+      val e = quantized(s, d)
+        .withColumn("grp", expr("vec_id div 4"))
+        .select(col("grp"), posexplode(col("q")).as(Seq("dim", "x")))
+      e.groupBy("grp", "dim")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("m", expr("CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT)"))
+        .groupBy("grp")
+        .agg(collect_list(struct(col("dim"), col("m"))).as("dm"),
+          max(col("n")).as("n_chunks"))
+        .select(col("grp"),
+          expr("transform(array_sort(dm), s -> s.m)").as("pooled"),
+          col("n_chunks"))
+        .orderBy("grp")
+    },
+
     // Production f32 fast path via the custom codegen expression
     // (graft.plans.DotProductF32). Float sums can't hash-match a foreign
     // engine, so this is intentionally rows-only checked; d05 is the
@@ -205,6 +227,17 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d12_embed_pool" ->
+      s"""WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |e AS (SELECT vec_id // 4 AS grp, unnest(q) AS x,
+         |    unnest(range(1, len(q) + 1)) AS dim FROM q),
+         |agg AS (SELECT grp, dim,
+         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m,
+         |    COUNT(*) AS n
+         |  FROM e GROUP BY grp, dim)
+         |SELECT grp, list(m ORDER BY dim) AS pooled, MAX(n) AS n_chunks
+         |FROM agg GROUP BY grp ORDER BY grp""".stripMargin,
 
     "d10_embed_ivf_trained" -> {
       // squared-L2 in list form; algebraically equal to the nq+cn-2·dot
