@@ -15,6 +15,10 @@ final case class FrameSample(doc_id: Long, frame_id: Long, frame_start: Long,
 final case class Thumbnail(doc_id: Long, width: Long, height: Long,
     thumb_w: Long, thumb_h: Long, thumb_bytes: Long)
 
+/** One analysis window of an audio-like payload: offset + frame features. */
+final case class AudioWindow(doc_id: Long, win_id: Long, start: Long,
+    energy: Long, peak: Long)
+
 /** Multimodal column plumbing (SURVEY.md §2.A): treat image/audio/video as
   * opaque `binary` columns and run decode / feature-extraction as
   * partition-batched typed transforms.
@@ -72,6 +76,41 @@ object Multimodal {
             else if (w >= h) (box, math.max(1L, h * box / w))
             else (math.max(1L, w * box / h), box)
           Thumbnail(id, w, h, tw, th, tw * th * 3)
+        }
+      }
+  }
+
+  /** Audio-style analysis windows over a payload: the byte stream is read
+    * as 8-bit PCM samples and cut into fixed `win`-sample frames every
+    * `hop` samples (the 25 ms / 10 ms speech-frame convention), each
+    * reduced to integer features (energy around a fixed 64 bias + peak
+    * sample). Only fully-contained windows are emitted; a document shorter
+    * than one window yields no rows. Same executor-side flatMap expansion
+    * shape as [[sampleFrames]]; a real deployment swaps the sample
+    * arithmetic for a codec's PCM decode.
+    */
+  def audioWindows(spark: SparkSession, withPayloadDf: DataFrame,
+      win: Int, hop: Int): Dataset[AudioWindow] = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val n = bytes.length
+          val nWin = if (n >= win) (n - win) / hop + 1 else 0
+          (0 until nWin).iterator.map { w =>
+            val start = w * hop
+            var e = 0L
+            var p = 0L
+            var i = start
+            while (i < start + win) {
+              val s = bytes(i) & 0xff
+              val c = (s - 64).toLong
+              e += c * c
+              if (s > p) p = s
+              i += 1
+            }
+            AudioWindow(id, w, start, e, p)
+          }
         }
       }
   }

@@ -131,6 +131,12 @@ object GraftFunctions {
   val sh13Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles13")
   val simh32Info = new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
   val hplanesInfo = new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplanes")
+  val bloomAggInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+    "graft_bloom_agg")
+  val bloomMightInfo = new ExpressionInfo(
+    classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+    "graft_might_contain")
 
   /** (n, base, mod) families: 3-gram exact 24-bit packing (codes < 2^24,
     * so a 2^32 modulus never fires) and the 13-gram decontamination hash
@@ -166,7 +172,21 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
         literalInt(exprs, 1, "graft_hyperplanes", "tables"),
-        literalInt(exprs, 2, "graft_hyperplanes", "planes"))))
+        literalInt(exprs, 2, "graft_hyperplanes", "planes"))),
+    // Spark's own runtime-filter machinery, surfaced as explicit SQL
+    // functions: the SAME BloomFilterAggregate/BloomFilterMightContain
+    // expressions AQE's InjectRuntimeFilter plants automatically, exposed
+    // so a pipeline can build a semi-join-reduction filter as a first-
+    // class step (build once, reuse across many fact scans). Not a graft
+    // reimplementation — a registration of internal-registry expressions.
+    (FunctionIdentifier("graft_bloom_agg"), bloomAggInfo,
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate
+          .BloomFilterAggregate(exprs(0))),
+    (FunctionIdentifier("graft_might_contain"), bloomMightInfo,
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
 
   /** Extract a required foldable integer argument with a real error
     * message (a bare eval() on a column argument surfaces as an internal

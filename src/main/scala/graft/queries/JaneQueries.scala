@@ -256,6 +256,22 @@ object JaneQueries {
         .orderBy("doc_id")
     },
 
+    "j20_geo_grid" -> { (s, d) =>
+      // Spatial grid binning: 10°×10° cells as integer keys (the heatmap /
+      // density-map REST output). The cell id is also the 100 TB layout
+      // story: write the geo index partitioned/bucketed by cell and every
+      // bbox/radius query enumerates its covering cells first — partition
+      // pruning does the coarse geometry before any haversine runs. One
+      // map-side-combined shuffle keyed by cell.
+      ev(s, d)
+        .withColumn("cell_lat", expr("CAST(floor(latitude / 10) AS BIGINT)"))
+        .withColumn("cell_lon", expr("CAST(floor(longitude / 10) AS BIGINT)"))
+        .groupBy("cell_lat", "cell_lon")
+        .agg(count(lit(1)).as("n"), sum(cents(col("magnitude"))).as("mag_c"),
+          max(col("depth")).cast("long").as("max_depth"))
+        .orderBy("cell_lat", "cell_lon")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -413,6 +429,16 @@ object JaneQueries {
         |  CASE WHEN doc_id % 7 = 0 THEN 'reupload' ELSE source END AS source,
         |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j20_geo_grid" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT CAST(floor(latitude / 10) AS BIGINT) AS cell_lat,
+         |  CAST(floor(longitude / 10) AS BIGINT) AS cell_lon,
+         |  COUNT(*) AS n,
+         |  CAST(SUM(CAST(round(magnitude * 100) AS BIGINT)) AS BIGINT) AS mag_c,
+         |  CAST(MAX(depth) AS BIGINT) AS max_depth
+         |FROM ev GROUP BY cell_lat, cell_lon
+         |ORDER BY cell_lat, cell_lon""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

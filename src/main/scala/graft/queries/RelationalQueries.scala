@@ -329,6 +329,36 @@ object RelationalQueries {
           round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
           round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
         .orderBy("l_returnflag")
+    },
+
+    "q24_bloom_join" -> { (s, d) =>
+      // Explicit Bloom-filter semi-join reduction: build a Bloom filter
+      // over the filtered dim's join keys (one aggregate, ~MBs for even
+      // 10^8 keys), pre-filter the fact scan with it (a scalar-subquery
+      // broadcast — rows are dropped BEFORE the join exchange), then run
+      // the exact join; false positives die in the join, so the result is
+      // identical to the plain join and the oracle replays that. This is
+      // Spark's own runtime-filter machinery (BloomFilterAggregate /
+      // BloomFilterMightContain, see graft.plans.GraftFunctions) made a
+      // first-class pipeline step: at 100 TB the filter is built once and
+      // reused across every fact scan of the day, cutting the shuffled
+      // fact volume by the dim's selectivity (~4% here) instead of
+      // re-deriving it per query the way AQE's InjectRuntimeFilter does.
+      graft.plans.GraftFunctions.register(s)
+      Tables.part(s, d).createOrReplaceTempView("graft_q24_part")
+      Tables.lineitem(s, d).createOrReplaceTempView("graft_q24_lineitem")
+      s.sql(
+        """WITH dim AS (SELECT p_partkey, p_brand FROM graft_q24_part
+          |  WHERE p_size <= 5),
+          |bloom AS (SELECT graft_bloom_agg(p_partkey) AS bf FROM dim),
+          |pre AS (SELECT l_partkey, l_extendedprice, l_quantity
+          |  FROM graft_q24_lineitem
+          |  WHERE graft_might_contain((SELECT bf FROM bloom), l_partkey))
+          |SELECT p_brand, COUNT(*) AS n_lines,
+          |  SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS base_c,
+          |  SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS qty_c
+          |FROM pre JOIN dim ON l_partkey = p_partkey
+          |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
     })
 
   val oracle: Map[String, String] = Map(
@@ -526,5 +556,15 @@ object RelationalQueries {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
         |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
         |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the Bloom pre-filter only drops rows the join would drop anyway, so
+    // the oracle is the plain join — that IS the exactness claim
+    "q24_bloom_join" ->
+      """SELECT p_brand, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS base_c,
+        |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 5
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 }

@@ -108,6 +108,39 @@ object SimilarityQueries {
         .orderBy("grp")
     },
 
+    // SemDeDup-style semantic dedup: a trained k-means codebook (the d10
+    // quantizer) partitions the corpus into clusters; near-dup pairs are
+    // searched ONLY within a cluster (cos >= 2/5, the d08 sqrt-free exact
+    // integer predicate), and the lower vec_id is the keep decision. The
+    // cluster bound is the scale story: pair generation is per-cluster
+    // (each an AQE-splittable equi-join on cent_id), never corpus-wide —
+    // the standard embedding-dedup recipe for web-scale corpora. Entirely
+    // BIGINT math, so the oracle replays training + assignment + scan.
+    "d13_semantic_dedup" -> { (s, d) =>
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val codebook = graft.operators.KMeans
+        .fitQuantized(e, k = IvfK, iters = IvfIters)
+      // repartition barrier (d04 pattern): the training+argmin pipeline is
+      // the expensive subplan and feeds BOTH sides of the within-cluster
+      // self-join; the explicit exchange is computed once and reused
+      val assigned = graft.operators.KMeans.assignQuantized(e, codebook)
+        .withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
+        .select(col("cent_id"), col("vec_id"), col("q"), col("nq"))
+        .repartition(col("vec_id"))
+      val xs = assigned.select(col("cent_id"), col("vec_id").as("a"),
+        col("q").as("qa"), col("nq").as("na"))
+      val ys = assigned.select(col("cent_id").as("cent_b"), col("vec_id").as("b"),
+        col("q").as("qb"), col("nq").as("nb"))
+      xs.join(ys, col("cent_id") === col("cent_b") && col("a") < col("b"))
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qa", "qb")))
+        .filter(col("dot") > 0 &&
+          lit(25L) * col("dot") * col("dot") >= lit(4L) * col("na") * col("nb"))
+        .select(col("cent_id").as("cluster_id"), col("a").as("keep_id"),
+          col("b").as("drop_id"), col("dot"))
+        .orderBy("cluster_id", "keep_id", "drop_id")
+    },
+
     // Production f32 fast path via the custom codegen expression
     // (graft.plans.DotProductF32). Float sums can't hash-match a foreign
     // engine, so this is intentionally rows-only checked; d05 is the
@@ -179,6 +212,40 @@ object SimilarityQueries {
       s"(CASE WHEN $proj >= 0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)"
     }.mkString(" + ")
 
+  // squared-L2 in list form; algebraically equal to the nq+cn-2·dot form
+  // the Spark operators use — identical in exact integer math
+  private def distDuck(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, ${Dims + 1}), " +
+      s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
+      s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"
+
+  // one Lloyd iteration over CTE `cand`: argmin assignment + floored
+  // element-wise mean (KMeans.fitQuantized replayed verbatim)
+  private def lloydIterCtes(i: Int): String =
+    s"""a$i AS (SELECT vec_id, q, cent_id FROM (
+       |    SELECT c.vec_id, c.q, cb.cent_id,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${distDuck("c.q", "cb.cq")} ASC, cb.cent_id ASC) AS pr
+       |    FROM cand c CROSS JOIN cb$i cb) WHERE pr = 1),
+       |cb${i + 1} AS (SELECT cent_id, list(m ORDER BY dim) AS cq FROM (
+       |    SELECT cent_id, dim,
+       |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
+       |    FROM (SELECT cent_id, unnest(q) AS x,
+       |            unnest(range(1, len(q) + 1)) AS dim FROM a$i)
+       |    GROUP BY cent_id, dim)
+       |  GROUP BY cent_id)""".stripMargin
+
+  /** WITH-body fragment replaying the whole `KMeans.fitQuantized` run over
+    * a CTE named `cand`: deterministic init on the first `IvfK` vectors,
+    * `IvfIters` Lloyd iterations, ending in `cents (cent_id, cq)`.
+    */
+  private def trainedCentsCtes: String =
+    s"""cb0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, q AS cq FROM
+       |    (SELECT q, row_number() OVER (ORDER BY vec_id ASC) AS rn FROM cand)
+       |  WHERE rn <= $IvfK),
+       |${(0 until IvfIters).map(lloydIterCtes).mkString(",\n")},
+       |cents AS (SELECT cent_id, cq FROM cb$IvfIters)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "d05_embed_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
@@ -248,33 +315,9 @@ object SimilarityQueries {
          |FROM agg GROUP BY grp ORDER BY grp""".stripMargin,
 
     "d10_embed_ivf_trained" -> {
-      // squared-L2 in list form; algebraically equal to the nq+cn-2·dot
-      // form the Spark operator uses — identical in exact integer math
-      def distDuck(a: String, b: String): String =
-        s"list_sum(list_transform(range(1, ${Dims + 1}), " +
-          s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
-          s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"
-      // one Lloyd iteration: argmin assignment + floored element-wise mean
-      def iterCtes(i: Int): String =
-        s"""a$i AS (SELECT vec_id, q, cent_id FROM (
-           |    SELECT c.vec_id, c.q, cb.cent_id,
-           |      row_number() OVER (PARTITION BY c.vec_id
-           |        ORDER BY ${distDuck("c.q", "cb.cq")} ASC, cb.cent_id ASC) AS pr
-           |    FROM cand c CROSS JOIN cb$i cb) WHERE pr = 1),
-           |cb${i + 1} AS (SELECT cent_id, list(m ORDER BY dim) AS cq FROM (
-           |    SELECT cent_id, dim,
-           |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
-           |    FROM (SELECT cent_id, unnest(q) AS x,
-           |            unnest(range(1, len(q) + 1)) AS dim FROM a$i)
-           |    GROUP BY cent_id, dim)
-           |  GROUP BY cent_id)""".stripMargin
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
          |cand AS (SELECT vec_id, q FROM e WHERE vec_id >= 20),
-         |cb0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, q AS cq FROM
-         |    (SELECT q, row_number() OVER (ORDER BY vec_id ASC) AS rn FROM cand)
-         |  WHERE rn <= $IvfK),
-         |${(0 until IvfIters).map(iterCtes).mkString(",\n")},
-         |cents AS (SELECT cent_id, cq FROM cb$IvfIters),
+         |$trainedCentsCtes,
          |ca AS (SELECT cand_id, q, cent_id FROM (
          |    SELECT c.vec_id AS cand_id, c.q, ct.cent_id,
          |      row_number() OVER (PARTITION BY c.vec_id
@@ -293,6 +336,26 @@ object SimilarityQueries {
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin
     },
+
+    // the entire pipeline — codebook training, cluster assignment, within-
+    // cluster threshold scan — replayed in exact integer arithmetic
+    "d13_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |cand AS (SELECT vec_id, q FROM e),
+         |$trainedCentsCtes,
+         |asg AS (SELECT vec_id, q, cent_id FROM (
+         |    SELECT c.vec_id, c.q, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuck("c.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct) WHERE pr = 1),
+         |n AS (SELECT vec_id, q, cent_id, ${dotDuck("q", "q")} AS nq FROM asg),
+         |p AS (SELECT x.cent_id AS cluster_id, x.vec_id AS keep_id,
+         |    y.vec_id AS drop_id, ${dotDuck("x.q", "y.q")} AS dot,
+         |    x.nq AS na, y.nq AS nb
+         |  FROM n x JOIN n y ON x.cent_id = y.cent_id AND x.vec_id < y.vec_id)
+         |SELECT cluster_id, keep_id, drop_id, dot
+         |FROM p WHERE dot > 0 AND 25 * dot * dot >= 4 * na * nb
+         |ORDER BY cluster_id, keep_id, drop_id""".stripMargin,
 
     "d08_embed_neardup" -> {
       val tableSelects = (0 until NdTables).map { t =>

@@ -58,6 +58,31 @@ object StreamingQueries {
         .orderBy("prev_type", "next_type")
     },
 
+    "s04_late_data" -> { (s, d) =>
+      // Watermark semantics replayed in batch: each event arrives after a
+      // deterministic 0–2 h delivery delay (hash jitter — the synthetic
+      // stream is otherwise perfectly ordered, which would make lateness
+      // vacuous); per key (user), an event whose event time trails the
+      // key's high-water mark (max event time seen so far in ARRIVAL
+      // order) by more than 600 s is dropped as late — the bounded-state
+      // discipline `withWatermark` enforces on the streaming side
+      // (EventStreams.dedupeStream / closedSessions carry the real
+      // watermark operators). Per-key watermarks keep the running max a
+      // partitioned window — no single-partition window at 100 TB.
+      val byArrival = Window.partitionBy("user_id").orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .withColumn("arr", expr("sec + (event_id * 2654435761) % 7200"))
+        .withColumn("hw", max(col("sec")).over(byArrival))
+        .withColumn("is_late",
+          col("hw").isNotNull && col("sec") < col("hw") - 600)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"))
+        .orderBy("event_type")
+    },
+
     "q14_asof_join" -> { (s, d) =>
       // Floor-second BIGINT timestamps end to end (SURVEY §4): raw-ts
       // asof would compare at µs on Spark but ns in DuckDB, and duplicate
@@ -109,6 +134,20 @@ object StreamingQueries {
         |      FROM events)
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+
+    "s04_late_data" ->
+      """SELECT event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CASE WHEN hw IS NOT NULL AND sec < hw - 600
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+        |FROM (SELECT event_type, sec,
+        |        max(sec) OVER (PARTITION BY user_id ORDER BY arr, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw
+        |      FROM (SELECT event_type, user_id, event_id,
+        |              CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+        |              CAST(floor(epoch(ts)) AS BIGINT) +
+        |                (event_id * 2654435761) % 7200 AS arr
+        |            FROM events))
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id, p.sec AS ts_s, l.signup_event_id

@@ -244,6 +244,47 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t15_repetition" -> { (s, d) =>
+      // Repetition-based quality filters (the Gopher/MassiveText family):
+      // duplicate-token fraction and top-bigram fraction per document,
+      // with the keep/drop verdict at the published-style thresholds.
+      // Shape: one (doc, bigram)-keyed shuffle (map-side combined) + one
+      // doc-keyed reduce — no self-joins, linear at 100 TB. Fractions are
+      // integer 1e-4 units on both engines (no float output columns).
+      val toks = Tables.documents(s, d)
+        .withColumn("toks", expr("split(trim(text), ' ')"))
+      val base = toks.select(col("doc_id"),
+        expr("size(toks)").cast("long").as("n_tok"),
+        expr("size(array_distinct(toks))").cast("long").as("n_dist"))
+      val top = toks.filter(expr("size(toks) >= 2"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"))
+          .as("bigram"))
+        .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max(col("c")).as("topc"), sum(col("c")).as("n_bg"))
+      base.join(top, Seq("doc_id"), "left")
+        .withColumn("dup_tok_e4",
+          expr("CAST(round((n_tok - n_dist) * 10000.0 / n_tok) AS BIGINT)"))
+        .withColumn("top_bigram_e4",
+          expr("CAST(round(coalesce(topc * 10000.0 / n_bg, 0.0)) AS BIGINT)"))
+        .withColumn("keep",
+          col("dup_tok_e4") <= 3000 && col("top_bigram_e4") <= 2000)
+        .select(col("doc_id"), col("n_tok"), col("dup_tok_e4"),
+          col("top_bigram_e4"), col("keep"))
+        .orderBy("doc_id")
+    },
+
+    "m05_audio_energy" -> { (s, d) =>
+      // Audio-style windowed feature extraction: payload bytes as 8-bit
+      // PCM, 100-sample frames every 40 samples, integer energy + peak per
+      // frame. Executor-side row expansion (flatMap per partition); the
+      // oracle replays the window arithmetic over ascii codes.
+      Multimodal.audioWindows(s, Multimodal.withPayload(Tables.documents(s, d)),
+        win = 100, hop = 40)
+        .toDF()
+        .orderBy("doc_id", "win_id")
+    },
+
     "m03_frame_sample" -> { (s, d) =>
       // Video-style frame sampling: every 5th frame of the stub container
       // decoded to a byte-sum feature; executor-side row expansion via
@@ -438,6 +479,43 @@ object TextQueries {
         |      CAST(64 + (octet_length(encode(text)) * 7) % 512 AS BIGINT) AS height
         |    FROM documents))
         |ORDER BY doc_id""".stripMargin,
+
+    "t15_repetition" ->
+      """WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(toks)) AS BIGINT) AS n_dist FROM tok),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |    i -> toks[CAST(i AS INT)] || ' ' || toks[CAST(i AS INT) + 1])) AS bigram
+        |  FROM tok WHERE len(toks) >= 2),
+        |bgc AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram),
+        |top AS (SELECT doc_id, MAX(c) AS topc, CAST(SUM(c) AS BIGINT) AS n_bg
+        |  FROM bgc GROUP BY doc_id),
+        |scored AS (SELECT b.doc_id, b.n_tok,
+        |    CAST(round((b.n_tok - b.n_dist) * 10000.0 / b.n_tok) AS BIGINT) AS dup_tok_e4,
+        |    CAST(round(coalesce(t.topc * 10000.0 / t.n_bg, 0.0)) AS BIGINT) AS top_bigram_e4
+        |  FROM base b LEFT JOIN top t USING (doc_id))
+        |SELECT doc_id, n_tok, dup_tok_e4, top_bigram_e4,
+        |  (dup_tok_e4 <= 3000 AND top_bigram_e4 <= 2000) AS keep
+        |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "m05_audio_energy" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars
+        |  FROM documents),
+        |w AS (SELECT doc_id, n, chars,
+        |    unnest(range(0, CASE WHEN n >= 100 THEN (n - 100) // 40 + 1
+        |                         ELSE 0 END)) AS win_id
+        |  FROM d)
+        |SELECT doc_id, win_id, win_id * 40 AS start,
+        |  CAST(list_sum(list_transform(
+        |    list_slice(chars, CAST(win_id * 40 + 1 AS INT), CAST(win_id * 40 + 100 AS INT)),
+        |    x -> (x - 64) * (x - 64))) AS BIGINT) AS energy,
+        |  CAST(list_max(
+        |    list_slice(chars, CAST(win_id * 40 + 1 AS INT), CAST(win_id * 40 + 100 AS INT))
+        |    ) AS BIGINT) AS peak
+        |FROM w ORDER BY doc_id, win_id""".stripMargin,
 
     "m03_frame_sample" ->
       """WITH d AS (SELECT doc_id,

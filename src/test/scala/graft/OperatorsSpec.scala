@@ -210,6 +210,24 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 }
 
+class BloomFilterFunctionsSpec extends SparkSpec {
+  test("bloom pre-filter keeps every true key and prunes most others") {
+    graft.plans.GraftFunctions.register(spark)
+    import spark.implicits._
+    (0L until 1000L).toDF("k").createOrReplaceTempView("graft_bloom_all")
+    val kept = spark.sql(
+      """WITH bf AS (SELECT graft_bloom_agg(k) AS bf FROM graft_bloom_all
+        |            WHERE k % 10 = 0)
+        |SELECT k FROM graft_bloom_all
+        |WHERE graft_might_contain((SELECT bf FROM bf), k)""".stripMargin)
+      .as[Long].collect().toSet
+    // Bloom guarantee: false positives possible, false negatives never —
+    // that asymmetry is exactly why q24's join-after-filter stays exact
+    assert((0L until 1000L by 10).forall(kept.contains), "no false negatives")
+    assert(kept.size < 500, s"filter should prune most non-members, kept ${kept.size}")
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   test("binary payload plumbing produces typed metadata per row") {
     import spark.implicits._
@@ -235,6 +253,21 @@ class MultimodalSpec extends SparkSpec {
     assert(q.thumb_h == 128L && q.thumb_w == q.width * 128L / q.height)
     val r = t(3L) // 65x71 fits: unchanged (no upscale)
     assert(r.thumb_w == r.width && r.thumb_h == r.height)
+  }
+
+  test("audio windows tile the payload with exact hop/extent arithmetic") {
+    import spark.implicits._
+    // 200 bytes, win=100 hop=40 -> (200-100)/40+1 = 3 windows at 0/40/80
+    val docs = Seq((1L, "ab" * 100), (2L, "z" * 99)).toDF("doc_id", "text")
+    val w = Multimodal.audioWindows(spark, Multimodal.withPayload(docs),
+      win = 100, hop = 40).collect()
+    assert(w.forall(_.doc_id == 1L), "sub-window doc must emit no rows")
+    assert(w.map(_.start).sorted.toSeq == Seq(0L, 40L, 80L))
+    // energy: 100 samples alternating 'a'(97)/'b'(98) around bias 64
+    val expected = (0 until 100).map { i =>
+      val c = (if (i % 2 == 0) 'a' else 'b').toLong - 64; c * c
+    }.sum
+    assert(w.forall(x => x.energy == expected && x.peak == 'b'.toLong))
   }
 
   test("frame sampling expands rows on executors with exact byte extents") {
