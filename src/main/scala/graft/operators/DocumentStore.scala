@@ -26,6 +26,21 @@ object DocumentStore {
       offset: Int, limit: Int): DataFrame =
     df.orderBy(orderCols: _*).offset(offset).limit(limit)
 
+  /** Keyset (seek) pagination — the scale-correct cursor form of [[page]]:
+    * the client passes the last row's (sortVal, id) and the next page is a
+    * pushed-down predicate + sort + limit. Offset paging costs O(offset)
+    * rows scanned-and-discarded per request (page 10,000 of a 100 TB
+    * index reads 10,000 pages' worth); the seek predicate reaches the
+    * parquet scan, so every page costs O(page). Ordering is
+    * (sortCol DESC, idCol ASC) — the j09 page convention.
+    */
+  def pageAfter(df: DataFrame, sortCol: String, idCol: String,
+      cursorSort: Long, cursorId: Long, limit: Int): DataFrame =
+    df.filter(col(sortCol) < cursorSort ||
+        (col(sortCol) === cursorSort && col(idCol) > cursorId))
+      .orderBy(col(sortCol).desc, col(idCol).asc)
+      .limit(limit)
+
   /** Upsert: rows from `updates` replace same-key rows in `existing`;
     * unmatched update rows are inserts (Jane: re-upload supersedes, new
     * uploads append). Plain-parquet merge semantics: one anti-join + one

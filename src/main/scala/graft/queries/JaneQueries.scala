@@ -152,6 +152,21 @@ object JaneQueries {
         .orderBy("network")
     },
 
+    "j21_fdsn_channel_list" -> { (s, d) =>
+      // fdsnws-station level=channel passthrough (j07 covers
+      // level=station, j18 level=network): matching epoch rows as-is,
+      // exercising the starttime/endtime epoch-overlap params.
+      FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
+        network = Some("N?"), channel = Some("*u*"),
+        starttime = Some("2024-01-10"), endtime = Some("2024-02-20"),
+        level = "channel"))
+        .select(col("network"), col("station"), col("channel"),
+          unix_timestamp(col("epoch_start")).as("start_s"),
+          unix_timestamp(col("epoch_end")).as("end_s"),
+          col("n_samples"))
+        .orderBy("network", "station", "channel")
+    },
+
     "j19_nullness" -> { (s, d) =>
       // REST __isnull filter over an optional attribute (Jane: index
       // attributes may be absent per document; derived here: every third
@@ -177,6 +192,18 @@ object JaneQueries {
     "j09_pagination" -> { (s, d) =>
       DocumentStore.page(Tables.documents(s, d),
         Seq(col("n_chars").desc, col("doc_id").asc), offset = 20, limit = 10)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+    },
+
+    "j22_keyset_page" -> { (s, d) =>
+      // Cursor (keyset) pagination: the page after cursor (n_chars=300,
+      // doc_id=250) under the j09 ordering. Unlike j09's offset form —
+      // which scans and discards O(offset) rows per request — the seek
+      // predicate pushes to the parquet scan, so page 10,000 costs the
+      // same as page 1. This is the REST cursor-paging analog.
+      DocumentStore.pageAfter(Tables.documents(s, d),
+        sortCol = "n_chars", idCol = "doc_id",
+        cursorSort = 300L, cursorId = 250L, limit = 10)
         .select(col("doc_id"), col("source"), col("n_chars"))
     },
 
@@ -354,6 +381,11 @@ object JaneQueries {
       """SELECT doc_id, source, n_chars FROM documents
         |ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 20""".stripMargin,
 
+    "j22_keyset_page" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE n_chars < 300 OR (n_chars = 300 AND doc_id > 250)
+        |ORDER BY n_chars DESC, doc_id ASC LIMIT 10""".stripMargin,
+
     "j10_fdsn_text_format" ->
       s"""WITH ev AS ($evCte)
          |SELECT event_id,
@@ -418,6 +450,18 @@ object JaneQueries {
          |FROM ch
          |WHERE channel LIKE '%a%' AND epoch_end > TIMESTAMP '2024-01-15'
          |GROUP BY network ORDER BY network""".stripMargin,
+
+    "j21_fdsn_channel_list" ->
+      s"""WITH ch AS (${ChannelIndex.oracleCte})
+         |SELECT network, station, channel,
+         |  CAST(floor(epoch(epoch_start)) AS BIGINT) AS start_s,
+         |  CAST(floor(epoch(epoch_end)) AS BIGINT) AS end_s,
+         |  n_samples
+         |FROM ch
+         |WHERE network LIKE 'N_' AND channel LIKE '%u%'
+         |  AND epoch_end >= TIMESTAMP '2024-01-10'
+         |  AND epoch_start <= TIMESTAMP '2024-02-20'
+         |ORDER BY network, station, channel""".stripMargin,
 
     "j19_nullness" ->
       """SELECT doc_id, source, n_chars FROM documents
