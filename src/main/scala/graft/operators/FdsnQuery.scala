@@ -116,6 +116,16 @@ object FdsnQuery {
       // epoch must overlap [starttime, endtime]
       starttime: Option[String] = None,
       endtime: Option[String] = None,
+      // geographic constraints (same FDSN surface as the event service):
+      // box in degrees, point-radius in great-circle DEGREES per the spec
+      minLatitude: Option[Double] = None,
+      maxLatitude: Option[Double] = None,
+      minLongitude: Option[Double] = None,
+      maxLongitude: Option[Double] = None,
+      latitude: Option[Double] = None,
+      longitude: Option[Double] = None,
+      minRadius: Option[Double] = None, // degrees
+      maxRadius: Option[Double] = None, // degrees
       level: String = "channel")
 
   /** Compile station params over a channel-epoch DataFrame with columns
@@ -139,16 +149,33 @@ object FdsnQuery {
       p.endBefore.map(col("epoch_end") < ts(_)),
       p.endAfter.map(col("epoch_end") > ts(_)),
       p.starttime.map(col("epoch_end") >= ts(_)),
-      p.endtime.map(col("epoch_start") <= ts(_))
-    ).flatten
+      p.endtime.map(col("epoch_start") <= ts(_)),
+      p.minLatitude.map(col("latitude") >= _),
+      p.maxLatitude.map(col("latitude") <= _),
+      p.minLongitude.map(col("longitude") >= _),
+      p.maxLongitude.map(col("longitude") <= _)
+    ).flatten ++ (for {
+      lat <- p.latitude; lon <- p.longitude
+    } yield {
+      val deg = expr(graft.functions.GeoFunctions
+        .centralAngleDegSql("latitude", "longitude", lat, lon))
+      deg >= p.minRadius.getOrElse(0.0) && deg <= p.maxRadius.getOrElse(180.0)
+    })
     val filtered = preds.foldLeft(index)(_ filter _)
+    // station coords are constant per station (one instrument site), so
+    // MIN is the identity pick — deterministic, unlike first()
+    val geoAggs =
+      if (filtered.columns.contains("latitude"))
+        Seq(min(col("latitude")).as("latitude"),
+          min(col("longitude")).as("longitude"))
+      else Seq.empty
     p.level match {
       case "channel" => filtered
       case "station" =>
         filtered.groupBy("network", "station")
           .agg(count(lit(1)).as("n_channels"),
-            min(col("epoch_start")).as("epoch_start"),
-            max(col("epoch_end")).as("epoch_end"))
+            (Seq(min(col("epoch_start")).as("epoch_start"),
+              max(col("epoch_end")).as("epoch_end")) ++ geoAggs): _*)
       case "network" =>
         filtered.groupBy("network")
           .agg(countDistinct(col("station")).as("n_stations"),

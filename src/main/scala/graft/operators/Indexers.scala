@@ -95,12 +95,18 @@ object Indexers {
   object ChannelIndex {
     val networkSql = "concat('N', cast(user_id % 10 as string))"
     val stationSql = "concat('ST', cast(user_id as string))"
+    // Station site coordinates (StationXML <Latitude>/<Longitude>): constant
+    // per station = a function of user_id alone. Same x.5 exactly-
+    // representable-DOUBLE convention as EventIndex (see comment there).
+    val stationLatSql = "CAST(((user_id * 31) % 180) - 90 AS DOUBLE) + 0.5"
+    val stationLonSql = "CAST(((user_id * 73) % 360) - 180 AS DOUBLE) + 0.5"
 
     /** DuckDB equivalent (VARCHAR cast spelling differs, same value). */
     val oracleCte: String =
-      """SELECT 'N' || CAST(user_id % 10 AS VARCHAR) AS network,
+      s"""SELECT 'N' || CAST(user_id % 10 AS VARCHAR) AS network,
         |  'ST' || CAST(user_id AS VARCHAR) AS station,
         |  user_id, event_type AS channel,
+        |  $stationLatSql AS latitude, $stationLonSql AS longitude,
         |  MIN(ts) AS epoch_start, MAX(ts) AS epoch_end,
         |  COUNT(*) AS n_samples
         |FROM events GROUP BY user_id, event_type""".stripMargin
@@ -112,5 +118,9 @@ object Indexers {
       .groupBy("network", "station", "user_id", "channel")
       .agg(min(col("ts")).as("epoch_start"), max(col("ts")).as("epoch_end"),
         count(lit(1)).as("n_samples"))
+      // functions of the user_id group key — post-agg projection, no extra
+      // grouping columns in the shuffle
+      .withColumn("latitude", expr(stationLatSql))
+      .withColumn("longitude", expr(stationLonSql))
   }
 }

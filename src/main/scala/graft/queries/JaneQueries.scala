@@ -167,6 +167,45 @@ object JaneQueries {
         .orderBy("network", "station", "channel")
     },
 
+    "j23_station_geo" -> { (s, d) =>
+      // fdsnws-station geographic constraints: the event service's bbox +
+      // point-radius (FDSN great-circle DEGREES) surface on the station
+      // index, combined with a channel wildcard and the level=station
+      // rollup — the federation/map-client query shape. The box predicate
+      // is sargable (pushes to the scan under the rollup); the radius term
+      // evaluates only on box survivors.
+      FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
+        channel = Some("*e*"),
+        minLatitude = Some(-60), maxLatitude = Some(60),
+        minLongitude = Some(-90), maxLongitude = Some(170),
+        latitude = Some(10.5), longitude = Some(45.5), maxRadius = Some(80.0),
+        level = "station"))
+        .select(col("network"), col("station"), col("n_channels"),
+          col("latitude"), col("longitude"),
+          unix_timestamp(col("epoch_start")).as("start_s"),
+          unix_timestamp(col("epoch_end")).as("end_s"))
+        .orderBy("network", "station")
+    },
+
+    "j27_station_text" -> { (s, d) =>
+      // fdsnws-station format=text at level=channel: one pipe-delimited
+      // line per channel epoch (Network|Station|Location|Channel|Lat|Lon|
+      // ...|StartTime|EndTime analog). Same integer-rendered-fields-only
+      // convention as j10 (double->string is not engine-portable; x.5
+      // coords ×10 are exact integers).
+      FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
+        network = Some("N?"), channel = Some("*a*"),
+        endAfter = Some("2024-01-20"), level = "channel"))
+        .select(col("network"), col("station"), col("channel"), concat_ws("|",
+          col("network"), col("station"), col("channel"),
+          (col("latitude") * 10).cast("long").cast("string"),
+          (col("longitude") * 10).cast("long").cast("string"),
+          unix_timestamp(col("epoch_start")).cast("string"),
+          unix_timestamp(col("epoch_end")).cast("string"),
+          col("n_samples").cast("string")).as("line"))
+        .orderBy("network", "station", "channel")
+    },
+
     "j19_nullness" -> { (s, d) =>
       // REST __isnull filter over an optional attribute (Jane: index
       // attributes may be absent per document; derived here: every third
@@ -461,6 +500,36 @@ object JaneQueries {
          |WHERE network LIKE 'N_' AND channel LIKE '%u%'
          |  AND epoch_end >= TIMESTAMP '2024-01-10'
          |  AND epoch_start <= TIMESTAMP '2024-02-20'
+         |ORDER BY network, station, channel""".stripMargin,
+
+    "j23_station_geo" -> {
+      val radiusDeg = graft.functions.GeoFunctions
+        .centralAngleDegSql("latitude", "longitude", 10.5, 45.5)
+      s"""WITH ch AS (${ChannelIndex.oracleCte})
+         |SELECT network, station, COUNT(*) AS n_channels,
+         |  MIN(latitude) AS latitude, MIN(longitude) AS longitude,
+         |  CAST(floor(epoch(MIN(epoch_start))) AS BIGINT) AS start_s,
+         |  CAST(floor(epoch(MAX(epoch_end))) AS BIGINT) AS end_s
+         |FROM ch
+         |WHERE channel LIKE '%e%'
+         |  AND latitude >= -60 AND latitude <= 60
+         |  AND longitude >= -90 AND longitude <= 170
+         |  AND $radiusDeg >= 0.0 AND $radiusDeg <= 80.0
+         |GROUP BY network, station ORDER BY network, station""".stripMargin
+    },
+
+    "j27_station_text" ->
+      s"""WITH ch AS (${ChannelIndex.oracleCte})
+         |SELECT network, station, channel,
+         |  network || '|' || station || '|' || channel || '|' ||
+         |  CAST(CAST(latitude * 10 AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(CAST(longitude * 10 AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(CAST(floor(epoch(epoch_start)) AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(CAST(floor(epoch(epoch_end)) AS BIGINT) AS VARCHAR) || '|' ||
+         |  CAST(n_samples AS VARCHAR) AS line
+         |FROM ch
+         |WHERE network LIKE 'N_' AND channel LIKE '%a%'
+         |  AND epoch_end > TIMESTAMP '2024-01-20'
          |ORDER BY network, station, channel""".stripMargin,
 
     "j19_nullness" ->
