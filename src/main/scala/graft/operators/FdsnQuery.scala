@@ -102,6 +102,24 @@ object FdsnQuery {
     p.limit.fold(paged)(paged.limit)
   }
 
+  /** fdsnws-event `includeallorigins` semantics over an origin-index
+    * DataFrame (see [[Indexers.OriginIndex]]): rank each event's origins
+    * by quality (most defining phases, then lowest origin id — the
+    * deterministic stand-in for QuakeML's author-designated
+    * preferredOriginID) and either keep only the preferred origin
+    * (`includeAll = false`, the service default) or all of them flagged.
+    * One window shuffle keyed by event_id; no self-join.
+    */
+  def eventOrigins(origins: DataFrame, includeAll: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id")
+      .orderBy(col("n_phases").desc, col("origin_id").asc)
+    val ranked = origins
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("is_preferred", when(col("__rn") === 1, 1L).otherwise(0L))
+    (if (includeAll) ranked else ranked.filter(col("__rn") === 1)).drop("__rn")
+  }
+
   /** fdsnws-station epoch parameters (epoch + wildcard surface plus the
     * FDSN `level` rollup: network | station | channel).
     */

@@ -87,6 +87,82 @@ object Indexers {
       .withColumn("updated_s", expr(updatedSparkSql))
   }
 
+  /** Origin index (QuakeML-indexer analog): jane indexes EVERY origin of a
+    * QuakeML event, not just one — an event carries 1..n location
+    * estimates from different agencies, and the service picks a preferred
+    * one (fdsnws-event `includeallorigins`). Derivation: each event gets
+    * `1 + event_id % 3` origins, each a deterministic perturbation of the
+    * event's base attributes. All derived columns are BIGINT (origin
+    * coordinates as 1e-2 fixed-point) so they can feed JSON rendering —
+    * double→string is not engine-portable, integers are.
+    *
+    * Scale shape: the explode is a per-row flatMap (no shuffle); the
+    * preferred-origin rank in [[FdsnQuery.eventOrigins]] is one window
+    * shuffle keyed by event_id — never a self-join.
+    */
+  object OriginIndex {
+    val originIdSql = "event_id * 4 + o"
+    val latE2Sql = "CAST(round(latitude * 100) AS BIGINT) + o * 25"
+    val lonE2Sql = "CAST(round(longitude * 100) AS BIGINT) + o * 25"
+    val depthMSql = "CAST(depth AS BIGINT) * 1000 + o * 500"
+    val nPhasesSql = "(event_id * 13 + o * 29) % 50"
+    val gapSql = "(event_id * 7 + o * 17) % 360"
+    val agencySql = "concat('AG', cast((user_id + o) % 7 as string))"
+    val otimeSparkSql = "unix_timestamp(time) + o * 60"
+    val otimeDuckSql = "CAST(floor(epoch(time)) AS BIGINT) + o * 60"
+
+    /** DuckDB CTE body over an event-index CTE named by `evCte`. */
+    def oracleCte(evCte: String): String =
+      s"""SELECT event_id, user_id,
+         |  $originIdSql AS origin_id, $otimeDuckSql AS otime_s,
+         |  $latE2Sql AS lat_e2, $lonE2Sql AS lon_e2, $depthMSql AS depth_m,
+         |  $nPhasesSql AS n_phases, $gapSql AS azimuthal_gap,
+         |  'AG' || CAST((user_id + o) % 7 AS VARCHAR) AS oagency
+         |FROM (SELECT *, unnest(range(0, event_id % 3 + 1)) AS o FROM $evCte)""".stripMargin
+
+    /** Event-index rows (EventIndex.attach output) → origin rows. */
+    def attach(ev: DataFrame): DataFrame = ev
+      .select(col("event_id"), col("user_id"), col("time"), col("latitude"),
+        col("longitude"), col("depth"),
+        explode(expr("sequence(0, event_id % 3)")).as("o"))
+      .withColumn("origin_id", expr(originIdSql))
+      .withColumn("otime_s", expr(otimeSparkSql))
+      .withColumn("lat_e2", expr(latE2Sql))
+      .withColumn("lon_e2", expr(lonE2Sql))
+      .withColumn("depth_m", expr(depthMSql))
+      .withColumn("n_phases", expr(nPhasesSql))
+      .withColumn("azimuthal_gap", expr(gapSql))
+      .withColumn("oagency", expr(agencySql))
+      .select("event_id", "origin_id", "otime_s", "lat_e2", "lon_e2",
+        "depth_m", "n_phases", "azimuthal_gap", "oagency")
+  }
+
+  /** Magnitude index (QuakeML events carry 1..n magnitude estimates;
+    * fdsnws-event `includeallmagnitudes`). `1 + event_id % 2` magnitudes
+    * per event, integer-cents values, rotating magnitude type.
+    */
+  object MagnitudeIndex {
+    val magIdSql = "event_id * 2 + m"
+    val magCSql = "CAST(round(magnitude * 100) AS BIGINT) + m * 7"
+    val mtypeSql =
+      "case when (event_id + m) % 4 = 0 then 'mb' " +
+        "when (event_id + m) % 4 = 1 then 'ms' " +
+        "when (event_id + m) % 4 = 2 then 'mw' else 'ml' end"
+
+    def oracleCte(evCte: String): String =
+      s"""SELECT event_id, $magIdSql AS mag_id, $magCSql AS mag_c,
+         |  $mtypeSql AS mtype
+         |FROM (SELECT *, unnest(range(0, event_id % 2 + 1)) AS m FROM $evCte)""".stripMargin
+
+    def attach(ev: DataFrame): DataFrame = ev
+      .select(col("event_id"), col("magnitude"),
+        explode(expr("sequence(0, event_id % 2)")).as("m"))
+      .withColumn("mag_id", expr(magIdSql))
+      .withColumn("mag_c", expr(magCSql))
+      .withColumn("mtype", expr(mtypeSql))
+      .select("event_id", "mag_id", "mag_c", "mtype")
+  }
+
   /** Channel-epoch index (StationXML-indexer analog): one row per
     * (station, channel) with its observed epoch. Aggregation is a single
     * shuffle on the composite key — at 100 TB this is the map-side-combined

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.functions.ExactNum.cents
 import graft.operators.{DocumentStore, FdsnQuery, Indexers}
 import graft.operators.FdsnQuery.{EventParams, StationParams}
-import graft.operators.Indexers.{ChannelIndex, EventIndex}
+import graft.operators.Indexers.{ChannelIndex, EventIndex, MagnitudeIndex, OriginIndex}
 
 /** Jane-domain operators (SURVEY.md §2.A–C): document versioning,
   * pagination, FDSN event/station query semantics, geographic search.
@@ -338,6 +338,54 @@ object JaneQueries {
         .orderBy("cell_lat", "cell_lon")
     },
 
+    "j25_preferred_origin" -> { (s, d) =>
+      // fdsnws-event default (includeallorigins=false): one row per event,
+      // the quality-preferred origin out of the 1..3 the indexer derived.
+      FdsnQuery.eventOrigins(OriginIndex.attach(ev(s, d)), includeAll = false)
+        .select(col("event_id"), col("origin_id"), col("otime_s"),
+          col("lat_e2"), col("lon_e2"), col("depth_m"), col("n_phases"),
+          col("azimuthal_gap"), col("oagency"))
+        .orderBy("event_id")
+    },
+
+    "j25_all_origins" -> { (s, d) =>
+      // includeallorigins=true: every origin, the preferred one flagged —
+      // the other toggle state of the same parameterized operator.
+      FdsnQuery.eventOrigins(OriginIndex.attach(ev(s, d)), includeAll = true)
+        .select(col("event_id"), col("origin_id"), col("n_phases"),
+          col("oagency"), col("is_preferred"))
+        .orderBy("event_id", "origin_id")
+    },
+
+    "j24_event_json" -> { (s, d) =>
+      // QuakeML-shaped structured rendering (jane's primary output format,
+      // XML there, JSON here): one nested document per event with its
+      // origins/magnitudes ARRAYS and the preferred-origin pointer,
+      // rendered via to_json(struct(...)). Both engines emit compact
+      // key-ordered JSON with BIGINT scalars only, so the byte strings
+      // match. Arrays are array_sort'ed (origin_id leads each struct), so
+      // element order survives the shuffle deterministically. Shape: two
+      // explode + groupBy(event_id) aggregates joined on event_id — at
+      // 100 TB both sides shuffle once on the same key and AQE co-plans
+      // the join.
+      val evf = ev(s, d).filter(col("magnitude") >= 6.0)
+      val os = FdsnQuery.eventOrigins(OriginIndex.attach(evf), includeAll = true)
+        .groupBy("event_id")
+        .agg(max(when(col("is_preferred") === 1, col("origin_id")))
+          .as("preferred_origin_id"),
+          expr("array_sort(collect_list(struct(origin_id, otime_s, lat_e2, " +
+            "lon_e2, depth_m, n_phases, azimuthal_gap)))").as("origins"))
+      val ms = MagnitudeIndex.attach(evf)
+        .groupBy("event_id")
+        .agg(expr("array_sort(collect_list(struct(mag_id, mag_c, mtype)))")
+          .as("magnitudes"))
+      os.join(ms, "event_id")
+        .select(col("event_id"), to_json(struct(col("event_id"),
+          col("preferred_origin_id"), col("origins"), col("magnitudes")))
+          .as("doc"))
+        .orderBy("event_id")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -552,6 +600,50 @@ object JaneQueries {
          |  CAST(MAX(depth) AS BIGINT) AS max_depth
          |FROM ev GROUP BY cell_lat, cell_lon
          |ORDER BY cell_lat, cell_lon""".stripMargin,
+
+    "j25_preferred_origin" ->
+      s"""WITH ev AS ($evCte),
+         |org AS (${OriginIndex.oracleCte("ev")}),
+         |orgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY n_phases DESC, origin_id ASC) AS rn FROM org)
+         |SELECT event_id, origin_id, otime_s, lat_e2, lon_e2, depth_m,
+         |  n_phases, azimuthal_gap, oagency
+         |FROM orgr WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j25_all_origins" ->
+      s"""WITH ev AS ($evCte),
+         |org AS (${OriginIndex.oracleCte("ev")}),
+         |orgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY n_phases DESC, origin_id ASC) AS rn FROM org)
+         |SELECT event_id, origin_id, n_phases, oagency,
+         |  CASE WHEN rn = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |    AS is_preferred
+         |FROM orgr ORDER BY event_id, origin_id""".stripMargin,
+
+    "j24_event_json" ->
+      s"""WITH ev AS ($evCte),
+         |evf AS (SELECT * FROM ev WHERE magnitude >= 6.0),
+         |org AS (${OriginIndex.oracleCte("evf")}),
+         |orgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY n_phases DESC, origin_id ASC) AS rn FROM org),
+         |os AS (SELECT event_id,
+         |    MAX(CASE WHEN rn = 1 THEN origin_id END) AS preferred_origin_id,
+         |    list(struct_pack(origin_id := origin_id, otime_s := otime_s,
+         |        lat_e2 := lat_e2, lon_e2 := lon_e2, depth_m := depth_m,
+         |        n_phases := n_phases, azimuthal_gap := azimuthal_gap)
+         |      ORDER BY origin_id) AS origins
+         |  FROM orgr GROUP BY event_id),
+         |mg AS (${MagnitudeIndex.oracleCte("evf")}),
+         |ms AS (SELECT event_id,
+         |    list(struct_pack(mag_id := mag_id, mag_c := mag_c,
+         |        mtype := mtype) ORDER BY mag_id) AS magnitudes
+         |  FROM mg GROUP BY event_id)
+         |SELECT os.event_id,
+         |  CAST(to_json(struct_pack(event_id := os.event_id,
+         |    preferred_origin_id := preferred_origin_id,
+         |    origins := origins, magnitudes := magnitudes)) AS VARCHAR) AS doc
+         |FROM os JOIN ms ON os.event_id = ms.event_id
+         |ORDER BY os.event_id""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

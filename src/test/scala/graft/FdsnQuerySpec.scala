@@ -79,4 +79,48 @@ class FdsnQuerySpec extends SparkSpec {
     assert(hits.count() > 0)
     assert(hits.filter(col("channel") =!= "click").count() == 0)
   }
+
+  test("station geo params: bbox is exact, radius ring matches haversine") {
+    val channels = ChannelIndex.build(Tables.events(spark, sfDir)).cache()
+    val hits = FdsnQuery.channels(channels, StationParams(
+      minLatitude = Some(-50), maxLatitude = Some(50),
+      latitude = Some(10.5), longitude = Some(45.5), maxRadius = Some(60.0)))
+    assert(hits.count() > 0)
+    val degKm = 6371.0 * math.Pi / 180.0
+    val bad = hits.withColumn("d", graft.functions.GeoFunctions.haversineKm(
+        lit(10.5), lit(45.5), col("latitude"), col("longitude")))
+      .filter(col("latitude") < -50 || col("latitude") > 50 ||
+        col("d") > 60.0 * degKm + 1e-6)
+      .count()
+    assert(bad == 0)
+    // level=station keeps the site coordinates through the rollup
+    val st = FdsnQuery.channels(channels, StationParams(
+      maxRadius = Some(60.0), latitude = Some(10.5), longitude = Some(45.5),
+      level = "station"))
+    assert(st.columns.contains("latitude") && st.count() > 0)
+  }
+
+  test("origin index: cardinality 1+id%3, preferred origin is unique argmax") {
+    import graft.operators.Indexers.OriginIndex
+    val origins = OriginIndex.attach(index).cache()
+    // per-event origin count is 1 + event_id % 3
+    val badN = origins.groupBy("event_id").count()
+      .filter(col("count") =!= (col("event_id") % 3) + 1).count()
+    assert(badN == 0)
+    val all = FdsnQuery.eventOrigins(origins, includeAll = true).cache()
+    // exactly one preferred origin per event
+    val prefPerEvent = all.filter(col("is_preferred") === 1)
+      .groupBy("event_id").count().filter(col("count") =!= 1).count()
+    assert(prefPerEvent == 0)
+    // preferred row has the max phase count of its event
+    val maxPhases = all.groupBy("event_id")
+      .agg(max(col("n_phases")).as("mx"))
+    val badPref = all.filter(col("is_preferred") === 1)
+      .join(maxPhases, "event_id")
+      .filter(col("n_phases") =!= col("mx")).count()
+    assert(badPref == 0)
+    // includeAll=false == the flagged subset, modulo the flag column
+    val only = FdsnQuery.eventOrigins(origins, includeAll = false)
+    assert(only.count() == all.filter(col("is_preferred") === 1).count())
+  }
 }
