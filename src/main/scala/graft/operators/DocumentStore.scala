@@ -41,6 +41,62 @@ object DocumentStore {
       .orderBy(col(sortCol).desc, col(idCol).asc)
       .limit(limit)
 
+  /** Attachment model (Jane: each index row may carry 0..n binary
+    * attachments — rendered plots, auxiliary files — each with a
+    * content-type, served by document id and filterable by type).
+    *
+    * The attachments table is derived deterministically from `documents`:
+    * doc_id % 3 attachments per document (so a third of the corpus has
+    * none — the 0-attachment case is real, not just possible). Derivations
+    * are shared SQL text, DuckDB-replayable like the [[graft.operators
+    * .Indexers]] tables. At 100 TB this is its own table keyed by doc_id:
+    * fetch-for-document is a pushed-down point/semi-join on the key, the
+    * per-type inventory one map-side-combined groupBy.
+    */
+  object Attachments {
+    val contentTypeSql =
+      "case when (doc_id + k) % 3 = 0 then 'image/png' " +
+        "when (doc_id + k) % 3 = 1 then 'application/json' " +
+        "else 'text/plain' end"
+    val nBytesSql = "100 + (doc_id * 37 + k * 101) % 10000"
+    val attIdSql = "doc_id * 4 + k"
+
+    /** DuckDB CTE body over raw `documents`. */
+    val oracleCte: String =
+      s"""SELECT doc_id, $attIdSql AS att_id, $contentTypeSql AS content_type,
+         |  $nBytesSql AS n_bytes
+         |FROM (SELECT doc_id, unnest(range(1, doc_id % 3 + 1)) AS k
+         |      FROM documents WHERE doc_id % 3 <> 0)""".stripMargin
+
+    /** documents → attachment rows (doc_id, att_id, content_type, n_bytes). */
+    def build(documents: DataFrame): DataFrame = documents
+      .filter(col("doc_id") % 3 =!= 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(
+          expr("sequence(1, doc_id % 3)")).as("k"))
+      .withColumn("att_id", expr(attIdSql))
+      .withColumn("content_type", expr(contentTypeSql))
+      .withColumn("n_bytes", expr(nBytesSql))
+      .select("doc_id", "att_id", "content_type", "n_bytes")
+
+    /** Attachments for a document subset, optionally one content-type —
+      * the REST fetch-attachments-for-document path. The doc set joins as
+      * a semi-join on the store key (broadcast when small).
+      */
+    def forDocuments(atts: DataFrame, docs: DataFrame,
+        contentType: Option[String] = None): DataFrame = {
+      val filtered = contentType.fold(atts)(ct => atts.filter(col("content_type") === ct))
+      filtered.join(docs.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+
+    /** Per-content-type inventory: count, distinct documents, total bytes. */
+    def inventory(atts: DataFrame): DataFrame = atts
+      .groupBy("content_type")
+      .agg(count(lit(1)).as("n_atts"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"))
+  }
+
   /** Upsert: rows from `updates` replace same-key rows in `existing`;
     * unmatched update rows are inserts (Jane: re-upload supersedes, new
     * uploads append). Plain-parquet merge semantics: one anti-join + one

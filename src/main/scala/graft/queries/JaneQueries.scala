@@ -386,6 +386,19 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j26_attachments" -> { (s, d) =>
+      // Fetch-attachments-for-documents with a content-type filter (Jane
+      // REST: /documents/<id>/attachments?content-type=...): the English
+      // subset's image attachments. Semi-join on the store key.
+      val docs = Tables.documents(s, d)
+      DocumentStore.Attachments.forDocuments(
+        DocumentStore.Attachments.build(docs),
+        docs.filter(col("lang") === "en"),
+        contentType = Some("image/png"))
+        .select(col("doc_id"), col("att_id"), col("n_bytes"))
+        .orderBy("doc_id", "att_id")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -644,6 +657,13 @@ object JaneQueries {
          |    origins := origins, magnitudes := magnitudes)) AS VARCHAR) AS doc
          |FROM os JOIN ms ON os.event_id = ms.event_id
          |ORDER BY os.event_id""".stripMargin,
+
+    "j26_attachments" ->
+      s"""WITH att AS (${DocumentStore.Attachments.oracleCte})
+         |SELECT a.doc_id, att_id, n_bytes
+         |FROM att a JOIN documents d ON a.doc_id = d.doc_id
+         |WHERE d.lang = 'en' AND a.content_type = 'image/png'
+         |ORDER BY a.doc_id, att_id""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

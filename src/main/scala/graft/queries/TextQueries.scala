@@ -114,6 +114,16 @@ object TextQueries {
         .orderBy("source")
     },
 
+    "m06_attachment_inventory" -> { (s, d) =>
+      // Per-content-type inventory over the attachments TABLE (m02 counts
+      // payload bytes per document; this is the store-level rollup of the
+      // 0..n-attachments-per-document model): one map-side-combined
+      // groupBy on content_type.
+      graft.operators.DocumentStore.Attachments.inventory(
+        graft.operators.DocumentStore.Attachments.build(Tables.documents(s, d)))
+        .orderBy("content_type")
+    },
+
     "t10_clean" -> { (s, d) =>
       // Cleaning transform (training-data normalization): lowercase,
       // strip non-alphanumerics, redact digit runs, collapse whitespace.
@@ -389,6 +399,13 @@ object TextQueries {
         |  CAST(SUM(CAST(octet_length(encode(text)) AS BIGINT)) AS BIGINT) AS total_bytes,
         |  MAX(CAST(octet_length(encode(text)) AS BIGINT)) AS max_bytes
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "m06_attachment_inventory" ->
+      s"""WITH att AS (${graft.operators.DocumentStore.Attachments.oracleCte})
+         |SELECT content_type, COUNT(*) AS n_atts,
+         |  COUNT(DISTINCT doc_id) AS n_docs,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes
+         |FROM att GROUP BY content_type ORDER BY content_type""".stripMargin,
 
     "t10_clean" ->
       """SELECT doc_id,

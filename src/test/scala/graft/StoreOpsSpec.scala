@@ -48,6 +48,27 @@ class StoreOpsSpec extends SparkSpec {
     assert(got == Set((1L, "new"), (2L, "only")))
   }
 
+  test("attachments: cardinality doc_id%3, unique ids, type filter, inventory totals") {
+    val docs = Tables.documents(spark, sfDir)
+    val atts = DocumentStore.Attachments.build(docs).cache()
+    // per-document cardinality is doc_id % 3 (including the zero case)
+    val counts = docs.select("doc_id")
+      .join(atts.groupBy("doc_id").count(), Seq("doc_id"), "left")
+      .withColumn("n", coalesce(col("count"), lit(0L)))
+    assert(counts.filter(col("n") =!= col("doc_id") % 3).count() == 0)
+    // attachment ids are globally unique
+    assert(atts.select("att_id").distinct().count() == atts.count())
+    // forDocuments honors both the doc subset and the content-type filter
+    val en = docs.filter(col("lang") === "en")
+    val fetched = DocumentStore.Attachments
+      .forDocuments(atts, en, Some("image/png")).cache()
+    assert(fetched.filter(col("content_type") =!= "image/png").count() == 0)
+    assert(fetched.join(en.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0)
+    // inventory partitions the table: per-type counts sum to the total
+    val inv = DocumentStore.Attachments.inventory(atts)
+    assert(inv.agg(sum(col("n_atts"))).head().getLong(0) == atts.count())
+  }
+
   test("page returns the exact slice of the total ordering") {
     import spark.implicits._
     val df = (1L to 100L).map(i => (i, 100 - i)).toDF("id", "rankv")
