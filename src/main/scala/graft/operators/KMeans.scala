@@ -60,20 +60,86 @@ object KMeans {
     var codebook = vectors.orderBy("vec_id").limit(k)
       .withColumn("cent_id", row_number().over(wId).cast("long") - 1)
       .select(col("cent_id"), col("q").as("cq"))
+      .localCheckpoint()
     (0 until iters).foreach { _ =>
-      codebook = assignQuantized(vectors, codebook)
-        .select(col("cent_id"), posexplode(col("q")).as(Seq("dim", "x")))
-        .groupBy("cent_id", "dim")
-        // floor over DOUBLE division, not integer `div`: Spark's div
-        // truncates toward zero while floor is engine-portable for the
-        // negative means quantized embeddings produce
-        .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("m"))
-        .groupBy("cent_id")
-        .agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
-        .select(col("cent_id"), expr("transform(array_sort(dm), s -> s.m)").as("cq"))
+      codebook = lloydStep(vectors, codebook).localCheckpoint()
     }
     codebook
   }
+
+  /** One exact-integer Lloyd iteration: assign, then re-center with
+    * element-wise `floor(sum/count)` means. floor over DOUBLE division,
+    * not integer `div`: Spark's div truncates toward zero while floor is
+    * engine-portable for the negative means quantized embeddings produce.
+    */
+  /* Iterative-plan hygiene (applies to every trainer loop here): without a
+   * lineage cut, iteration i's plan embeds iteration i-1's whole plan, and
+   * every downstream consumer of the codebook (candidate assignment, query
+   * probing, both join sides in d13) re-executes the full training DAG.
+   * The codebook is k×dims — localCheckpoint materializes it executor-side
+   * per iteration (the d11 connected-components pattern), so training runs
+   * once and consumers read a tiny materialized table. */
+  private def lloydStep(vectors: DataFrame, codebook: DataFrame): DataFrame =
+    assignQuantized(vectors, codebook)
+      .select(col("cent_id"), posexplode(col("q")).as(Seq("dim", "x")))
+      .groupBy("cent_id", "dim")
+      .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("m"))
+      .groupBy("cent_id")
+      .agg(collect_list(struct(col("dim"), col("m"))).as("dm"))
+      .select(col("cent_id"), expr("transform(array_sort(dm), s -> s.m)").as("cq"))
+
+  /** Deterministic hash-sample predicate (the t05 hash-mod pattern —
+    * engine-portable, oracle-replayable): keeps ~`pct`% of vectors.
+    */
+  def sampleSql(pct: Int): String = s"(vec_id * 2654435761) % 100 < $pct"
+
+  /** Web-scale trainer shape: train the codebook on a deterministic
+    * hash-SAMPLE of the corpus, with k CHOSEN FROM THE DATA as
+    * `max(2, |sample| / targetClusterSize)` — so cluster population stays
+    * O(targetClusterSize) as the corpus grows instead of n/k growing
+    * unboundedly at fixed k (the SemDeDup recipe: k ∝ n). The full corpus
+    * is only ever *assigned* (one broadcast + map-side argmin pass via
+    * [[assignQuantized]]), never scanned per training iteration — at
+    * 100 TB the per-iteration cost is the sample, not the corpus.
+    *
+    * Every step remains exact BIGINT arithmetic on deterministic inputs,
+    * so a DuckDB oracle replays sampling, k selection, init, and all
+    * Lloyd iterations verbatim (see d10/d13 in
+    * [[graft.queries.SimilarityQueries]]).
+    */
+  def fitQuantizedSampled(vectors: DataFrame, targetClusterSize: Int,
+      samplePct: Int, iters: Int): DataFrame = {
+    require(targetClusterSize > 0 && samplePct > 0 && iters >= 0,
+      "targetClusterSize, samplePct must be positive")
+    // the sample stays a lazy filter over the input: each Lloyd iteration
+    // re-reads it through the (pushed-down) scan, which beats
+    // materializing at this size; at 100 TB persist it explicitly before
+    // calling this if the input scan is expensive
+    val sample = vectors.filter(expr(sampleSql(samplePct)))
+    // k and the init rows come out of ONE global window over the sample
+    // (small by contract, and this runs once): rn plus the sample count,
+    // so no separate count job / scalar broadcast is needed
+    val wId = Window.orderBy(col("vec_id").asc)
+    var codebook = sample
+      .withColumn("rn", row_number().over(wId).cast("long"))
+      .withColumn("kk", expr(
+        s"greatest(CAST(2 AS BIGINT), count(1) OVER () div $targetClusterSize)"))
+      .filter(col("rn") <= col("kk"))
+      .select((col("rn") - 1).as("cent_id"), col("q").as("cq"))
+      .localCheckpoint()
+    (0 until iters).foreach { _ =>
+      codebook = lloydStep(sample, codebook).localCheckpoint()
+    }
+    codebook
+  }
+
+  /* Argmin shape: the broadcast crossJoin emits each vector's k scored
+   * rows CONSECUTIVELY IN ONE PARTITION, so a groupBy(vec_id) min_by
+   * collapses n×k → n rows map-side before any exchange — the shuffle
+   * moves n assignment rows, not n×k scored rows (a window
+   * row_number/filter would shuffle all n×k). The min_by ordering key
+   * struct(dist, cent_id) is unique per group, so ties on distance still
+   * break deterministically on centroid id. */
 
   /** Integer nearest-centroid assignment for [[fitQuantized]] codebooks:
     * exact BIGINT ||x − c||², centroid id as tie-break.
@@ -82,10 +148,11 @@ object KMeans {
     val scored = vectors.crossJoin(broadcast(codebook))
       .withColumn("dist", expr(
         "aggregate(zip_with(q, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
-    scored.withColumn("pr", row_number().over(w))
-      .filter(col("pr") === 1)
-      .select(col("vec_id"), col("q"), col("cent_id"), col("dist"))
+    scored.groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("q"), col("dist")),
+        struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.q").as("q"),
+        col("best.cent_id").as("cent_id"), col("best.dist").as("dist"))
   }
 
   /** Nearest-centroid assignment: broadcast codebook, map-side argmin of
@@ -96,10 +163,11 @@ object KMeans {
       .withColumn("dist", expr(
         "aggregate(zip_with(q, cq, (x, c) -> (CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)), " +
           "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"))
-    val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
-    scored.withColumn("pr", row_number().over(w))
-      .filter(col("pr") === 1)
-      .select(col("vec_id"), col("q"), col("cent_id"), col("dist"))
+    scored.groupBy("vec_id")
+      .agg(min_by(struct(col("cent_id"), col("q"), col("dist")),
+        struct(col("dist"), col("cent_id"))).as("best"))
+      .select(col("vec_id"), col("best.q").as("q"),
+        col("best.cent_id").as("cent_id"), col("best.dist").as("dist"))
   }
 
   /** Total within-cluster cost (Lloyd's objective; non-increasing). */

@@ -102,10 +102,21 @@ object SimilaritySearch {
       val scored = df.crossJoin(cents)
         .withColumn("dist",
           expr(dotSql("q", "q")) + col("cn") - lit(2L) * expr(dotSql("q", "cq")))
-      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
-      scored.withColumn("pr", row_number().over(w))
-        .filter(col("pr") <= keep)
-        .select(col("vec_id").as(idOut), col("q"), col("cent_id"))
+      if (keep == 1) {
+        // argmin via map-side-combined min_by: shuffles n rows, not the
+        // n×k scored rows a window would (see KMeans argmin note); the
+        // struct(dist, cent_id) key keeps the centroid-id tie-break
+        scored.groupBy("vec_id")
+          .agg(min_by(struct(col("cent_id"), col("q")),
+            struct(col("dist"), col("cent_id"))).as("best"))
+          .select(col("vec_id").as(idOut), col("best.q").as("q"),
+            col("best.cent_id").as("cent_id"))
+      } else {
+        val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
+        scored.withColumn("pr", row_number().over(w))
+          .filter(col("pr") <= keep)
+          .select(col("vec_id").as(idOut), col("q"), col("cent_id"))
+      }
     }
 
     val lists = nearestLists(candidates, "cand_id", 1)

@@ -22,8 +22,13 @@ object SimilarityQueries {
   // d08 near-dup candidate generation: 8 OR-combined tables of 4 planes
   private val NdTables = 8
   private val NdPlanes = 4
-  // d10 trained-IVF codebook size and Lloyd iterations
-  private val IvfK = 8
+  // d10/d13 trained-IVF codebook: k is NOT fixed — it is chosen from the
+  // data as max(2, |sample| / TargetClusterSize), so expected cluster
+  // population stays O(TargetClusterSize) as the corpus grows (k ∝ n, the
+  // SemDeDup recipe), and training runs on a deterministic ~SamplePct%
+  // hash-sample, never the full corpus (see KMeans.fitQuantizedSampled).
+  private val TargetClusterSize = 16
+  private val SamplePct = 40
   private val IvfIters = 2
 
   private def quantized(s: SparkSession, d: String): DataFrame =
@@ -61,18 +66,20 @@ object SimilarityQueries {
     },
 
     // IVF with a TRAINED coarse quantizer: the codebook comes from the
-    // integer-exact Lloyd trainer (KMeans.fitQuantized — k=8, 2
-    // iterations, deterministic init on the first k candidate vectors),
+    // integer-exact SAMPLED Lloyd trainer (KMeans.fitQuantizedSampled —
+    // ~SamplePct% hash-sample, k = max(2, |sample|/TargetClusterSize), 2
+    // iterations, deterministic init on the sample's first k vectors),
     // then probing/scoring run through the same ivfTopK operator as d09.
     // Because every training step is exact BIGINT arithmetic, the DuckDB
-    // oracle replays the ENTIRE pipeline — init, both Lloyd iterations,
-    // list assignment, probing, scoring — as generated CTEs: the training
-    // itself is oracle-checked, not just the search.
+    // oracle replays the ENTIRE pipeline — sampling, k selection, init,
+    // both Lloyd iterations, list assignment, probing, scoring — as
+    // generated CTEs: the training itself is oracle-checked, not just the
+    // search.
     "d10_embed_ivf_trained" -> { (s, d) =>
       val e = quantized(s, d)
       val cand = e.filter(col("vec_id") >= 20)
       val codebook = graft.operators.KMeans
-        .fitQuantized(cand, k = IvfK, iters = IvfIters)
+        .fitQuantizedSampled(cand, TargetClusterSize, SamplePct, IvfIters)
         .select(col("cent_id").as("vec_id"), col("cq").as("q"))
       SimilaritySearch.ivfTopK(
         queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
@@ -112,15 +119,20 @@ object SimilarityQueries {
     // quantizer) partitions the corpus into clusters; near-dup pairs are
     // searched ONLY within a cluster (cos >= 2/5, the d08 sqrt-free exact
     // integer predicate), and the lower vec_id is the keep decision. The
-    // cluster bound is the scale story: pair generation is per-cluster
-    // (each an AQE-splittable equi-join on cent_id), never corpus-wide —
-    // the standard embedding-dedup recipe for web-scale corpora. Entirely
-    // BIGINT math, so the oracle replays training + assignment + scan.
+    // cluster bound is the scale story, and it only holds because k SCALES
+    // WITH THE CORPUS: k = max(2, |sample|/TargetClusterSize) keeps
+    // expected cluster population at O(TargetClusterSize), so per-cluster
+    // pair volume is O(n·TargetClusterSize) total — not n²/k at a fixed k.
+    // Training touches only the hash-sample; the corpus is assigned in one
+    // broadcast argmin pass. Each per-cluster join is an AQE-splittable
+    // equi-join on cent_id, never corpus-wide. Entirely BIGINT math, so
+    // the oracle replays sampling + training + assignment + scan.
+    // KMeansSpec bounds the realized pair volume against the target.
     "d13_semantic_dedup" -> { (s, d) =>
       graft.plans.GraftFunctions.register(s)
       val e = quantized(s, d)
       val codebook = graft.operators.KMeans
-        .fitQuantized(e, k = IvfK, iters = IvfIters)
+        .fitQuantizedSampled(e, TargetClusterSize, SamplePct, IvfIters)
       // repartition barrier (d04 pattern): the training+argmin pipeline is
       // the expensive subplan and feeds BOTH sides of the within-cluster
       // self-join; the explicit exchange is computed once and reused
@@ -219,14 +231,15 @@ object SimilarityQueries {
       s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
       s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"
 
-  // one Lloyd iteration over CTE `cand`: argmin assignment + floored
-  // element-wise mean (KMeans.fitQuantized replayed verbatim)
+  // one Lloyd iteration over the training sample CTE `samp`: argmin
+  // assignment + floored element-wise mean (KMeans.lloydStep replayed
+  // verbatim)
   private def lloydIterCtes(i: Int): String =
     s"""a$i AS (SELECT vec_id, q, cent_id FROM (
        |    SELECT c.vec_id, c.q, cb.cent_id,
        |      row_number() OVER (PARTITION BY c.vec_id
        |        ORDER BY ${distDuck("c.q", "cb.cq")} ASC, cb.cent_id ASC) AS pr
-       |    FROM cand c CROSS JOIN cb$i cb) WHERE pr = 1),
+       |    FROM samp c CROSS JOIN cb$i cb) WHERE pr = 1),
        |cb${i + 1} AS (SELECT cent_id, list(m ORDER BY dim) AS cq FROM (
        |    SELECT cent_id, dim,
        |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m
@@ -235,14 +248,20 @@ object SimilarityQueries {
        |    GROUP BY cent_id, dim)
        |  GROUP BY cent_id)""".stripMargin
 
-  /** WITH-body fragment replaying the whole `KMeans.fitQuantized` run over
-    * a CTE named `cand`: deterministic init on the first `IvfK` vectors,
-    * `IvfIters` Lloyd iterations, ending in `cents (cent_id, cq)`.
+  /** WITH-body fragment replaying the whole `KMeans.fitQuantizedSampled`
+    * run over a CTE named `cand`: deterministic hash-sample, data-driven
+    * k = max(2, |sample|/TargetClusterSize), init on the sample's first k
+    * vectors, `IvfIters` Lloyd iterations, ending in `cents (cent_id, cq)`.
     */
   private def trainedCentsCtes: String =
-    s"""cb0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, q AS cq FROM
-       |    (SELECT q, row_number() OVER (ORDER BY vec_id ASC) AS rn FROM cand)
-       |  WHERE rn <= $IvfK),
+    s"""samp AS (SELECT vec_id, q FROM cand
+       |  WHERE (vec_id * 2654435761) % 100 < $SamplePct),
+       |kk AS (SELECT GREATEST(CAST(2 AS BIGINT),
+       |    COUNT(*) // $TargetClusterSize) AS k FROM samp),
+       |cb0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, q AS cq FROM
+       |    (SELECT q, row_number() OVER (ORDER BY vec_id ASC) AS rn
+       |     FROM samp), kk
+       |  WHERE rn <= kk.k),
        |${(0 until IvfIters).map(lloydIterCtes).mkString(",\n")},
        |cents AS (SELECT cent_id, cq FROM cb$IvfIters)""".stripMargin
 

@@ -56,6 +56,34 @@ class KMeansSpec extends SparkSpec {
     assert(costQ(a) <= costQ(c1))
   }
 
+  test("sampled trainer: k scales with corpus, pair volume stays cluster-bounded") {
+    val target = 16
+    val all = Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(SimilaritySearch.quantizeSql("embedding")))
+      .select(col("vec_id"), col("q")).cache()
+    val n = all.count()
+    val cb = KMeans.fitQuantizedSampled(all, target, samplePct = 40, iters = 2)
+      .cache()
+    val k = cb.count()
+    // k is data-driven: max(2, |sample|/target), so it grows with n
+    val nSample = all.filter(expr(KMeans.sampleSql(40))).count()
+    assert(k == math.max(2L, nSample / target), s"k=$k sample=$nSample")
+    // the d13 within-cluster pair volume: sum_i s_i*(s_i-1)/2 over the
+    // FULL-corpus assignment must be O(n * target), not O(n^2 / k) at a
+    // fixed k. Allow a skew factor over the balanced ideal n*target/2 —
+    // Lloyd does not guarantee balance, but must beat all-pairs by far.
+    val sizes = KMeans.assignQuantized(all, cb)
+      .groupBy("cent_id").count().collect().map(_.getLong(1))
+    val pairs = sizes.map(s => s * (s - 1) / 2).sum
+    val allPairs = n * (n - 1) / 2
+    assert(pairs <= 8L * n * target, s"pair volume $pairs vs bound ${8L * n * target}")
+    assert(pairs * 4 < allPairs, s"pair volume $pairs not << all-pairs $allPairs")
+    // determinism of the sampled trainer (same contract as fitQuantized)
+    def snap() = KMeans.fitQuantizedSampled(all, target, 40, 2)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).sortBy(_._1).toSeq
+    assert(snap() == snap())
+  }
+
   test("every vector is assigned to exactly one of k centroids") {
     val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
     val assigned = KMeans.assign(vecs, codebook)
