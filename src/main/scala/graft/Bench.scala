@@ -1,9 +1,22 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark main. Isolation mode (round 5): each query gets a
+  * warmup run (codegen/broadcast/scan-listing costs land there), a GC
+  * fence, then `SPARK_GRAFT_BENCH_REPS` timed runs; the reported time is
+  * the MIN (the standard noise-robust estimator) and the per-query
+  * `spread` = (max-min)/min over the timed runs estimates the noise
+  * floor, so a 2x move between rounds is adjudicable as signal vs
+  * interleaving noise (round 4 could not tell — e.g. its d12 1.35→2.62).
+  * Key order in the JSON puts `queries`/`spread` LAST: the driver stores
+  * a front-truncated tail, so the per-query data is what survives.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt.max(1)
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt.max(0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,8 +25,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm-up: JVM/codegen/session init + file listing, so per-query times
-    // measure the queries rather than first-action setup costs.
+    // Session warm-up: JVM/codegen/session init + file listing, so
+    // per-query times measure the queries rather than first-action setup.
     try {
       Tables.lineitem(spark, sfDir).count()
       Tables.events(spark, sfDir).count()
@@ -27,27 +40,41 @@ object Bench {
     val selected =
       if (args.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-    val results = selected.map { case (name, fn) =>
+
+    // noop sink: materializes every output row and expression (count()
+    // would let Catalyst prune unreferenced projections and understate
+    // expression-heavy queries).
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
-      // noop sink: materializes every output row and expression (count()
-      // would let Catalyst prune unreferenced projections and understate
-      // expression-heavy queries).
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results: Map[String, (Double, Double)] = selected.map { case (name, fn) =>
       try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        name -> (System.nanoTime() - t0) / 1e9
+        (0 until warmups).foreach(_ => once(fn))
+        System.gc()
+        val times = (0 until reps).map(_ => once(fn))
+        val spread = if (times.min > 0) (times.max - times.min) / times.min else 0.0
+        name -> (times.min, spread)
       } catch {
         // sentinel: a crashed query must not read as a fast query
         case e: Throwable =>
           System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
-          name -> -1.0
+          name -> (-1.0, 0.0)
       }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val errs = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    def fmtMap(sel: ((String, (Double, Double))) => Double): String =
+      results.map { case (k, v) => s"\"" + k + "\":" + sel((k, v)) }
+        .mkString("{", ",", "}")
+    val errs = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val ok = results.values.filter(_._1 >= 0)
+    val total = ok.map(_._1).sum
+    val spreads = ok.map(_._2).toSeq.sorted
+    val noiseMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
+      s""""errors":$errs,"spread":${fmtMap(_._2._2)},"queries":${fmtMap(_._2._1)}}""")
     spark.stop()
   }
 }
