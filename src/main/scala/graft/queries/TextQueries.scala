@@ -13,7 +13,67 @@ object TextQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // --- t16 PII scrubbing: shared derivation + pattern text ---------------
+  // The corpus is digit-free word salad, so PII is SYNTHESIZED
+  // deterministically per document (an email, a phone, an IP appended as a
+  // contact line) — the scrubber then has real work whose result both
+  // engines replay. Patterns use only [..] classes (no \d, no escaped
+  // dots) so one pattern string is portable across Java regex and RE2.
+  private val piiEmailPat = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+  private val piiPhonePat = "555-[0-9]{4}"
+  private val piiIpPat = "10[.][0-9]{1,3}[.]0[.][0-9]{1,3}"
+  private val piiSparkSql =
+    "concat(text, ' contact user', cast(doc_id as string), " +
+      "'@mail.example tel 555-', lpad(cast(doc_id % 10000 as string), 4, '0'), " +
+      "' ip 10.', cast(doc_id % 256 as string), '.0.', " +
+      "cast((doc_id * 7) % 256 as string))"
+  private val piiDuckSql =
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || " +
+      "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
+      "CAST((doc_id * 7) % 256 AS VARCHAR)"
+
   val queries: Map[String, Q] = Map(
+    "t16_pii_scrub" -> { (s, d) =>
+      // PII redaction (training-data hygiene): count and replace emails /
+      // phones / IPs with typed placeholder tokens. Pure per-row codegen'd
+      // regex projection — no shuffle at all; at 100 TB this runs at scan
+      // speed and the only cost is the regex engine.
+      Tables.documents(s, d)
+        .withColumn("pii", expr(piiSparkSql))
+        .select(col("doc_id"),
+          size(expr(s"regexp_extract_all(pii, '$piiEmailPat', 0)"))
+            .cast("long").as("n_email"),
+          size(expr(s"regexp_extract_all(pii, '$piiPhonePat', 0)"))
+            .cast("long").as("n_phone"),
+          size(expr(s"regexp_extract_all(pii, '$piiIpPat', 0)"))
+            .cast("long").as("n_ip"),
+          expr(s"regexp_replace(regexp_replace(regexp_replace(pii, " +
+            s"'$piiEmailPat', '<EMAIL>'), '$piiPhonePat', '<PHONE>'), " +
+            s"'$piiIpPat', '<IP>')").as("scrubbed"))
+        .withColumn("scrub_len", length(col("scrubbed")).cast("long"))
+        .orderBy("doc_id")
+    },
+
+    "t17_domain_mix" -> { (s, d) =>
+      // Training-mix rebalancing: per-language corpus share and the
+      // resampling weight that moves the mix to a uniform target
+      // (weight_e6 = target_share / actual_share, integer 1e-6 units —
+      // >1e6 means upsample). One map-side-combined groupBy + a 1-row
+      // broadcast of the totals; the weights then drive a t05-style
+      // hash-mod sampler without any further shuffle.
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("n_langs"))
+      byLang.crossJoin(broadcast(tot))
+        .withColumn("share_e6", expr("n_docs * 1000000 div total"))
+        .withColumn("weight_e6", expr(
+          "(1000000 div n_langs) * 1000000 div (n_docs * 1000000 div total)"))
+        .select(col("lang"), col("n_docs"), col("share_e6"), col("weight_e6"))
+        .orderBy("lang")
+    },
+
     "t01_lang_id" -> { (s, d) =>
       val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
         case (df, (l, words)) => df.withColumn(s"s_$l", expr(scoreSpark(words)))
@@ -344,6 +404,29 @@ object TextQueries {
     langMarkers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(",\n    ")
 
   val oracle: Map[String, String] = Map(
+    "t16_pii_scrub" ->
+      s"""WITH p AS (SELECT doc_id, $piiDuckSql AS pii FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(pii, '$piiEmailPat')) AS BIGINT) AS n_email,
+         |  CAST(len(regexp_extract_all(pii, '$piiPhonePat')) AS BIGINT) AS n_phone,
+         |  CAST(len(regexp_extract_all(pii, '$piiIpPat')) AS BIGINT) AS n_ip,
+         |  regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$piiEmailPat', '<EMAIL>', 'g'), '$piiPhonePat', '<PHONE>', 'g'),
+         |    '$piiIpPat', '<IP>', 'g') AS scrubbed,
+         |  CAST(length(regexp_replace(regexp_replace(regexp_replace(pii,
+         |    '$piiEmailPat', '<EMAIL>', 'g'), '$piiPhonePat', '<PHONE>', 'g'),
+         |    '$piiIpPat', '<IP>', 'g')) AS BIGINT) AS scrub_len
+         |FROM p ORDER BY doc_id""".stripMargin,
+
+    "t17_domain_mix" ->
+      """WITH b AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |    COUNT(*) AS n_langs FROM b)
+        |SELECT lang, n_docs, n_docs * 1000000 // total AS share_e6,
+        |  (1000000 // n_langs) * 1000000 // (n_docs * 1000000 // total)
+        |    AS weight_e6
+        |FROM b, t ORDER BY lang""".stripMargin,
+
     "t01_lang_id" ->
       s"""WITH scored AS (SELECT lang,
          |    $langScoresDuck
