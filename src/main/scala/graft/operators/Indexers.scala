@@ -137,6 +137,42 @@ object Indexers {
         "depth_m", "n_phases", "azimuthal_gap", "oagency")
   }
 
+  /** Arrival index (QuakeML origins carry 1..n arrivals — the phase picks
+    * that located the origin; fdsnws-event `includearrivals` serves them
+    * under their origin). 1..3 derived arrivals per origin with phase
+    * name, epicentral distance, time residual, and azimuth — the columns
+    * a pick-quality query actually filters on. Builds on
+    * [[OriginIndex.attach]] output rows.
+    */
+  object ArrivalIndex {
+    val arrivalIdSql = "origin_id * 4 + a"
+    val phaseSql =
+      "case when (origin_id + a) % 4 = 0 then 'P' " +
+        "when (origin_id + a) % 4 = 1 then 'S' " +
+        "when (origin_id + a) % 4 = 2 then 'Pn' else 'Sg' end"
+    val distDegE2Sql = "(origin_id * 19 + a * 31) % 18000"
+    val residualE3Sql = "(origin_id * 11 + a * 17) % 2000 - 1000"
+    val azimuthSql = "(origin_id * 3 + a * 7) % 360"
+
+    def oracleCte(originCte: String): String =
+      s"""SELECT event_id, origin_id, $arrivalIdSql AS arrival_id,
+         |  $phaseSql AS phase, $distDegE2Sql AS dist_deg_e2,
+         |  $residualE3Sql AS residual_e3, $azimuthSql AS azimuth
+         |FROM (SELECT *, unnest(range(0, origin_id % 3 + 1)) AS a
+         |      FROM $originCte)""".stripMargin
+
+    def attach(origins: DataFrame): DataFrame = origins
+      .select(col("event_id"), col("origin_id"),
+        explode(expr("sequence(0, origin_id % 3)")).as("a"))
+      .withColumn("arrival_id", expr(arrivalIdSql))
+      .withColumn("phase", expr(phaseSql))
+      .withColumn("dist_deg_e2", expr(distDegE2Sql))
+      .withColumn("residual_e3", expr(residualE3Sql))
+      .withColumn("azimuth", expr(azimuthSql))
+      .select("event_id", "origin_id", "arrival_id", "phase", "dist_deg_e2",
+        "residual_e3", "azimuth")
+  }
+
   /** Magnitude index (QuakeML events carry 1..n magnitude estimates;
     * fdsnws-event `includeallmagnitudes`). `1 + event_id % 2` magnitudes
     * per event, integer-cents values, rotating magnitude type.

@@ -7,7 +7,7 @@ import graft.Tables
 import graft.functions.ExactNum.cents
 import graft.operators.{DocumentStore, FdsnQuery, Indexers}
 import graft.operators.FdsnQuery.{EventParams, StationParams}
-import graft.operators.Indexers.{ChannelIndex, EventIndex, MagnitudeIndex, OriginIndex}
+import graft.operators.Indexers.{ArrivalIndex, ChannelIndex, EventIndex, MagnitudeIndex, OriginIndex}
 
 /** Jane-domain operators (SURVEY.md §2.A–C): document versioning,
   * pagination, FDSN event/station query semantics, geographic search.
@@ -386,6 +386,20 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j28_origin_arrivals" -> { (s, d) =>
+      // fdsnws-event includearrivals: the phase picks under each served
+      // origin (service default serves the preferred origin's arrivals),
+      // with a phase filter — pick-quality analytics over the deepest
+      // QuakeML nesting level. Window (preferred) + explode (arrivals):
+      // one event_id-keyed shuffle total.
+      ArrivalIndex.attach(
+        FdsnQuery.eventOrigins(OriginIndex.attach(ev(s, d)), includeAll = false))
+        .filter(col("phase").isin("P", "S"))
+        .select(col("event_id"), col("origin_id"), col("arrival_id"),
+          col("phase"), col("dist_deg_e2"), col("residual_e3"), col("azimuth"))
+        .orderBy("event_id", "arrival_id")
+    },
+
     "j26_attachments" -> { (s, d) =>
       // Fetch-attachments-for-documents with a content-type filter (Jane
       // REST: /documents/<id>/attachments?content-type=...): the English
@@ -657,6 +671,18 @@ object JaneQueries {
          |    origins := origins, magnitudes := magnitudes)) AS VARCHAR) AS doc
          |FROM os JOIN ms ON os.event_id = ms.event_id
          |ORDER BY os.event_id""".stripMargin,
+
+    "j28_origin_arrivals" ->
+      s"""WITH ev AS ($evCte),
+         |org AS (${OriginIndex.oracleCte("ev")}),
+         |orgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY n_phases DESC, origin_id ASC) AS rn FROM org),
+         |pref AS (SELECT event_id, origin_id FROM orgr WHERE rn = 1),
+         |arr AS (${ArrivalIndex.oracleCte("pref")})
+         |SELECT event_id, origin_id, arrival_id, phase, dist_deg_e2,
+         |  residual_e3, azimuth
+         |FROM arr WHERE phase IN ('P', 'S')
+         |ORDER BY event_id, arrival_id""".stripMargin,
 
     "j26_attachments" ->
       s"""WITH att AS (${DocumentStore.Attachments.oracleCte})
