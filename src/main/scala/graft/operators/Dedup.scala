@@ -101,10 +101,8 @@ object Dedup {
       shingled.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
     }
 
-  /** LSH candidate pairs: docs sharing any band signature; `k` perms split
-    * into `bands` bands of k/bands rows. Returns (a, b) with a < b.
-    */
-  def minHashLshPairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
+  /** One (doc_id, band, sig) row per band: the LSH bucket keys. */
+  def bandSignatures(df: DataFrame, k: Int, bands: Int): DataFrame = {
     val rows = k / bands
     require(bands * rows == k, "bands must divide k")
     val sig = minHashSignatures(df, k)
@@ -112,13 +110,39 @@ object Dedup {
       struct(lit(bi).as("band"),
         concat_ws("-", (0 until rows).map(r => col(s"h${bi * rows + r}")): _*).as("sig"))
     }
-    val bandDf = sig
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
+    sig.select(col("doc_id"), explode(array(bandStructs: _*)).as("bs"))
       .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band signature; `k` perms split
+    * into `bands` bands of k/bands rows. Returns (a, b) with a < b.
+    */
+  def minHashLshPairs(df: DataFrame, k: Int, bands: Int): DataFrame = {
+    val bandDf = bandSignatures(df, k, bands)
     bandDf.as("x").join(bandDf.as("y"),
         col("x.band") === col("y.band") && col("x.sig") === col("y.sig") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+  }
+
+  /** Incremental (cross-corpus) LSH dedup: candidate duplicates of NEW
+    * documents against the EXISTING corpus only — the daily-batch shape
+    * of a crawl pipeline. One signature pass over the union; the band
+    * equi-join is new-side × corpus-side, so join work scales with the
+    * batch's bucket collisions, never corpus × corpus. At 100 TB the
+    * corpus band table is the persisted LSH index (write it bucketed by
+    * (band, sig) and the daily join is shuffle-free on the corpus side).
+    */
+  def minHashLshCrossPairs(df: DataFrame, isNew: org.apache.spark.sql.Column,
+      k: Int, bands: Int): DataFrame = {
+    val bandDf = bandSignatures(df, k, bands)
+    val n = bandDf.filter(isNew)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+    val o = bandDf.filter(!isNew)
+      .select(col("doc_id").as("dup_of"), col("band"), col("sig"))
+    n.join(o, Seq("band", "sig"))
+      .select(col("new_id"), col("dup_of"))
       .distinct()
   }
 

@@ -48,6 +48,16 @@ object DedupQueries {
         .orderBy("rep_id")
     },
 
+    "d14_incremental_dedup" -> { (s, d) =>
+      // Daily-batch dedup: candidate duplicates of the incoming batch
+      // (doc_id % 10 == 7) against the existing corpus only — never
+      // corpus x corpus. One signature pass over the union feeds both
+      // join sides.
+      Dedup.minHashLshCrossPairs(Tables.documents(s, d),
+        col("doc_id") % 10 === 7, K, Bands)
+        .orderBy("new_id", "dup_of")
+    },
+
     "d04_simhash" -> { (s, d) =>
       // repartition = materialization barrier: without it, whole-stage
       // codegen defers the fused signature projection into the join's
@@ -78,10 +88,10 @@ object DedupQueries {
     s"SELECT doc_id, $bi AS band, $sig AS sig FROM mh"
   }.mkString("\n  UNION ALL ")
 
-  /** Shared CTE chain ending in `lsh_pairs(a, b)` — the d03 pair
-    * generation, reused by the d11 component closure.
+  /** Shared CTE chain ending in `bands(doc_id, band, sig)` — the LSH
+    * bucket keys, reused by d03/d11/d14.
     */
-  private lazy val lshPairsCtes: String =
+  private lazy val bandsCtes: String =
     s"""shl AS (SELECT doc_id, unnest(${Dedup.shingleArrayOracleSql}) AS sh3
        |             FROM documents),
        |sh AS (SELECT doc_id, ${Dedup.shingleCodeSql} AS code FROM shl),
@@ -90,7 +100,13 @@ object DedupQueries {
        |  FROM sh GROUP BY doc_id),
        |bands AS (
        |  $bandSelects
-       |),
+       |)""".stripMargin
+
+  /** [[bandsCtes]] + `lsh_pairs(a, b)` — the d03 pair generation, reused
+    * by the d11 component closure.
+    */
+  private lazy val lshPairsCtes: String =
+    s"""$bandsCtes,
        |lsh_pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
@@ -139,6 +155,14 @@ object DedupQueries {
          |  MAX(id) AS max_id
          |FROM (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
          |GROUP BY label ORDER BY rep_id""".stripMargin,
+
+    "d14_incremental_dedup" ->
+      s"""WITH $bandsCtes
+         |SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS dup_of
+         |FROM bands n JOIN bands o
+         |  ON n.band = o.band AND n.sig = o.sig
+         |WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
+         |ORDER BY new_id, dup_of""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH tok AS (SELECT doc_id, n_chars,

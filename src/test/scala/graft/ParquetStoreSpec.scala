@@ -25,6 +25,29 @@ class ParquetStoreSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("cell-partitioned geo store prunes partitions before exact geometry") {
+    val dir = Files.createTempDirectory("graft_geo_store_").toString
+    val index = graft.operators.Indexers.EventIndex
+      .attach(Tables.events(spark, sfDir))
+    ParquetStore.writeCellPartitioned(index, "latitude", "longitude", dir)
+    val cells = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("p_cell_lat="))
+    assert(cells.length > 1, s"expected cell directories, got ${cells.toSeq}")
+
+    // j01's bbox, composed as cell pruning + the exact filter
+    val pruned = ParquetStore.read(spark, dir)
+      .filter(ParquetStore.cellRangeFilter(-30, 30, 0, 90))
+      .filter(col("latitude").between(-30, 30) && col("longitude").between(0, 90))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("p_cell_lat"),
+      s"expected cell partition pruning in plan:\n$plan")
+    // exactness: identical to the unpartitioned bbox filter
+    val expected = index
+      .filter(col("latitude").between(-30, 30) && col("longitude").between(0, 90))
+      .count()
+    assert(pruned.count() == expected)
+  }
+
   test("co-bucketed tables join without a shuffle") {
     val conf = spark.conf
     val aqe = conf.get("spark.sql.adaptive.enabled", "true")
