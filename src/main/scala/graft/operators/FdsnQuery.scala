@@ -144,6 +144,7 @@ object FdsnQuery {
       longitude: Option[Double] = None,
       minRadius: Option[Double] = None, // degrees
       maxRadius: Option[Double] = None, // degrees
+      updatedAfter: Option[String] = None, // ISO timestamp
       level: String = "channel")
 
   /** Compile station params over a channel-epoch DataFrame with columns
@@ -171,7 +172,10 @@ object FdsnQuery {
       p.minLatitude.map(col("latitude") >= _),
       p.maxLatitude.map(col("latitude") <= _),
       p.minLongitude.map(col("longitude") >= _),
-      p.maxLongitude.map(col("longitude") <= _)
+      p.maxLongitude.map(col("longitude") <= _),
+      // updatedafter compares on integer epoch seconds (engine-portable)
+      p.updatedAfter.map(t =>
+        col("updated_s") >= unix_timestamp(lit(t).cast("timestamp")))
     ).flatten ++ (for {
       lat <- p.latitude; lon <- p.longitude
     } yield {

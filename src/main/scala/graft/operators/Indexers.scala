@@ -220,8 +220,16 @@ object Indexers {
         |  user_id, event_type AS channel,
         |  $stationLatSql AS latitude, $stationLonSql AS longitude,
         |  MIN(ts) AS epoch_start, MAX(ts) AS epoch_end,
-        |  COUNT(*) AS n_samples
+        |  COUNT(*) AS n_samples,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT) + (user_id % 50) * 3600
+        |    AS updated_s
         |FROM events GROUP BY user_id, event_type""".stripMargin
+
+    // Index-row update time (fdsnws-station `updatedafter`): when the
+    // channel's metadata last changed — derived from the epoch end plus a
+    // deterministic per-station re-index lag, as integer epoch seconds
+    // (the DuckDB spelling is inlined in oracleCte over MAX(ts)).
+    val updatedSparkSql = "unix_timestamp(epoch_end) + (user_id % 50) * 3600"
 
     def build(events: DataFrame): DataFrame = events
       .withColumn("network", expr(networkSql))
@@ -230,9 +238,10 @@ object Indexers {
       .groupBy("network", "station", "user_id", "channel")
       .agg(min(col("ts")).as("epoch_start"), max(col("ts")).as("epoch_end"),
         count(lit(1)).as("n_samples"))
-      // functions of the user_id group key — post-agg projection, no extra
-      // grouping columns in the shuffle
+      // functions of the user_id group key / aggregated epoch — post-agg
+      // projections, no extra grouping columns in the shuffle
       .withColumn("latitude", expr(stationLatSql))
       .withColumn("longitude", expr(stationLonSql))
+      .withColumn("updated_s", expr(updatedSparkSql))
   }
 }

@@ -155,10 +155,13 @@ object JaneQueries {
     "j21_fdsn_channel_list" -> { (s, d) =>
       // fdsnws-station level=channel passthrough (j07 covers
       // level=station, j18 level=network): matching epoch rows as-is,
-      // exercising the starttime/endtime epoch-overlap params.
+      // exercising the starttime/endtime epoch-overlap params plus
+      // updatedafter (re-index freshness — the federation incremental-
+      // harvest param).
       FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)), StationParams(
         network = Some("N?"), channel = Some("*u*"),
         starttime = Some("2024-01-10"), endtime = Some("2024-02-20"),
+        updatedAfter = Some("2024-01-25"),
         level = "channel"))
         .select(col("network"), col("station"), col("channel"),
           unix_timestamp(col("epoch_start")).as("start_s"),
@@ -575,6 +578,7 @@ object JaneQueries {
          |WHERE network LIKE 'N_' AND channel LIKE '%u%'
          |  AND epoch_end >= TIMESTAMP '2024-01-10'
          |  AND epoch_start <= TIMESTAMP '2024-02-20'
+         |  AND updated_s >= CAST(floor(epoch(TIMESTAMP '2024-01-25')) AS BIGINT)
          |ORDER BY network, station, channel""".stripMargin,
 
     "j23_station_geo" -> {

@@ -52,6 +52,24 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-STATIC enrichment join: the live event stream joined to the
+    * station index table (a batch DataFrame). Spark plans the static side
+    * as a broadcast re-evaluated per micro-batch, so a re-written index
+    * parquet is picked up on the next batch without restarting the query
+    * — the streaming analog of the Jane ingest loop enriching each upload
+    * with its station metadata. No watermark is needed: a stream-static
+    * inner join keeps no cross-batch state.
+    */
+  def enrichWithStations(events: DataFrame, stations: DataFrame): DataFrame =
+    events.join(
+      // one row per station: the index is per (station, channel) but the
+      // site columns are constant per station, so the distinct is exact
+      broadcast(stations.select(col("user_id"), col("network"),
+        col("station"), col("latitude"), col("longitude")).distinct()),
+      Seq("user_id"))
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
+        col("network"), col("station"), col("latitude"), col("longitude"))
+
   /** Stream-stream interval join: each purchase joined to signups of the
     * same user within the preceding 2 hours. Watermarks on BOTH sides
     * bound the join state; without them the state store grows forever.

@@ -55,6 +55,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static join enriches streaming events with the station index") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stations = graft.operators.Indexers.ChannelIndex
+      .build(Tables.events(spark, sfDir))
+    val mem = MemoryStream[(Long, Long, Timestamp, String)]
+    val events = mem.toDF().toDF("event_id", "user_id", "ts", "event_type")
+    val q = EventStreams.enrichWithStations(events, stations).writeStream
+      .format("memory").queryName("enrich_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((100L, 1L, ts(0), "click"), (101L, 2L, ts(1), "view"),
+        (102L, 999999L, ts(2), "click")) // unknown station -> dropped
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT event_id, network, station, latitude FROM enrich_test")
+        .as[(Long, String, String, Double)].collect()
+      // exactly one enriched row per known-station event (distinct on the
+      // static side must prevent per-channel fan-out)
+      assert(rows.map(_._1).sorted.toSeq == Seq(100L, 101L), s"got ${rows.toSeq}")
+      val byId = rows.map(r => r._1 -> r).toMap
+      assert(byId(100L)._2 == "N1" && byId(100L)._3 == "ST1")
+      // site coordinate matches the index derivation for user_id = 1
+      assert(byId(100L)._4 == ((1 * 31) % 180) - 90 + 0.5)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join pairs purchases with recent signups") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
