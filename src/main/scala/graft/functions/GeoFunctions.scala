@@ -50,6 +50,17 @@ object GeoFunctions {
       s"cos(radians($centerLat)) * cos(radians($latC)) * " +
       s"pow(sin(radians($lonC - ($centerLon)) / 2), 2))))"
 
+  /** Two-point haversine km as ONE generated SQL text over arbitrary
+    * column names — the distance-JOIN form of j02's fixed-point filter,
+    * spliced verbatim into both the Spark plan and the DuckDB oracle.
+    * Same last-ulp libm exposure and the same mitigation as
+    * [[centralAngleDegSql]]: filter on it freely, round before emitting.
+    */
+  def haversineKmSql(lat1: String, lon1: String, lat2: String, lon2: String): String =
+    s"2 * $EarthRadiusKm * asin(sqrt(pow(sin(radians($lat2 - ($lat1)) / 2), 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"pow(sin(radians($lon2 - ($lon1)) / 2), 2)))"
+
   /** Convex-polygon containment: the point is inside iff it is on the same
     * (left) side of every edge of a counter-clockwise vertex ring. Pure
     * multiply/compare — engine-exact. Vertices are (lat, lon).

@@ -120,6 +120,33 @@ object FdsnQuery {
     (if (includeAll) ranked else ranked.filter(col("__rn") === 1)).drop("__rn")
   }
 
+  /** QuakeML magnitude-type preference order: moment magnitude is the
+    * authoritative estimate when present, then surface/body wave, then
+    * local. One CASE text shared verbatim with the DuckDB oracle
+    * (SURVEY.md §4).
+    */
+  val magTypeRankSql: String =
+    "CASE mtype WHEN 'mw' THEN 0 WHEN 'ms' THEN 1 WHEN 'mb' THEN 2 ELSE 3 END"
+
+  /** fdsnws-event `includeallmagnitudes` semantics over a magnitude-index
+    * DataFrame (see [[Indexers.MagnitudeIndex]]): rank each event's
+    * magnitude estimates by type authority (mw > ms > mb > ml, then lowest
+    * mag id — the deterministic stand-in for QuakeML's author-designated
+    * preferredMagnitudeID) and either keep only the preferred one
+    * (`includeAll = false`, the service default) or all of them flagged.
+    * Same single-window shape as [[eventOrigins]]: one event_id-keyed
+    * shuffle, no self-join.
+    */
+  def eventMagnitudes(mags: DataFrame, includeAll: Boolean): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_id")
+      .orderBy(expr(magTypeRankSql).asc, col("mag_id").asc)
+    val ranked = mags
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .withColumn("is_preferred", when(col("__rn") === 1, 1L).otherwise(0L))
+    (if (includeAll) ranked else ranked.filter(col("__rn") === 1)).drop("__rn")
+  }
+
   /** fdsnws-station epoch parameters (epoch + wildcard surface plus the
     * FDSN `level` rollup: network | station | channel).
     */

@@ -416,6 +416,107 @@ object JaneQueries {
         .orderBy("doc_id", "att_id")
     },
 
+    "j29_preferred_magnitude" -> { (s, d) =>
+      // fdsnws-event default (includeallmagnitudes=false): one row per
+      // event, the type-authoritative magnitude estimate (mw > ms > mb >
+      // ml, mag id tie-break) out of the 1..2 the indexer derived — the
+      // magnitude twin of j25's preferred-origin selection, same
+      // one-window shape.
+      FdsnQuery.eventMagnitudes(MagnitudeIndex.attach(ev(s, d)), includeAll = false)
+        .select(col("event_id"), col("mag_id"), col("mag_c"), col("mtype"))
+        .orderBy("event_id")
+    },
+
+    "j30_catalogs" -> { (s, d) =>
+      // fdsnws-event /catalogs + /contributors metadata endpoints: the
+      // distinct catalog (agency) and contributor lists a federation
+      // client fetches before composing queries, with event counts. Two
+      // map-side-combined rollups over the same scan, unioned — output is
+      // O(catalogs), never O(events).
+      val e = ev(s, d)
+      val cat = e.groupBy(col("agency").as("name"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("kind", lit("catalog"))
+      val con = e.groupBy(col("contributor").as("name"))
+        .agg(count(lit(1)).as("n_events"))
+        .withColumn("kind", lit("contributor"))
+      cat.unionByName(con)
+        .select(col("kind"), col("name"), col("n_events"))
+        .orderBy("kind", "name")
+    },
+
+    "j31_station_coverage" -> { (s, d) =>
+      // Station coverage per significant event: all stations within
+      // 3000 km of each magnitude>=5.5 event — the "which stations
+      // recorded this quake" join behind data-availability displays. A
+      // geo DISTANCE JOIN (not j02's fixed-point filter): the filtered
+      // event side is tiny and explicitly broadcast, so the plan is a
+      // BroadcastNestedLoopJoin whose condition leads with a conservative
+      // latitude-band prefilter (|dlat| <= 27.5 deg; 3000 km spans at
+      // most 3000/111.19 = 26.98 deg of latitude, so the band is a
+      // mathematical superset of the haversine ball) — the cheap
+      // compare prunes ~85% of pairs before any trig runs. At 100 TB the
+      // station index is the broadcast side and the same shape holds.
+      val e = ev(s, d).filter(col("magnitude") >= 5.5)
+        .select(col("event_id"), col("latitude").as("elat"),
+          col("longitude").as("elon"))
+      val st = ChannelIndex.build(Tables.events(s, d))
+        .select(col("network"), col("station"), col("latitude").as("slat"),
+          col("longitude").as("slon"))
+        .distinct()
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("elat", "elon", "slat", "slon")
+      broadcast(e).join(st,
+          abs(col("slat") - col("elat")) <= 27.5 && expr(distSql) <= 3000.0)
+        .select(col("event_id"), col("network"), col("station"),
+          round(expr(distSql), 2).as("dist_km2"))
+        .orderBy("event_id", "network", "station")
+    },
+
+    "j32_event_xml" -> { (s, d) =>
+      // QuakeML-shaped XML TEXT rendering — jane's actual primary output
+      // format (j24 is the JSON twin): one <event> element per event with
+      // preferredOriginID/preferredMagnitudeID pointers and nested
+      // <origin>/<magnitude> elements. Scalars are the index's fixed-point
+      // BIGINTs (1e-2 deg, m, centi-mag) so integer-to-string rendering is
+      // engine-portable; element order is origin_id/mag_id-sorted on both
+      // sides. Same two-aggregate join shape as j24: both sides shuffle
+      // once on event_id.
+      val evf = ev(s, d).filter(col("magnitude") >= 6.0)
+      val os = FdsnQuery.eventOrigins(OriginIndex.attach(evf), includeAll = true)
+        .withColumn("frag", concat(
+          lit("<origin publicID=\"smi:graft/origin/"), col("origin_id"),
+          lit("\"><time>"), col("otime_s"),
+          lit("</time><latitude>"), col("lat_e2"),
+          lit("</latitude><longitude>"), col("lon_e2"),
+          lit("</longitude><depth>"), col("depth_m"),
+          lit("</depth></origin>")))
+        .groupBy("event_id")
+        .agg(max(when(col("is_preferred") === 1, col("origin_id")))
+          .as("pref_oid"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(origin_id, frag))), x -> x.frag), '')").as("origins_xml"))
+      val ms = FdsnQuery.eventMagnitudes(MagnitudeIndex.attach(evf), includeAll = true)
+        .withColumn("frag", concat(
+          lit("<magnitude publicID=\"smi:graft/magnitude/"), col("mag_id"),
+          lit("\"><mag>"), col("mag_c"),
+          lit("</mag><type>"), col("mtype"),
+          lit("</type></magnitude>")))
+        .groupBy("event_id")
+        .agg(max(when(col("is_preferred") === 1, col("mag_id")))
+          .as("pref_mid"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(mag_id, frag))), x -> x.frag), '')").as("mags_xml"))
+      os.join(ms, "event_id")
+        .select(col("event_id"), concat(
+          lit("<event publicID=\"smi:graft/event/"), col("event_id"),
+          lit("\"><preferredOriginID>smi:graft/origin/"), col("pref_oid"),
+          lit("</preferredOriginID><preferredMagnitudeID>smi:graft/magnitude/"),
+          col("pref_mid"), lit("</preferredMagnitudeID>"),
+          col("origins_xml"), col("mags_xml"), lit("</event>")).as("xml"))
+        .orderBy("event_id")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -694,6 +795,84 @@ object JaneQueries {
          |FROM att a JOIN documents d ON a.doc_id = d.doc_id
          |WHERE d.lang = 'en' AND a.content_type = 'image/png'
          |ORDER BY a.doc_id, att_id""".stripMargin,
+
+    "j29_preferred_magnitude" ->
+      s"""WITH ev AS ($evCte),
+         |mg AS (${MagnitudeIndex.oracleCte("ev")}),
+         |mgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY (${FdsnQuery.magTypeRankSql}) ASC, mag_id ASC) AS rn
+         |  FROM mg)
+         |SELECT event_id, mag_id, mag_c, mtype
+         |FROM mgr WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j30_catalogs" ->
+      s"""WITH ev AS ($evCte)
+         |SELECT kind, name, n_events FROM (
+         |  SELECT 'catalog' AS kind, agency AS name, COUNT(*) AS n_events
+         |  FROM ev GROUP BY agency
+         |  UNION ALL
+         |  SELECT 'contributor' AS kind, contributor AS name,
+         |    COUNT(*) AS n_events
+         |  FROM ev GROUP BY contributor)
+         |ORDER BY kind, name""".stripMargin,
+
+    "j31_station_coverage" -> {
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("elat", "elon", "slat", "slon")
+      s"""WITH ev AS ($evCte),
+         |e AS (SELECT event_id, latitude AS elat, longitude AS elon
+         |      FROM ev WHERE magnitude >= 5.5),
+         |ch AS (${ChannelIndex.oracleCte}),
+         |st AS (SELECT DISTINCT network, station, latitude AS slat,
+         |         longitude AS slon FROM ch)
+         |SELECT event_id, network, station, round($distSql, 2) AS dist_km2
+         |FROM e, st
+         |WHERE abs(slat - elat) <= 27.5 AND $distSql <= 3000.0
+         |ORDER BY event_id, network, station""".stripMargin
+    },
+
+    "j32_event_xml" ->
+      s"""WITH ev AS ($evCte),
+         |evf AS (SELECT * FROM ev WHERE magnitude >= 6.0),
+         |org AS (${OriginIndex.oracleCte("evf")}),
+         |orgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY n_phases DESC, origin_id ASC) AS rn FROM org),
+         |ofr AS (SELECT event_id, origin_id, rn,
+         |    '<origin publicID="smi:graft/origin/' ||
+         |    CAST(origin_id AS VARCHAR) || '"><time>' ||
+         |    CAST(otime_s AS VARCHAR) || '</time><latitude>' ||
+         |    CAST(lat_e2 AS VARCHAR) || '</latitude><longitude>' ||
+         |    CAST(lon_e2 AS VARCHAR) || '</longitude><depth>' ||
+         |    CAST(depth_m AS VARCHAR) || '</depth></origin>' AS frag
+         |  FROM orgr),
+         |os AS (SELECT event_id,
+         |    MAX(CASE WHEN rn = 1 THEN origin_id END) AS pref_oid,
+         |    string_agg(frag, '' ORDER BY origin_id) AS origins_xml
+         |  FROM ofr GROUP BY event_id),
+         |mg AS (${MagnitudeIndex.oracleCte("evf")}),
+         |mgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY (${FdsnQuery.magTypeRankSql}) ASC, mag_id ASC) AS rn
+         |  FROM mg),
+         |mfr AS (SELECT event_id, mag_id, rn,
+         |    '<magnitude publicID="smi:graft/magnitude/' ||
+         |    CAST(mag_id AS VARCHAR) || '"><mag>' ||
+         |    CAST(mag_c AS VARCHAR) || '</mag><type>' || mtype ||
+         |    '</type></magnitude>' AS frag
+         |  FROM mgr),
+         |ms AS (SELECT event_id,
+         |    MAX(CASE WHEN rn = 1 THEN mag_id END) AS pref_mid,
+         |    string_agg(frag, '' ORDER BY mag_id) AS mags_xml
+         |  FROM mfr GROUP BY event_id)
+         |SELECT os.event_id,
+         |  '<event publicID="smi:graft/event/' ||
+         |  CAST(os.event_id AS VARCHAR) ||
+         |  '"><preferredOriginID>smi:graft/origin/' ||
+         |  CAST(pref_oid AS VARCHAR) ||
+         |  '</preferredOriginID><preferredMagnitudeID>smi:graft/magnitude/' ||
+         |  CAST(pref_mid AS VARCHAR) || '</preferredMagnitudeID>' ||
+         |  origins_xml || mags_xml || '</event>' AS xml
+         |FROM os JOIN ms ON os.event_id = ms.event_id
+         |ORDER BY os.event_id""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)
