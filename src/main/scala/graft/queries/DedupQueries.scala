@@ -58,6 +58,30 @@ object DedupQueries {
         .orderBy("new_id", "dup_of")
     },
 
+    "d15_keep_best" -> { (s, d) =>
+      // Canonical-copy selection: after clustering near-dups (d11), a
+      // pipeline must decide WHICH copy survives — keep the longest
+      // document per cluster (doc id tie-break), the common keep-longest
+      // policy. Cluster labels + doc lengths meet in one doc_id-keyed
+      // join; rank and size come from two window functions over the SAME
+      // label partitioning (one shuffle). In a real pipeline the pair
+      // generation/closure is the cached d11 artifact — recomputed here so
+      // the query stays self-contained and oracle-checkable.
+      val docs = Tables.documents(s, d)
+      val comp = Dedup.components(Dedup.minHashLshPairs(docs, K, Bands))
+      val sized = comp.join(
+        docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+      val byLabel = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      sized
+        .withColumn("rn", row_number().over(
+          byLabel.orderBy(col("n_chars").desc, col("id").asc)))
+        .withColumn("cluster_size", count(lit(1)).over(byLabel))
+        .filter(col("rn") === 1)
+        .select(col("label").as("rep_id"), col("id").as("keep_id"),
+          col("n_chars").as("keep_chars"), col("cluster_size"))
+        .orderBy("rep_id")
+    },
+
     "d04_simhash" -> { (s, d) =>
       // repartition = materialization barrier: without it, whole-stage
       // codegen defers the fused signature projection into the join's
@@ -163,6 +187,25 @@ object DedupQueries {
          |  ON n.band = o.band AND n.sig = o.sig
          |WHERE n.doc_id % 10 = 7 AND o.doc_id % 10 <> 7
          |ORDER BY new_id, dup_of""".stripMargin,
+
+    "d15_keep_best" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |edges AS (SELECT a, b FROM lsh_pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM lsh_pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |),
+         |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |sized AS (SELECT l.label, l.id, d.n_chars
+         |  FROM lab l JOIN documents d ON d.doc_id = l.id),
+         |rk AS (SELECT *, row_number() OVER (PARTITION BY label
+         |    ORDER BY n_chars DESC, id ASC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY label) AS cluster_size FROM sized)
+         |SELECT label AS rep_id, id AS keep_id, n_chars AS keep_chars,
+         |  cluster_size
+         |FROM rk WHERE rn = 1 ORDER BY rep_id""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH tok AS (SELECT doc_id, n_chars,

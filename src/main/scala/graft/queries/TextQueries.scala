@@ -74,6 +74,26 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    "t18_leakfree_split" -> { (s, d) =>
+      // Leakage-free train/valid/test split: exact-duplicate GROUPS move
+      // atomically (hash the group representative, not the doc), so no
+      // split ever sees a copy of another split's document — the
+      // train/eval hygiene t14 then audits. Same normalized key as d01,
+      // same multiplicative hash as t05; one groupBy-min + one key join,
+      // both on the normalized-text key, no RNG.
+      val docs = Tables.documents(s, d)
+      val rep = docs.groupBy(expr(graft.operators.Dedup.normKeySql).as("__key"))
+        .agg(min(col("doc_id")).as("rep_id"))
+      docs.withColumn("__key", expr(graft.operators.Dedup.normKeySql))
+        .join(rep, "__key")
+        .withColumn("split", expr(
+          "CASE WHEN (rep_id * 2654435761) % 100 < 80 THEN 'train' " +
+            "WHEN (rep_id * 2654435761) % 100 < 90 THEN 'valid' " +
+            "ELSE 'test' END"))
+        .select(col("doc_id"), col("rep_id"), col("split"))
+        .orderBy("doc_id")
+    },
+
     "t01_lang_id" -> { (s, d) =>
       val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
         case (df, (l, words)) => df.withColumn(s"s_$l", expr(scoreSpark(words)))
@@ -426,6 +446,18 @@ object TextQueries {
         |  (1000000 // n_langs) * 1000000 // (n_docs * 1000000 // total)
         |    AS weight_e6
         |FROM b, t ORDER BY lang""".stripMargin,
+
+    "t18_leakfree_split" ->
+      s"""WITH rep AS (SELECT ${graft.operators.Dedup.normKeyOracleSql} AS key,
+         |    MIN(doc_id) AS rep_id
+         |  FROM documents GROUP BY 1)
+         |SELECT doc_id, rep_id,
+         |  CASE WHEN (rep_id * 2654435761) % 100 < 80 THEN 'train'
+         |       WHEN (rep_id * 2654435761) % 100 < 90 THEN 'valid'
+         |       ELSE 'test' END AS split
+         |FROM documents d
+         |JOIN rep ON ${graft.operators.Dedup.normKeyOracleSql} = rep.key
+         |ORDER BY doc_id""".stripMargin,
 
     "t01_lang_id" ->
       s"""WITH scored AS (SELECT lang,
