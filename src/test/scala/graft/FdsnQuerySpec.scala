@@ -123,4 +123,40 @@ class FdsnQuerySpec extends SparkSpec {
     val only = FdsnQuery.eventOrigins(origins, includeAll = false)
     assert(only.count() == all.filter(col("is_preferred") === 1).count())
   }
+
+  test("magnitude index: preferred magnitude is the unique type-authority argmin") {
+    import graft.operators.Indexers.MagnitudeIndex
+    val mags = MagnitudeIndex.attach(index).cache()
+    // per-event magnitude count is 1 + event_id % 2
+    val badN = mags.groupBy("event_id").count()
+      .filter(col("count") =!= (col("event_id") % 2) + 1).count()
+    assert(badN == 0)
+    val all = FdsnQuery.eventMagnitudes(mags, includeAll = true).cache()
+    // exactly one preferred magnitude per event
+    val prefPerEvent = all.filter(col("is_preferred") === 1)
+      .groupBy("event_id").count().filter(col("count") =!= 1).count()
+    assert(prefPerEvent == 0)
+    // preferred row carries its event's best (lowest) type rank
+    val rank = expr(FdsnQuery.magTypeRankSql)
+    val best = all.withColumn("r", rank).groupBy("event_id")
+      .agg(min(col("r")).as("mn"))
+    val badPref = all.withColumn("r", rank)
+      .filter(col("is_preferred") === 1)
+      .join(best, "event_id").filter(col("r") =!= col("mn")).count()
+    assert(badPref == 0)
+    // includeAll=false == the flagged subset
+    val only = FdsnQuery.eventMagnitudes(mags, includeAll = false)
+    assert(only.count() == all.filter(col("is_preferred") === 1).count())
+  }
+
+  test("station-coverage distance join broadcasts the event side") {
+    // j31's geo distance join must plan as a broadcast nested-loop join
+    // (tiny filtered event side against the station index) — never a
+    // shuffled cartesian of the two tables.
+    val j31 = graft.queries.JaneQueries.queries("j31_station_coverage")(spark, sfDir)
+    val plan = j31.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"expected a broadcast NL join in:\n$plan")
+    assert(j31.count() > 0)
+  }
 }

@@ -82,4 +82,46 @@ class ParquetStoreSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", bjt)
     }
   }
+
+  test("persisted LSH index: corpus side of the incremental band join is shuffle-free") {
+    // d14's 100 TB claim, proven on the plan: write the corpus band table
+    // bucketed by its bucket key and the daily new-batch join shuffles ONLY
+    // the batch side — the corpus (the 100 TB side) is read pre-partitioned.
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bjt = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS lsh_index_b")
+      val loc = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "lsh_index_b")
+      if (loc.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(loc).deleteRecursively()
+      }
+      val docs = Tables.documents(spark, sfDir)
+      val bands = graft.operators.Dedup.bandSignatures(docs, 16, 2)
+        .withColumn("key", concat_ws("-", col("band"), col("sig")))
+      ParquetStore.writeBucketed(
+        bands.filter(col("doc_id") % 10 =!= 7).select("doc_id", "key"),
+        "lsh_index_b", "key", 8)
+      val corpus = spark.table("lsh_index_b").withColumnRenamed("doc_id", "dup_of")
+      val batch = bands.filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id").as("new_id"), col("key"))
+      val joined = corpus.join(batch, "key")
+      val plan = joined.queryExecution.executedPlan.toString
+      val nExchanges = plan.linesIterator.count(_.contains("Exchange"))
+      assert(nExchanges == 1,
+        s"expected exactly one Exchange (the batch side), got $nExchanges:\n$plan")
+      // the bucketed join finds exactly the candidate set d14 computes
+      val got = joined.select(col("new_id"), col("dup_of")).distinct()
+      val want = graft.operators.Dedup.minHashLshCrossPairs(
+        docs, col("doc_id") % 10 === 7, 16, 2)
+      assert(got.except(want).count() == 0 && want.except(got).count() == 0)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bjt)
+    }
+  }
 }
