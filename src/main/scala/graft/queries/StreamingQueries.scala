@@ -28,6 +28,24 @@ object StreamingQueries {
         .orderBy("bucket_s", "event_type")
     },
 
+    "s05_sliding_counts" -> { (s, d) =>
+      // 10-min windows sliding every 5 min via Spark's native
+      // window(slide) — each event expands to its TWO covering windows
+      // executor-side (no shuffle for the expansion; one map-side-combined
+      // shuffle on (window, event_type)). Streaming twin:
+      // EventStreams.slidingCounts. Window assignment runs on the
+      // floor-second timestamp so both engines bucket identically
+      // (boundaries are integer seconds — SURVEY.md §4).
+      Tables.events(s, d)
+        .withColumn("sec", unix_timestamp(col("ts")))
+        .groupBy(window(timestamp_seconds(col("sec")),
+          "600 seconds", "300 seconds").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_c"))
+        .select(unix_timestamp(col("w.start")).as("window_s"),
+          col("event_type"), col("n"), col("value_c"))
+        .orderBy("window_s", "event_type")
+    },
+
     "s02_sessionization" -> { (s, d) =>
       val byUser = Window.partitionBy("user_id").orderBy("sec", "event_id")
       val sessions = Tables.events(s, d)
@@ -111,6 +129,17 @@ object StreamingQueries {
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY bucket_s, event_type
         |ORDER BY bucket_s, event_type""".stripMargin,
+
+    "s05_sliding_counts" ->
+      """SELECT window_s, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM (SELECT event_type, value,
+        |        (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 - 300 * u
+        |          AS window_s
+        |      FROM events
+        |      CROSS JOIN (SELECT unnest([0, 1]) AS u) covering)
+        |GROUP BY window_s, event_type
+        |ORDER BY window_s, event_type""".stripMargin,
 
     "s02_sessionization" ->
       """WITH e AS (SELECT user_id, event_id,

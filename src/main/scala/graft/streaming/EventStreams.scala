@@ -36,6 +36,20 @@ object EventStreams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("value_c"))
 
+  /** 10-minute windows sliding every 5 minutes: each event lands in TWO
+    * overlapping windows (Spark's `window(slide)` does the covering-window
+    * expansion executor-side). Distinct state shape from [[tumblingCounts]]:
+    * watermark retires each window only after its LAST covering slide has
+    * passed, so live state is windowLen/slide × the tumbling equivalent.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_c"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("value_c"))
+
   /** Session windows with a 30-minute inactivity gap, per user. */
   def sessionCounts(events: DataFrame): DataFrame =
     events

@@ -33,6 +33,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingCounts lands each event in its two covering windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val q = EventStreams.slidingCounts(events).writeStream
+      .format("memory").queryName("sliding_test").outputMode(OutputMode.Append()).start()
+    try {
+      // 00:06 is covered by the [00:00,00:10) and [00:05,00:15) windows
+      mem.addData((ts(6), "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(59), "click", 4.0)) // advance watermark to close both
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT window_start, event_type, n, value_c FROM sliding_test")
+        .as[(Timestamp, String, Long, Long)].collect().toSet
+      assert(rows.contains((ts(0), "click", 1L, 100L)), s"got $rows")
+      assert(rows.contains((ts(5), "click", 1L, 100L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("runningUserTotals carries custom state across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
