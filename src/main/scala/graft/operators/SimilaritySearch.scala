@@ -39,6 +39,17 @@ object SimilaritySearch {
   def planeWeight(plane: Int, dim: Int): Long =
     ((plane + 1).toLong * (dim + 7).toLong * 2654435761L) % 1997L - 998L
 
+  /** SQL: signed integer projection of a quantized BIGINT array onto one
+    * deterministic weight vector — the random-projection (Johnson–
+    * Lindenstrauss family) dimensionality reducer whose SIGN is
+    * [[bucketSql]]'s bucket bit. Emitting the value instead of the bit
+    * gives a k-dim reduced vector for cheap pre-ranking/clustering.
+    */
+  def projectionSql(c: String, plane: Int, dims: Int, planeOffset: Int = 0): String = {
+    val weights = (0 until dims).map(planeWeight(planeOffset + plane, _)).mkString(", ")
+    s"aggregate(zip_with(array($weights), $c, (w, x) -> w * x), 0L, (acc, t) -> acc + t)"
+  }
+
   /** SQL: LSH bucket id (0..2^planes-1) of a quantized BIGINT array col.
     * `planeOffset` selects an independent plane family, so multiple hash
     * tables (OR-combined candidate generation) reuse one weight formula.

@@ -517,6 +517,32 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j33_station_json" -> { (s, d) =>
+      // StationXML-shaped STRUCTURED rendering — the station-side twin of
+      // j24: one nested JSON document per NETWORK with its station-epoch
+      // array (station code, fixed-point site coords, covering epoch,
+      // channel count), rendered via to_json(struct(...)) and byte-matched
+      // against DuckDB to_json. Station structs are array_sort'ed (station
+      // code leads) so element order survives the shuffle; scalars are
+      // BIGINT-only for engine-portable rendering. Two stacked rollups:
+      // channel→station then station→network, each one map-side-combined
+      // shuffle on its key.
+      val st = ChannelIndex.build(Tables.events(s, d))
+        .groupBy("network", "station")
+        .agg(min(expr("CAST(round(latitude * 100) AS BIGINT)")).as("lat_e2"),
+          min(expr("CAST(round(longitude * 100) AS BIGINT)")).as("lon_e2"),
+          unix_timestamp(min(col("epoch_start"))).as("start_s"),
+          unix_timestamp(max(col("epoch_end"))).as("end_s"),
+          count(lit(1)).as("n_channels"))
+      st.groupBy("network")
+        .agg(count(lit(1)).as("n_stations"),
+          expr("array_sort(collect_list(struct(station, lat_e2, lon_e2, " +
+            "start_s, end_s, n_channels)))").as("stations"))
+        .select(col("network"), to_json(struct(col("network"),
+          col("n_stations"), col("stations"))).as("doc"))
+        .orderBy("network")
+    },
+
     "j11_point_lookup" -> { (s, d) =>
       // Document fetch by id (Jane REST /documents/<id>); at scale this is
       // a pushed-down point predicate, pruning row groups via statistics.
@@ -873,6 +899,24 @@ object JaneQueries {
          |  origins_xml || mags_xml || '</event>' AS xml
          |FROM os JOIN ms ON os.event_id = ms.event_id
          |ORDER BY os.event_id""".stripMargin,
+
+    "j33_station_json" ->
+      s"""WITH ch AS (${ChannelIndex.oracleCte}),
+         |st AS (SELECT network, station,
+         |    MIN(CAST(round(latitude * 100) AS BIGINT)) AS lat_e2,
+         |    MIN(CAST(round(longitude * 100) AS BIGINT)) AS lon_e2,
+         |    CAST(floor(epoch(MIN(epoch_start))) AS BIGINT) AS start_s,
+         |    CAST(floor(epoch(MAX(epoch_end))) AS BIGINT) AS end_s,
+         |    COUNT(*) AS n_channels
+         |  FROM ch GROUP BY network, station),
+         |nw AS (SELECT network, COUNT(*) AS n_stations,
+         |    list(struct_pack(station := station, lat_e2 := lat_e2,
+         |        lon_e2 := lon_e2, start_s := start_s, end_s := end_s,
+         |        n_channels := n_channels) ORDER BY station) AS stations
+         |  FROM st GROUP BY network)
+         |SELECT network, CAST(to_json(struct_pack(network := network,
+         |    n_stations := n_stations, stations := stations)) AS VARCHAR) AS doc
+         |FROM nw ORDER BY network""".stripMargin,
 
     "j11_point_lookup" ->
       s"""WITH ev AS ($evCte)

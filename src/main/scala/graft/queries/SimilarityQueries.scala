@@ -30,6 +30,9 @@ object SimilarityQueries {
   private val TargetClusterSize = 16
   private val SamplePct = 40
   private val IvfIters = 2
+  // d16 random projection: 8 reduced dims from an independent plane family
+  private val RpDims = 8
+  private val RpOffset = 100
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("q", expr(quantizeSql("embedding")))
@@ -50,6 +53,26 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQueries),
         e.filter(col("vec_id") >= NQueries), K, Planes, Dims)
         .orderBy("query_id", "rn")
+    },
+
+    "d16_random_projection" -> { (s, d) =>
+      // Random-projection dimensionality reduction (Johnson–Lindenstrauss
+      // family): 64-dim quantized vectors projected onto 8 deterministic
+      // integer weight vectors (an independent plane family from
+      // d06/d08's bucket hashes — same weight formula, offset 100). The
+      // reduced vector is what a cheap pre-ranking / coarse-clustering
+      // pass consumes at 100 TB: 8 longs per row instead of 64, computed
+      // in one codegen'd scan projection — zero shuffle. Components are
+      // emitted as scalar columns (array outputs can't cross-engine
+      // hash — the d12 lesson).
+      val projs = (0 until RpDims).map(p =>
+        expr(SimilaritySearch.projectionSql("q", p, Dims, RpOffset))
+          .as(s"p$p"))
+      val reduced = quantized(s, d).select(col("vec_id") +: projs: _*)
+      reduced
+        .withColumn("norm2_red",
+          expr((0 until RpDims).map(p => s"p$p * p$p").mkString(" + ")))
+        .orderBy("vec_id")
     },
 
     // IVF inverted-list ANN: coarse centroids (vec_id<8), queries probe
@@ -265,7 +288,22 @@ object SimilarityQueries {
        |${(0 until IvfIters).map(lloydIterCtes).mkString(",\n")},
        |cents AS (SELECT cent_id, cq FROM cb$IvfIters)""".stripMargin
 
+  private def projDuck(c: String, plane: Int, planeOffset: Int): String = {
+    val ws = (0 until Dims).map(planeWeight(planeOffset + plane, _)).mkString(", ")
+    s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), " +
+      s"i -> ([$ws][CAST(i AS INT)]) * $c[CAST(i AS INT)])) AS BIGINT)"
+  }
+
   val oracle: Map[String, String] = Map(
+    "d16_random_projection" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |proj AS (SELECT vec_id,
+         |  ${(0 until RpDims).map(p => s"${projDuck("q", p, RpOffset)} AS p$p").mkString(",\n  ")}
+         |  FROM e)
+         |SELECT vec_id, ${(0 until RpDims).map(p => s"p$p").mkString(", ")},
+         |  ${(0 until RpDims).map(p => s"p$p * p$p").mkString(" + ")} AS norm2_red
+         |FROM proj ORDER BY vec_id""".stripMargin,
+
     "d05_embed_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
          |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < $NQueries),

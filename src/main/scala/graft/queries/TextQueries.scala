@@ -94,6 +94,26 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t19_adaptive_length_filter" -> { (s, d) =>
+      // Adaptive (distribution-driven) length filtering: instead of fixed
+      // cutoffs, drop each language's shortest/longest 5% — per-language
+      // exact p5/p95 of n_chars (q15's percentile convention), broadcast
+      // back, count survivors. Thresholds are O(langs) rows: one
+      // percentile groupBy + one broadcast join + one rollup; the
+      // per-doc verdict never shuffles the corpus.
+      val docs = Tables.documents(s, d)
+      val thresholds = docs.groupBy("lang")
+        .agg(round(expr("percentile(n_chars, 0.05)"), 4).as("p5_4"),
+          round(expr("percentile(n_chars, 0.95)"), 4).as("p95_4"))
+      docs.join(broadcast(thresholds), "lang")
+        .withColumn("keep",
+          col("n_chars") >= col("p5_4") && col("n_chars") <= col("p95_4"))
+        .groupBy("lang", "p5_4", "p95_4")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy("lang")
+    },
+
     "t01_lang_id" -> { (s, d) =>
       val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
         case (df, (l, words)) => df.withColumn(s"s_$l", expr(scoreSpark(words)))
@@ -446,6 +466,17 @@ object TextQueries {
         |  (1000000 // n_langs) * 1000000 // (n_docs * 1000000 // total)
         |    AS weight_e6
         |FROM b, t ORDER BY lang""".stripMargin,
+
+    "t19_adaptive_length_filter" ->
+      """WITH th AS (SELECT lang,
+        |    round(quantile_cont(n_chars, 0.05), 4) AS p5_4,
+        |    round(quantile_cont(n_chars, 0.95), 4) AS p95_4
+        |  FROM documents GROUP BY lang)
+        |SELECT d.lang, p5_4, p95_4, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN n_chars >= p5_4 AND n_chars <= p95_4
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN th ON d.lang = th.lang
+        |GROUP BY d.lang, p5_4, p95_4 ORDER BY d.lang""".stripMargin,
 
     "t18_leakfree_split" ->
       s"""WITH rep AS (SELECT ${graft.operators.Dedup.normKeyOracleSql} AS key,
