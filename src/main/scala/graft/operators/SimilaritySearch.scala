@@ -46,8 +46,13 @@ object SimilaritySearch {
     * gives a k-dim reduced vector for cheap pre-ranking/clustering.
     */
   def projectionSql(c: String, plane: Int, dims: Int, planeOffset: Int = 0): String = {
-    val weights = (0 until dims).map(planeWeight(planeOffset + plane, _)).mkString(", ")
-    s"aggregate(zip_with(array($weights), $c, (w, x) -> w * x), 0L, (acc, t) -> acc + t)"
+    val weights = (0 until dims)
+      .map(d => s"${planeWeight(planeOffset + plane, d)}L").mkString(", ")
+    // the fused codegen dot (bit-equal to the declarative
+    // aggregate(zip_with(...)) fold, spec-proven) — callers must have run
+    // GraftFunctions.register; 8 planes × an interpreted lambda is exactly
+    // the d08 hot path the expression was built for
+    s"graft_dot_i64(array($weights), $c)"
   }
 
   /** SQL: LSH bucket id (0..2^planes-1) of a quantized BIGINT array col.

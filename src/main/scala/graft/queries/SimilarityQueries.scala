@@ -65,6 +65,7 @@ object SimilarityQueries {
       // in one codegen'd scan projection — zero shuffle. Components are
       // emitted as scalar columns (array outputs can't cross-engine
       // hash — the d12 lesson).
+      graft.plans.GraftFunctions.register(s)
       val projs = (0 until RpDims).map(p =>
         expr(SimilaritySearch.projectionSql("q", p, Dims, RpOffset))
           .as(s"p$p"))
