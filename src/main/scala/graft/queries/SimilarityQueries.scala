@@ -33,6 +33,8 @@ object SimilarityQueries {
   // d16 random projection: 8 reduced dims from an independent plane family
   private val RpDims = 8
   private val RpOffset = 100
+  // d17 two-stage rerank: exact-score only the top PreM of the pre-rank
+  private val PreM = 10
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("q", expr(quantizeSql("embedding")))
@@ -74,6 +76,40 @@ object SimilarityQueries {
         .withColumn("norm2_red",
           expr((0 until RpDims).map(p => s"p$p * p$p").mkString(" + ")))
         .orderBy("vec_id")
+    },
+
+    "d17_jl_rerank" -> { (s, d) =>
+      // Reduced-space pre-rank + exact re-rank: score ALL pairs with the
+      // 8-dim d16 projection (8 multiplies instead of 64), keep top
+      // PreM=10 per query, exact-dot only those, emit top K. The
+      // approximation is honest two-stage ANN: the expensive 64-dim dot
+      // runs on PreM rows per query instead of the corpus; at 100 TB the
+      // pre-rank is the only corpus-wide pass and it touches 1/8 of the
+      // bytes. All arithmetic is integer (projection values and dots), so
+      // the oracle replays BOTH stages exactly.
+      graft.plans.GraftFunctions.register(s)
+      val projCols = (0 until RpDims).map(p =>
+        expr(SimilaritySearch.projectionSql("q", p, Dims, RpOffset)).as(s"p$p"))
+      val e = quantized(s, d)
+      val red = e.select(col("vec_id") +: col("q") +: projCols: _*)
+      val qs = red.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id") +: col("q").as("qq") +:
+          (0 until RpDims).map(p => col(s"p$p").as(s"qp$p")): _*)
+      val cs = red.filter(col("vec_id") >= NQueries)
+      val redDot = (0 until RpDims).map(p => s"qp$p * p$p").mkString(" + ")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rdot").desc, col("vec_id").asc)
+      cs.join(broadcast(qs), expr("true"))
+        .withColumn("rdot", expr(redDot))
+        .withColumn("prn", row_number().over(w))
+        .filter(col("prn") <= PreM)
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "q")))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(col("dot").desc, col("vec_id").asc)))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("dot"), col("rn"))
+        .orderBy("query_id", "rn")
     },
 
     // IVF inverted-list ANN: coarse centroids (vec_id<8), queries probe
@@ -304,6 +340,28 @@ object SimilarityQueries {
          |SELECT vec_id, ${(0 until RpDims).map(p => s"p$p").mkString(", ")},
          |  ${(0 until RpDims).map(p => s"p$p * p$p").mkString(" + ")} AS norm2_red
          |FROM proj ORDER BY vec_id""".stripMargin,
+
+    "d17_jl_rerank" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |red AS (SELECT vec_id, q,
+         |  ${(0 until RpDims).map(p => s"${projDuck("q", p, RpOffset)} AS p$p").mkString(",\n  ")}
+         |  FROM e),
+         |qs AS (SELECT vec_id AS query_id, q AS qq,
+         |    ${(0 until RpDims).map(p => s"p$p AS qp$p").mkString(", ")}
+         |  FROM red WHERE vec_id < $NQueries),
+         |cs AS (SELECT * FROM red WHERE vec_id >= $NQueries),
+         |pre AS (SELECT query_id, cs.vec_id, qq, q,
+         |    ${(0 until RpDims).map(p => s"qp$p * p$p").mkString(" + ")} AS rdot
+         |  FROM cs CROSS JOIN qs),
+         |prer AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rdot DESC, vec_id ASC) AS prn FROM pre),
+         |exact AS (SELECT query_id, vec_id, ${dotDuck("qq", "q")} AS dot
+         |  FROM prer WHERE prn <= $PreM),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, vec_id ASC) AS rn FROM exact)
+         |SELECT query_id, vec_id AS cand_id, dot, rn
+         |FROM ranked WHERE rn <= $K
+         |ORDER BY query_id, rn""".stripMargin,
 
     "d05_embed_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),

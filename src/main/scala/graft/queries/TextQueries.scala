@@ -114,6 +114,31 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    "t20_unigram_nll" -> { (s, d) =>
+      // Unigram-LM negative log likelihood per document — the model-free
+      // stand-in for the perplexity quality filter (docs of improbable
+      // tokens score high). Doctrine note: each token's -ln(p) is
+      // quantized to integer 1e-6 units BEFORE summing (per-element
+      // double→BIGINT, then order-independent integer SUM — a double SUM
+      // would be summation-order-dependent across engines); the final
+      // division is integer/integer in IEEE doubles, which is exactly
+      // rounded, hence portable. Two shuffles: token-frequency groupBy +
+      // per-doc reduce; the 1-row total broadcasts.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      val tot = freq.agg(sum(col("cnt")).as("n_corpus"))
+      toks.join(freq, "tok")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll_e6", expr(
+          "CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("nll_e6")).as("sum_nll_e6"))
+        .withColumn("avg_nll_e4", expr(
+          "CAST(round(sum_nll_e6 / (n_tok * 100.0)) AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+
     "t01_lang_id" -> { (s, d) =>
       val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
         case (df, (l, words)) => df.withColumn(s"s_$l", expr(scoreSpark(words)))
@@ -466,6 +491,20 @@ object TextQueries {
         |  (1000000 // n_langs) * 1000000 // (n_docs * 1000000 // total)
         |    AS weight_e6
         |FROM b, t ORDER BY lang""".stripMargin,
+
+    "t20_unigram_nll" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM freq)
+        |SELECT doc_id, COUNT(*) AS n_tok,
+        |  CAST(SUM(CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000)
+        |    AS BIGINT)) AS BIGINT) AS sum_nll_e6,
+        |  CAST(round(CAST(SUM(CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE))
+        |    * 1000000) AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0)) AS BIGINT)
+        |    AS avg_nll_e4
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t19_adaptive_length_filter" ->
       """WITH th AS (SELECT lang,
