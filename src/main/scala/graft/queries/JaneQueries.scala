@@ -454,8 +454,9 @@ object JaneQueries {
       // BroadcastNestedLoopJoin whose condition leads with a conservative
       // latitude-band prefilter (|dlat| <= 27.5 deg; 3000 km spans at
       // most 3000/111.19 = 26.98 deg of latitude, so the band is a
-      // mathematical superset of the haversine ball) — the cheap
-      // compare prunes ~85% of pairs before any trig runs. At 100 TB the
+      // mathematical superset of the haversine ball) — the cheap compare
+      // keeps ~31% of pairs (55/180 deg) and prunes the rest before any
+      // trig runs. At 100 TB the
       // station index is the broadcast side and the same shape holds.
       val e = ev(s, d).filter(col("magnitude") >= 5.5)
         .select(col("event_id"), col("latitude").as("elat"),
