@@ -110,11 +110,19 @@ object FdsnQuery {
     * (`includeAll = false`, the service default) or all of them flagged.
     * One window shuffle keyed by event_id; no self-join.
     */
-  def eventOrigins(origins: DataFrame, includeAll: Boolean): DataFrame = {
+  def eventOrigins(origins: DataFrame, includeAll: Boolean): DataFrame =
+    rankPreferred(origins, Seq(col("n_phases").desc, col("origin_id").asc), includeAll)
+
+  /** Shared preferred-row selection: rank within each event by the given
+    * quality ordering, flag rank 1 as preferred, keep all (flagged) or
+    * only the preferred row. One event_id-keyed window shuffle.
+    */
+  private def rankPreferred(df: DataFrame,
+      ordering: Seq[Column], includeAll: Boolean): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_id")
-      .orderBy(col("n_phases").desc, col("origin_id").asc)
-    val ranked = origins
+      .orderBy(ordering: _*)
+    val ranked = df
       .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
       .withColumn("is_preferred", when(col("__rn") === 1, 1L).otherwise(0L))
     (if (includeAll) ranked else ranked.filter(col("__rn") === 1)).drop("__rn")
@@ -137,15 +145,8 @@ object FdsnQuery {
     * Same single-window shape as [[eventOrigins]]: one event_id-keyed
     * shuffle, no self-join.
     */
-  def eventMagnitudes(mags: DataFrame, includeAll: Boolean): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("event_id")
-      .orderBy(expr(magTypeRankSql).asc, col("mag_id").asc)
-    val ranked = mags
-      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
-      .withColumn("is_preferred", when(col("__rn") === 1, 1L).otherwise(0L))
-    (if (includeAll) ranked else ranked.filter(col("__rn") === 1)).drop("__rn")
-  }
+  def eventMagnitudes(mags: DataFrame, includeAll: Boolean): DataFrame =
+    rankPreferred(mags, Seq(expr(magTypeRankSql).asc, col("mag_id").asc), includeAll)
 
   /** fdsnws-station epoch parameters (epoch + wildcard surface plus the
     * FDSN `level` rollup: network | station | channel).

@@ -23,11 +23,12 @@ object JaneQueries {
 
   private val CLat = 10.5
   private val CLon = 45.5
-  /** Haversine km from the fixed query point, over index cols lat/lon. */
-  private val havSql: String =
-    s"2 * 6371.0 * asin(sqrt(pow(sin(radians(latitude - $CLat) / 2), 2) + " +
-      s"cos(radians($CLat)) * cos(radians(latitude)) * " +
-      s"pow(sin(radians(longitude - $CLon) / 2), 2)))"
+  /** Haversine km from the fixed query point, over index cols lat/lon —
+    * ONE source of truth with the two-point join form (same generator, so
+    * the formula can never desynchronize between j02/j13 and j31).
+    */
+  private val havSql: String = graft.functions.GeoFunctions
+    .haversineKmSql(s"$CLat", s"$CLon", "latitude", "longitude")
 
   /** Convex polygon (lat, lon) vertices, counter-clockwise in (lon, lat). */
   private val polyVerts: Seq[(Double, Double)] =
@@ -467,10 +468,13 @@ object JaneQueries {
         .distinct()
       val distSql = graft.functions.GeoFunctions
         .haversineKmSql("elat", "elon", "slat", "slon")
+      // distance emitted in integer 10-m units (cents doctrine): a DOUBLE
+      // output column over this many distinct operand pairs would carry
+      // j02's last-ulp rounding exposure × the output size
       broadcast(e).join(st,
           abs(col("slat") - col("elat")) <= 27.5 && expr(distSql) <= 3000.0)
         .select(col("event_id"), col("network"), col("station"),
-          round(expr(distSql), 2).as("dist_km2"))
+          expr(s"CAST(round($distSql * 100) AS BIGINT)").as("dist_e2"))
         .orderBy("event_id", "network", "station")
     },
 
@@ -852,7 +856,8 @@ object JaneQueries {
          |ch AS (${ChannelIndex.oracleCte}),
          |st AS (SELECT DISTINCT network, station, latitude AS slat,
          |         longitude AS slon FROM ch)
-         |SELECT event_id, network, station, round($distSql, 2) AS dist_km2
+         |SELECT event_id, network, station,
+         |  CAST(round($distSql * 100) AS BIGINT) AS dist_e2
          |FROM e, st
          |WHERE abs(slat - elat) <= 27.5 AND $distSql <= 3000.0
          |ORDER BY event_id, network, station""".stripMargin
