@@ -82,6 +82,38 @@ object DedupQueries {
         .orderBy("rep_id")
     },
 
+    "d18_minhash_calibration" -> { (s, d) =>
+      // Estimator calibration: for every d03 candidate pair, the MinHash
+      // Jaccard ESTIMATE (matching permutations / K) next to the EXACT
+      // shingle Jaccard and the absolute error — the audit that tells a
+      // pipeline where to set its LSH threshold. Exact intersection runs
+      // only on the candidate pairs (never all pairs) via the codegen
+      // sorted-merge walk; estimate arithmetic is pure integers
+      // (matches·10000 div K), exact ratio is int/int IEEE division —
+      // both engine-portable.
+      graft.plans.GraftFunctions.register(s)
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairs(docs, K, Bands)
+      val sig = Dedup.minHashSignatures(docs, K)
+      val sh = docs.select(col("doc_id"),
+        expr("graft_shingles3(text)").as("sh"))
+      val est = (0 until K)
+        .map(i => s"(CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      pairs
+        .join(sig.as("xa"), col("a") === col("xa.doc_id"))
+        .join(sig.as("xb"), col("b") === col("xb.doc_id"))
+        .withColumn("est_e4", expr(s"CAST(($est) * 10000 div $K AS BIGINT)"))
+        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("b") === col("sb.doc_id"))
+        .withColumn("inter", expr("graft_isect_sorted_i64(sa.sh, sb.sh)"))
+        .withColumn("j4_e4", expr("CAST(round(inter * 10000.0 / " +
+          "(size(sa.sh) + size(sb.sh) - inter)) AS BIGINT)"))
+        .select(col("a"), col("b"), col("est_e4"), col("j4_e4"),
+          expr("abs(est_e4 - j4_e4)").as("err_e4"))
+        .orderBy("a", "b")
+    },
+
     "d04_simhash" -> { (s, d) =>
       // repartition = materialization barrier: without it, whole-stage
       // codegen defers the fused signature projection into the join's
@@ -206,6 +238,33 @@ object DedupQueries {
          |SELECT label AS rep_id, id AS keep_id, n_chars AS keep_chars,
          |  cluster_size
          |FROM rk WHERE rn = 1 ORDER BY rep_id""".stripMargin,
+
+    "d18_minhash_calibration" -> {
+      val est = (0 until K)
+        .map(i => s"(CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $lshPairsCtes,
+         |est AS (SELECT p.a, p.b,
+         |    CAST(($est) * 10000 // $K AS BIGINT) AS est_e4
+         |  FROM lsh_pairs p JOIN mh xa ON xa.doc_id = p.a
+         |  JOIN mh xb ON xb.doc_id = p.b),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT p.a, p.b, COUNT(*) AS inter
+         |  FROM lsh_pairs p
+         |  JOIN sh s1 ON s1.doc_id = p.a
+         |  JOIN sh s2 ON s2.doc_id = p.b AND s2.code = s1.code
+         |  GROUP BY p.a, p.b),
+         |ex AS (SELECT p.a, p.b,
+         |    CAST(round(COALESCE(i.inter, 0) * 10000.0 /
+         |      (na.n + nb.n - COALESCE(i.inter, 0))) AS BIGINT) AS j4_e4
+         |  FROM lsh_pairs p
+         |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+         |  JOIN sizes na ON na.doc_id = p.a
+         |  JOIN sizes nb ON nb.doc_id = p.b)
+         |SELECT e.a, e.b, est_e4, j4_e4, abs(est_e4 - j4_e4) AS err_e4
+         |FROM est e JOIN ex ON ex.a = e.a AND ex.b = e.b
+         |ORDER BY e.a, e.b""".stripMargin
+    },
 
     "d04_simhash" ->
       s"""WITH tok AS (SELECT doc_id, n_chars,
