@@ -139,6 +139,25 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t21_global_shuffle" -> { (s, d) =>
+      // Deterministic global shuffle + shard layout: order the corpus by
+      // a multiplicative hash (reproducible "random" order, no RNG),
+      // assign each doc to one of 64 shards, position it within its
+      // shard — the (shard, pos) layout a training dataloader reads for
+      // IID batches. One hash projection + one shard-keyed window; at
+      // 100 TB each shard is written by its own task, and re-runs
+      // produce byte-identical shards.
+      val h = "(doc_id * 2654435761) % 1000000007"
+      Tables.documents(s, d)
+        .withColumn("h", expr(h))
+        .withColumn("shard", expr("h % 64"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc))
+          .cast("long"))
+        .select(col("shard"), col("pos"), col("doc_id"))
+        .orderBy("shard", "pos")
+    },
+
     "t01_lang_id" -> { (s, d) =>
       val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
         case (df, (l, words)) => df.withColumn(s"s_$l", expr(scoreSpark(words)))
@@ -491,6 +510,15 @@ object TextQueries {
         |  (1000000 // n_langs) * 1000000 // (n_docs * 1000000 // total)
         |    AS weight_e6
         |FROM b, t ORDER BY lang""".stripMargin,
+
+    "t21_global_shuffle" ->
+      """SELECT shard, pos, doc_id FROM (
+        |  SELECT doc_id, h % 64 AS shard,
+        |    row_number() OVER (PARTITION BY h % 64 ORDER BY h ASC, doc_id ASC)
+        |      AS pos
+        |  FROM (SELECT doc_id, (doc_id * 2654435761) % 1000000007 AS h
+        |        FROM documents))
+        |ORDER BY shard, pos""".stripMargin,
 
     "t20_unigram_nll" ->
       """WITH toks AS (SELECT doc_id,
