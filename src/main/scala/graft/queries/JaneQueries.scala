@@ -428,6 +428,18 @@ object JaneQueries {
         .orderBy("event_id")
     },
 
+    "j34_all_magnitudes" -> { (s, d) =>
+      // includeallmagnitudes=true: every derived magnitude estimate with
+      // the type-authoritative one flagged — the other toggle state of
+      // j29's parameterized operator (the magnitude twin of j25's
+      // includeallorigins pair). Same one-window shape; the flag costs
+      // nothing extra because the rank window already ran.
+      FdsnQuery.eventMagnitudes(MagnitudeIndex.attach(ev(s, d)), includeAll = true)
+        .select(col("event_id"), col("mag_id"), col("mag_c"), col("mtype"),
+          col("is_preferred"))
+        .orderBy("event_id", "mag_id")
+    },
+
     "j30_catalogs" -> { (s, d) =>
       // fdsnws-event /catalogs + /contributors metadata endpoints: the
       // distinct catalog (agency) and contributor lists a federation
@@ -835,6 +847,17 @@ object JaneQueries {
          |  FROM mg)
          |SELECT event_id, mag_id, mag_c, mtype
          |FROM mgr WHERE rn = 1 ORDER BY event_id""".stripMargin,
+
+    "j34_all_magnitudes" ->
+      s"""WITH ev AS ($evCte),
+         |mg AS (${MagnitudeIndex.oracleCte("ev")}),
+         |mgr AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY (${FdsnQuery.magTypeRankSql}) ASC, mag_id ASC) AS rn
+         |  FROM mg)
+         |SELECT event_id, mag_id, mag_c, mtype,
+         |  CASE WHEN rn = 1 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END
+         |    AS is_preferred
+         |FROM mgr ORDER BY event_id, mag_id""".stripMargin,
 
     "j30_catalogs" ->
       s"""WITH ev AS ($evCte)
