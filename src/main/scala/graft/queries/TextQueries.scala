@@ -33,6 +33,18 @@ object TextQueries {
       "' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' || " +
       "CAST((doc_id * 7) % 256 AS VARCHAR)"
 
+  // --- t22 Gopher rules: distinct-stopword presence. The corpus's 31-word
+  // vocabulary carries exactly two English stopwords ('the', 'a' — each in
+  // ~77% of docs), so the presence rule demands both; the full langMarkers
+  // list would fail every document and make the verdict degenerate. ------
+  private val stopwList = Seq("the", "a").map(w => s"'$w'").mkString(", ")
+  private val stopwPresentSpark =
+    s"CAST(size(filter(array($stopwList), " +
+      "w -> array_contains(split(trim(text), ' '), w))) AS BIGINT)"
+  private val stopwPresentDuck =
+    s"len(list_filter([$stopwList], " +
+      "w -> list_contains(string_split(trim(text), ' '), w)))"
+
   val queries: Map[String, Q] = Map(
     "t16_pii_scrub" -> { (s, d) =>
       // PII redaction (training-data hygiene): count and replace emails /
@@ -428,6 +440,32 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t22_gopher_rules" -> { (s, d) =>
+      // Composite quality-rule VERDICT (the Gopher/C4 rule-stack shape):
+      // the published word-count / mean-word-length / stopword-presence /
+      // short-word-ratio rules evaluated together, with a reason BITMASK
+      // so a pipeline can report per-rule rejection rates, not just a
+      // boolean. Distinct from t02 (feature extraction) and t15 (the
+      // repetition rules, which need a shuffle): this is the pure-scan
+      // rule composition — zero shuffle, runs at scan speed at 100 TB.
+      Tables.documents(s, d)
+        .withColumn("n_tok", expr(wsTokensSpark))
+        .withColumn("mwl_e2", expr(
+          "CAST(round((length(trim(text)) - (n_tok - 1)) * 100.0 / n_tok) AS BIGINT)"))
+        .withColumn("n_stopw", expr(stopwPresentSpark))
+        .withColumn("short_e4", expr(
+          s"CAST(round($shortTokensSpark * 10000.0 / n_tok) AS BIGINT)"))
+        .withColumn("reasons", expr(
+          "CASE WHEN n_tok < 30 OR n_tok > 100000 THEN 1 ELSE 0 END + " +
+            "CASE WHEN mwl_e2 < 300 OR mwl_e2 > 1000 THEN 2 ELSE 0 END + " +
+            "CASE WHEN n_stopw < 2 THEN 4 ELSE 0 END + " +
+            "CASE WHEN short_e4 > 4000 THEN 8 ELSE 0 END").cast("long"))
+        .withColumn("keep", col("reasons") === 0L)
+        .select(col("doc_id"), col("n_tok"), col("mwl_e2"), col("n_stopw"),
+          col("short_e4"), col("reasons"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     "m05_audio_energy" -> { (s, d) =>
       // Audio-style windowed feature extraction: payload bytes as 8-bit
       // PCM, 100-sample frames every 40 samples, integer energy + peak per
@@ -728,6 +766,26 @@ object TextQueries {
         |SELECT doc_id, n_tok, dup_tok_e4, top_bigram_e4,
         |  (dup_tok_e4 <= 3000 AND top_bigram_e4 <= 2000) AS keep
         |FROM scored ORDER BY doc_id""".stripMargin,
+
+    "t22_gopher_rules" ->
+      s"""WITH f AS (SELECT doc_id, $wsTokensDuck AS n_tok,
+         |    $stopwPresentDuck AS n_stopw, $shortTokensDuck AS n_short,
+         |    length(trim(text)) AS n_chars
+         |  FROM documents),
+         |g AS (SELECT doc_id, n_tok, n_stopw,
+         |    CAST(round((n_chars - (n_tok - 1)) * 100.0 / n_tok) AS BIGINT)
+         |      AS mwl_e2,
+         |    CAST(round(n_short * 10000.0 / n_tok) AS BIGINT) AS short_e4
+         |  FROM f),
+         |r AS (SELECT *,
+         |    CAST(CASE WHEN n_tok < 30 OR n_tok > 100000 THEN 1 ELSE 0 END +
+         |      CASE WHEN mwl_e2 < 300 OR mwl_e2 > 1000 THEN 2 ELSE 0 END +
+         |      CASE WHEN n_stopw < 2 THEN 4 ELSE 0 END +
+         |      CASE WHEN short_e4 > 4000 THEN 8 ELSE 0 END AS BIGINT) AS reasons
+         |  FROM g)
+         |SELECT doc_id, n_tok, mwl_e2, n_stopw, short_e4, reasons,
+         |  (reasons = 0) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
 
     "m05_audio_energy" ->
       """WITH d AS (SELECT doc_id,
