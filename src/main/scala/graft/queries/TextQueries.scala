@@ -5,8 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.HashFunctions
 import graft.functions.TextFunctions._
-import graft.operators.Multimodal
+import graft.operators.{Dedup, Multimodal}
 
 /** Text analysis + multimodal metadata (SURVEY.md §2.G, §2.A). */
 object TextQueries {
@@ -44,6 +45,21 @@ object TextQueries {
   private val stopwPresentDuck =
     s"len(list_filter([$stopwList], " +
       "w -> list_contains(string_split(trim(text), ' '), w)))"
+
+  // --- t23 boilerplate chunks: packed 2-word chunk keys, both dialects --
+  // (two 31-bit token codes packed into one BIGINT — chunk text never
+  // leaves the scan; the repo's 8-byte-join-key doctrine, cf. t14)
+  private def chunkKeySql(w1: String, w2: String): String = {
+    val c1 = Dedup.tokenCodeSql(8, s"rpad($w1, 8, ' ')")
+    val c2 = Dedup.tokenCodeSql(8, s"rpad($w2, 8, ' ')")
+    s"($c1 * ${HashFunctions.P} + $c2)"
+  }
+  private val chunkKeySpark = chunkKeySql(
+    "toks[2*i]", "if(2*i+1 < size(toks), toks[2*i+1], '')")
+  private val chunkKeyDuck = chunkKeySql(
+    "toks[CAST(2*i+1 AS INT)]",
+    "CASE WHEN CAST(2*i+2 AS INT) <= len(toks) " +
+      "THEN toks[CAST(2*i+2 AS INT)] ELSE '' END")
 
   val queries: Map[String, Q] = Map(
     "t16_pii_scrub" -> { (s, d) =>
@@ -466,6 +482,40 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t23_boilerplate_chunks" -> { (s, d) =>
+      // CCNet-style boilerplate removal: each document is cut into
+      // non-overlapping 2-word chunks, each chunk keyed by an explicit
+      // 8-byte packed hash (two 31-bit token codes — chunk STRINGS never
+      // shuffle), and a chunk is boilerplate when it appears in >= 3% of
+      // documents — a RELATIVE document-frequency threshold, so the rule
+      // is scale-invariant (an absolute count would flip meaning between
+      // a 1 GB shard and the full corpus). Shape: one key-grouped
+      // distinct-doc count, one key equi-join back, one doc-keyed reduce
+      // — all linear; the corpus size is a 1-row broadcast.
+      val docs = Tables.documents(s, d)
+      val ch = docs
+        .withColumn("toks", expr("split(trim(text), ' ')"))
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, (size(toks)+1) div 2 - 1), i -> $chunkKeySpark)"))
+          .as("ckey"))
+      val dfreq = ch.groupBy("ckey")
+        .agg(countDistinct(col("doc_id")).as("dfreq"))
+      val nd = docs.agg(count(lit(1)).as("ndocs"))
+      val flagged = dfreq.crossJoin(broadcast(nd))
+        .withColumn("boiler",
+          (col("dfreq") * 100 >= col("ndocs") * 3).cast("long"))
+        .select("ckey", "boiler")
+      ch.join(flagged, "ckey")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"), sum(col("boiler")).as("n_boiler"))
+        .withColumn("boiler_e4",
+          expr("CAST(round(n_boiler * 10000.0 / n_chunks) AS BIGINT)"))
+        .withColumn("keep", col("boiler_e4") <= 7000)
+        .select(col("doc_id"), col("n_chunks"), col("n_boiler"),
+          col("boiler_e4"), col("keep"))
+        .orderBy("doc_id")
+    },
+
     "m05_audio_energy" -> { (s, d) =>
       // Audio-style windowed feature extraction: payload bytes as 8-bit
       // PCM, 100-sample frames every 40 samples, integer energy + peak per
@@ -786,6 +836,27 @@ object TextQueries {
          |SELECT doc_id, n_tok, mwl_e2, n_stopw, short_e4, reasons,
          |  (reasons = 0) AS keep
          |FROM r ORDER BY doc_id""".stripMargin,
+
+    "t23_boilerplate_chunks" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(trim(text), ' ') AS toks
+         |  FROM documents),
+         |ch AS (SELECT doc_id, unnest(list_transform(
+         |    range(0, (len(toks)+1)//2), i -> $chunkKeyDuck)) AS ckey
+         |  FROM tok),
+         |df AS (SELECT ckey, count(distinct doc_id) AS dfreq
+         |  FROM ch GROUP BY ckey),
+         |fl AS (SELECT ckey, CASE WHEN dfreq * 100 >=
+         |      (SELECT count(*) FROM documents) * 3
+         |    THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS boiler
+         |  FROM df),
+         |per AS (SELECT c.doc_id, count(*) AS n_chunks,
+         |    CAST(sum(f.boiler) AS BIGINT) AS n_boiler
+         |  FROM ch c JOIN fl f USING (ckey) GROUP BY c.doc_id)
+         |SELECT doc_id, n_chunks, n_boiler,
+         |  CAST(round(n_boiler * 10000.0 / n_chunks) AS BIGINT) AS boiler_e4,
+         |  (CAST(round(n_boiler * 10000.0 / n_chunks) AS BIGINT) <= 7000)
+         |    AS keep
+         |FROM per ORDER BY doc_id""".stripMargin,
 
     "m05_audio_energy" ->
       """WITH d AS (SELECT doc_id,
