@@ -76,6 +76,32 @@ object StreamingQueries {
         .orderBy("prev_type", "next_type")
     },
 
+    "s06_rate_anomaly" -> { (s, d) =>
+      // Windowed rate-anomaly detection (the monitoring op a continuous
+      // ingest pipeline runs on its own s01 aggregate): per event_type,
+      // a 5-min bucket is anomalous when its count is >= 1.5x the mean of
+      // the up-to-6 preceding OBSERVED buckets (integer cross-multiplied:
+      // 4n >= trail_sum, since 1.5/6 = 1/4 — no float thresholds), with a
+      // >= 3-bucket history gate so startup never alarms. Row-framed over
+      // observed buckets: empty buckets produce no rows, so the baseline
+      // is "recent activity", not wall-clock — the same frame a
+      // foreachBatch consumer keeps as bounded per-key state (7 counts per
+      // event_type, O(keys) state) over the s01 streaming sink.
+      val w = Window.partitionBy("event_type").orderBy("bucket_s")
+        .rowsBetween(-6, -1)
+      Tables.events(s, d)
+        .withColumn("bucket_s", expr("(unix_timestamp(ts) div 300) * 300"))
+        .groupBy("bucket_s", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("n_prev", count(col("n")).over(w))
+        .withColumn("anomaly",
+          col("n_prev") >= 3 && col("n") * 4 >= col("trail_sum"))
+        .select(col("bucket_s"), col("event_type"), col("n"),
+          col("trail_sum"), col("n_prev"), col("anomaly"))
+        .orderBy("bucket_s", "event_type")
+    },
+
     "s04_late_data" -> { (s, d) =>
       // Watermark semantics replayed in batch: each event arrives after a
       // deterministic 0–2 h delivery delay (hash jitter — the synthetic
@@ -163,6 +189,23 @@ object StreamingQueries {
         |      FROM events)
         |WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, next_type ORDER BY prev_type, next_type""".stripMargin,
+
+    "s06_rate_anomaly" ->
+      """WITH b AS (SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_s,
+        |    event_type, COUNT(*) AS n
+        |  FROM events GROUP BY bucket_s, event_type),
+        |w AS (SELECT *,
+        |    CAST(coalesce(SUM(n) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS trail_sum,
+        |    CAST(COUNT(n) OVER (PARTITION BY event_type
+        |      ORDER BY bucket_s ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT) AS n_prev
+        |  FROM b)
+        |SELECT bucket_s, event_type, n, trail_sum, n_prev,
+        |  (n_prev >= 3 AND n * 4 >= trail_sum) AS anomaly
+        |FROM w ORDER BY bucket_s, event_type""".stripMargin,
 
     "s04_late_data" ->
       """SELECT event_type, COUNT(*) AS n_events,
