@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.SimilaritySearch
+import graft.operators.{SimilaritySearch, TopK}
 import graft.operators.SimilaritySearch.{planeWeight, quantizeSql}
 
 /** Embedding similarity search (SURVEY.md §2.F): brute-force exact top-k
@@ -35,6 +35,24 @@ object SimilarityQueries {
   private val RpOffset = 100
   // d17 two-stage rerank: exact-score only the top PreM of the pre-rank
   private val PreM = 10
+
+  // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
+  // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
+  // (mx-mn)); asymmetric scoring dequantizes the CODE back to the value
+  // scale (mn + (u+0.5)*(mx-mn)/255, all-integer halves via *2/510) and
+  // dots it against the EXACT query. One formula string per dialect from
+  // one generator, so the engines can't drift.
+  private def sq8RecSql(idx: String => String, divOp: String): String = {
+    val (q, mn, mx) = (idx("q"), idx("mns"), idx("mxs"))
+    val u = s"least(255, greatest(0, (($q - $mn) * 255) $divOp ($mx - $mn)))"
+    s"CASE WHEN $mx > $mn THEN $mn + ((2 * $u + 1) * ($mx - $mn)) $divOp 510 " +
+      s"ELSE $mn END"
+  }
+  private val sq8RecSpark =
+    s"transform(sequence(0, ${Dims - 1}), i -> ${sq8RecSql(c => s"$c[i]", "div")})"
+  private val sq8RecDuck =
+    s"list_transform(range(0, $Dims), " +
+      s"i -> ${sq8RecSql(c => s"$c[CAST(i + 1 AS INT)]", "//")})"
 
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("q", expr(quantizeSql("embedding")))
@@ -109,6 +127,41 @@ object SimilarityQueries {
             .orderBy(col("dot").desc, col("vec_id").asc)))
         .filter(col("rn") <= K)
         .select(col("query_id"), col("vec_id").as("cand_id"), col("dot"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
+    "d19_sq8_ann" -> { (s, d) =>
+      // Scalar-quantization ANN (the faiss-SQ8 shape, the COMPRESSION
+      // family next to d06/d16's projection family): the corpus is stored
+      // as 8-bit codes (64 bytes/vector instead of 512 — an 8x scan-IO
+      // reduction at 100 TB), scored asymmetrically: the candidate is
+      // dequantized from its code, the query stays exact. Training (the
+      // per-dim [min,max]) is two map-side-combined aggregates collapsed
+      // to ONE broadcast row; scoring is a scan projection + the d05
+      // map-side-heap top-k. dot_exact on the k winners audits the
+      // quantization error next to the approximate score (the d18
+      // calibration idea applied to SQ). All-integer, so the oracle
+      // replays codes, reconstruction, and both scores exactly.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val corpus = e.filter(col("vec_id") >= NQueries)
+      val stats = corpus.select(posexplode(col("q")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, mn))), s -> s.mn)")
+          .as("mns"),
+          expr("transform(array_sort(collect_list(struct(dim, mx))), s -> s.mx)")
+            .as("mxs"))
+      val rec = corpus.crossJoin(broadcast(stats))
+        .withColumn("rq", expr(sq8RecSpark))
+        .select(col("vec_id").as("cand_id"), col("q"), col("rq"))
+      val scored = rec.crossJoin(broadcast(qs))
+        .withColumn("adot", expr(SimilaritySearch.dotSql("qq", "rq")))
+      TopK.perKey(scored, Seq("query_id"), "adot", "cand_id", K)
+        .withColumn("dot_exact", expr(SimilaritySearch.dotSql("qq", "q")))
+        .select(col("query_id"), col("cand_id"), col("adot"),
+          col("dot_exact"), col("rn"))
         .orderBy("query_id", "rn")
     },
 
@@ -388,6 +441,26 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d19_sq8_ann" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+         |  WHERE vec_id < $NQueries),
+         |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |st AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM
+         |    (SELECT unnest(q) AS x, unnest(range(0, $Dims)) AS dim FROM cs)
+         |  GROUP BY dim),
+         |sa AS (SELECT list(mn ORDER BY dim) AS mns,
+         |    list(mx ORDER BY dim) AS mxs FROM st),
+         |rec AS (SELECT vec_id AS cand_id, q, $sq8RecDuck AS rq
+         |  FROM cs, sa),
+         |scored AS (SELECT query_id, cand_id, q, qq,
+         |    ${dotDuck("qq", "rq")} AS adot FROM rec CROSS JOIN qs),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adot DESC, cand_id ASC) AS rn FROM scored)
+         |SELECT query_id, cand_id, adot, ${dotDuck("qq", "q")} AS dot_exact,
+         |  rn
+         |FROM ranked WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
 
     "d09_embed_ivf_ann" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
