@@ -208,6 +208,26 @@ class SimilarityRecallSpec extends SparkSpec {
     info(f"d08 LSH recall vs all-pairs: ${got.size}/${truth.size} = $recall%.2f")
     assert(recall >= 0.5, f"recall $recall%.2f below documented floor")
   }
+
+  test("d19 SQ8 top-k recall vs exact brute force, bounded winner error") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("d05_embed_cosine_topk")(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val sq8 = SparkEntry.queries("d19_sq8_ann")(spark, sfDir)
+    val rows = sq8.select(col("query_id"), col("cand_id"), col("adot"),
+      col("dot_exact")).as[(Long, Long, Long, Long)].collect()
+    val got = rows.map(r => (r._1, r._2)).toSet
+    assert(exact.nonEmpty && got.size == exact.size)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"d19 SQ8 recall@3 vs exact top-k: $recall%.2f")
+    assert(recall >= 0.8, f"SQ8 recall $recall%.2f below documented floor")
+    // winner scores must sit within 2% of the exact dot (8-bit fidelity)
+    val maxErrBp = rows.map { case (_, _, adot, ex) =>
+      math.abs(adot - ex) * 10000 / math.max(math.abs(ex), 1L)
+    }.max
+    info(s"d19 SQ8 max winner score error: $maxErrBp bp")
+    assert(maxErrBp <= 200L, s"SQ8 winner error $maxErrBp bp above 2% bound")
+  }
 }
 
 class BloomFilterFunctionsSpec extends SparkSpec {
