@@ -9,6 +9,18 @@ import graft.functions.ExactNum.{cents, sumCents}
 /** Running per-user totals carried across micro-batches. */
 final case class UserRunning(user_id: Long, n_events: Long, value_c: Long)
 
+/** One finalized tumbling-bucket count (what the s01 sink emits). */
+final case class BucketCount(bucket_s: Long, event_type: String, n: Long)
+
+/** Trailing-bucket ring for [[EventStreams.rateAnomalies]]: at most the
+  * last 6 (bucket, count) pairs per key — O(keys) total state.
+  */
+final case class TrailState(buckets: List[(Long, Long)])
+
+/** Anomaly verdict for one bucket (s06's output row, streamed). */
+final case class RateAnomaly(event_type: String, bucket_s: Long, n: Long,
+    trail_sum: Long, n_prev: Long, anomaly: Boolean)
+
 /** Open-session state for the event-time sessionizer (epoch millis). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -202,6 +214,38 @@ object EventStreams {
     * cardinality, shuffled once per batch on user_id.
     * Emit with OutputMode.Update.
     */
+  /** Streaming twin of s06_rate_anomaly: consumes FINALIZED bucket counts
+    * (the s01 sink's output — one row per closed (bucket, event_type)
+    * window) and keeps, per event_type, only the trailing <= 6 (bucket,
+    * count) pairs — exactly the bounded state the batch query's row frame
+    * reads, so a key's state is 7 longs no matter how long the stream
+    * runs. A bucket is anomalous when its count >= 1.5x the trailing mean
+    * (integer cross-multiplied `4n >= trail_sum`, same predicate text as
+    * the batch twin) with a >= 3-bucket history gate. Within a batch,
+    * buckets apply in bucket_s order so replay order can't change a
+    * verdict.
+    */
+  def rateAnomalies(spark: SparkSession,
+      buckets: Dataset[BucketCount]): Dataset[RateAnomaly] = {
+    import spark.implicits._
+    buckets.groupByKey(_.event_type)
+      .flatMapGroupsWithState[TrailState, RateAnomaly](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (key, rows, state) =>
+        var trail = state.getOption.map(_.buckets).getOrElse(Nil)
+        val out = rows.toSeq.sortBy(b => (b.bucket_s, b.n)).map { b =>
+          val sum = trail.iterator.map(_._2).sum
+          val np = trail.size.toLong
+          val verdict = RateAnomaly(key, b.bucket_s, b.n, sum, np,
+            np >= 3 && b.n * 4 >= sum)
+          trail = (trail :+ (b.bucket_s, b.n)).takeRight(6)
+          verdict
+        }
+        state.update(TrailState(trail))
+        out.iterator
+      }
+  }
+
   def runningUserTotals(spark: SparkSession, events: DataFrame): Dataset[UserRunning] = {
     import spark.implicits._
     events.selectExpr("user_id", "CAST(round(value * 100) AS LONG) AS vc")

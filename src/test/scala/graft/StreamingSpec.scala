@@ -143,6 +143,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rateAnomalies keeps a bounded trailing ring and flags 1.5x spikes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.BucketCount]
+    val q = EventStreams.rateAnomalies(spark, mem.toDS())
+      .writeStream.format("memory").queryName("rate_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        graft.streaming.BucketCount(0L, "click", 10L),
+        graft.streaming.BucketCount(300L, "click", 12L),
+        graft.streaming.BucketCount(600L, "click", 11L))
+      q.processAllAvailable()
+      // 50 >= 1.5 * mean(10,12,11) -> anomaly; the next normal bucket
+      // sees the spike in ITS trailing sum and stays quiet
+      mem.addData(
+        graft.streaming.BucketCount(900L, "click", 50L),
+        graft.streaming.BucketCount(1200L, "click", 10L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT bucket_s, n, trail_sum, n_prev, anomaly FROM rate_test")
+        .as[(Long, Long, Long, Long, Boolean)].collect().toSet
+      assert(rows == Set(
+        (0L, 10L, 0L, 0L, false),
+        (300L, 12L, 10L, 1L, false),
+        (600L, 11L, 22L, 2L, false),
+        (900L, 50L, 33L, 3L, true),
+        (1200L, 10L, 83L, 4L, false)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches latest-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
