@@ -61,6 +61,24 @@ object TextQueries {
     "CASE WHEN CAST(2*i+2 AS INT) <= len(toks) " +
       "THEN toks[CAST(2*i+2 AS INT)] ELSE '' END")
 
+  // --- m07 modality mix: one formula set, both dialects -----------------
+  // Modality is assigned deterministically (doc_id % 10: 6 text / 2 image
+  // / 1 audio / 1 video — a realistic skew); the per-item training-token
+  // equivalent comes from the SAME stub-decode arithmetic m01/m05 use
+  // (byte length n → width/height/frames), all integer division.
+  private val modalityCase =
+    "CASE WHEN doc_id % 10 < 6 THEN 'text' WHEN doc_id % 10 < 8 THEN 'image' " +
+      "WHEN doc_id % 10 < 9 THEN 'audio' ELSE 'video' END"
+  private def modalityTokens(n: String, divOp: String): String = {
+    val w = s"(64 + $n % 512)"
+    val h = s"(64 + ($n * 7) % 512)"
+    val patches = s"(($w $divOp 16) * ($h $divOp 16))"
+    s"CASE WHEN doc_id % 10 < 6 THEN $n $divOp 4 " +
+      s"WHEN doc_id % 10 < 8 THEN $patches " +
+      s"WHEN doc_id % 10 < 9 THEN $n $divOp 40 " +
+      s"ELSE (1 + $n % 24) * $patches END"
+  }
+
   val queries: Map[String, Q] = Map(
     "t16_pii_scrub" -> { (s, d) =>
       // PII redaction (training-data hygiene): count and replace emails /
@@ -516,6 +534,31 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "m07_modality_mix" -> { (s, d) =>
+      // Multimodal training-mix accounting: per modality, how many items,
+      // bytes, and TRAINING-TOKEN equivalents the corpus contributes
+      // (text → bytes/4, image → 16x16 patches of the stub dims, audio →
+      // 40-byte hops, video → frames × patches — swap the arithmetic when
+      // a real tokenizer/codec lands; the shares are what a data-mix
+      // config consumes). One map-side-combined rollup + a 1-row grand-
+      // total broadcast, O(modalities) output — t17's mix shape extended
+      // across modalities.
+      val base = Multimodal.withPayload(Tables.documents(s, d))
+        .withColumn("n", octet_length(col("payload")).cast("long"))
+        .withColumn("modality", expr(modalityCase))
+        .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
+      val agg = base.groupBy("modality")
+        .agg(count(lit(1)).as("n_items"), sum(col("n")).as("total_bytes"),
+          sum(col("toks")).as("total_tokens"))
+      val grand = agg.agg(sum(col("total_tokens")).as("grand_tokens"))
+      agg.crossJoin(broadcast(grand))
+        .withColumn("share_e6", expr(
+          "CAST(round(total_tokens * 1000000.0 / grand_tokens) AS BIGINT)"))
+        .select(col("modality"), col("n_items"), col("total_bytes"),
+          col("total_tokens"), col("share_e6"))
+        .orderBy("modality")
+    },
+
     "m05_audio_energy" -> { (s, d) =>
       // Audio-style windowed feature extraction: payload bytes as 8-bit
       // PCM, 100-sample frames every 40 samples, integer energy + peak per
@@ -857,6 +900,20 @@ object TextQueries {
          |  (CAST(round(n_boiler * 10000.0 / n_chunks) AS BIGINT) <= 7000)
          |    AS keep
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    "m07_modality_mix" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         |m AS (SELECT doc_id, n, $modalityCase AS modality,
+         |    CAST(${modalityTokens("n", "//")} AS BIGINT) AS toks FROM b),
+         |a AS (SELECT modality, COUNT(*) AS n_items,
+         |    CAST(SUM(n) AS BIGINT) AS total_bytes,
+         |    CAST(SUM(toks) AS BIGINT) AS total_tokens
+         |  FROM m GROUP BY modality)
+         |SELECT modality, n_items, total_bytes, total_tokens,
+         |  CAST(round(total_tokens * 1000000.0 /
+         |    (SELECT SUM(total_tokens) FROM a)) AS BIGINT) AS share_e6
+         |FROM a ORDER BY modality""".stripMargin,
 
     "m05_audio_energy" ->
       """WITH d AS (SELECT doc_id,
