@@ -35,6 +35,17 @@ object SimilarityQueries {
   private val RpOffset = 100
   // d17 two-stage rerank: exact-score only the top PreM of the pre-rank
   private val PreM = 10
+  // d20 product quantization: M subspaces of SubDims (M*SubDims = Dims),
+  // PqK centroids per subspace (256 classically; 32 here so the ~196-row
+  // training sample still populates every cell — k is FIXED by the code
+  // budget in PQ, it does not scale with n the way d13's clustering k
+  // must). ADC pre-ranks PqPreM, the exact dot re-ranks to K (faiss
+  // "PQ + refine").
+  private val PqM = 8
+  private val PqSub = 8
+  private val PqK = 32
+  private val PqIters = 2
+  private val PqPreM = 20
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -127,6 +138,86 @@ object SimilarityQueries {
             .orderBy(col("dot").desc, col("vec_id").asc)))
         .filter(col("rn") <= K)
         .select(col("query_id"), col("vec_id").as("cand_id"), col("dot"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
+    "d20_pq_ann" -> { (s, d) =>
+      // Product-quantization ANN (the faiss-PQ/ADC + refine shape — the
+      // VECTOR-quantization member of the compression family, next to
+      // d19's scalar quantizer): the 64-dim corpus vector is stored as
+      // PqM=8 centroid CODES (5 bits each at PqK=32; one byte each at the
+      // classic PqK=256 — a 64-128x reduction vs f32, and the encode
+      // shuffle moves (vec_id, m, code) rows, never vectors). Codebooks:
+      // one integer-exact Lloyd run per 8-dim subspace, trained ONLY on
+      // the deterministic hash-sample (the d10/d13 discipline); k is
+      // fixed by the code budget — PQ's k does NOT scale with n, the
+      // codebook is a broadcast constant. Scoring is asymmetric distance
+      // computation: per query one (PqM x PqK) table of exact subvector
+      // dots is assembled (broadcast — NQueries*256 longs), and each
+      // candidate's ADC score is PqM table LOOKUPS (zero multiplies) in a
+      // pure scan projection feeding the d05 map-side heap at PqPreM;
+      // the exact dot then re-ranks those PqPreM to K (the d17 two-stage
+      // recipe — how production PQ recovers recall lost to the code). The
+      // 64-dim dot runs on PqPreM rows per query, never the corpus.
+      // All-integer, so the oracle replays training, encoding, the lookup
+      // tables, and both stages.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val corpus = e.filter(col("vec_id") >= NQueries)
+      val sample = corpus.filter(expr(graft.operators.KMeans.sampleSql(SamplePct)))
+      // one codebook per subspace; tiny by definition -> union + broadcast
+      val cents = (0 until PqM).map { m =>
+        graft.operators.KMeans.fitQuantized(
+          sample.select(col("vec_id"),
+            expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q")),
+          PqK, PqIters)
+          .select(lit(m).as("cm"), col("cent_id"), col("cq"))
+      }.reduce(_ unionByName _).localCheckpoint()
+      val subCols = (t: String) =>
+        s"transform(sequence(0, ${PqM - 1}), m -> slice($t, CAST(m * $PqSub + 1 AS INT), $PqSub))"
+      // encode: one corpus scan exploding the PqM subvectors, ONE broadcast
+      // argmin against all codebooks at once, map-side-combined min_by —
+      // the shuffled row is (vec_id, m, code)
+      val coded = corpus
+        .select(col("vec_id"), posexplode(expr(subCols("q"))).as(Seq("m", "sq")))
+        .join(broadcast(cents), col("m") === col("cm"))
+        .withColumn("dist", expr(
+          "aggregate(zip_with(sq, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
+        .groupBy("vec_id", "m")
+        .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("code"))
+      val codes = coded.groupBy("vec_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+          .as("codes"))
+      // per-query ADC lookup table, flattened (m, cent_id)-ordered so the
+      // scan does arithmetic indexing: pd[m*PqK + code]
+      val lut = qs
+        .select(col("query_id"), posexplode(expr(subCols("qq"))).as(Seq("m", "sqq")))
+        .join(broadcast(cents), col("m") === col("cm"))
+        .withColumn("pdot", expr(SimilaritySearch.dotSql("sqq", "cq")))
+        .groupBy("query_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, cent_id, pdot))), s -> s.pdot)")
+          .as("pd"))
+      val scored = codes.crossJoin(broadcast(lut))
+        .withColumn("adot", expr(
+          s"aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> acc + pd[m * $PqK + codes[m]])"))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("adot"))
+      val pre = graft.operators.TopK
+        .perKey(scored, Seq("query_id"), "adot", "cand_id", PqPreM)
+        .drop("rn")
+      // refine: the PqPreM shortlist (NQueries*PqPreM rows) fetches its
+      // full vectors back — broadcast the shortlist against the corpus
+      // scan — and the exact dot re-ranks to K
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dot_exact").desc, col("cand_id").asc)
+      corpus.select(col("vec_id").as("cand_id"), col("q"))
+        .join(broadcast(pre.join(qs, "query_id")), "cand_id")
+        .withColumn("dot_exact", expr(SimilaritySearch.dotSql("qq", "q")))
+        .withColumn("rn", row_number().over(wx).cast("long"))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("cand_id"), col("adot"),
+          col("dot_exact"), col("rn"))
         .orderBy("query_id", "rn")
     },
 
@@ -325,9 +416,11 @@ object SimilarityQueries {
   private val quantDuck =
     "list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))"
 
-  private def dotDuck(a: String, b: String): String =
-    s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), " +
+  private def dotDuckN(a: String, b: String, dims: Int): String =
+    s"CAST(list_sum(list_transform(range(1, ${dims + 1}), " +
       s"i -> $a[CAST(i AS INT)] * $b[CAST(i AS INT)])) AS BIGINT)"
+
+  private def dotDuck(a: String, b: String): String = dotDuckN(a, b, Dims)
 
   private def bucketDuck(c: String, planes: Int = Planes, planeOffset: Int = 0): String =
     (0 until planes).map { p =>
@@ -339,10 +432,37 @@ object SimilarityQueries {
 
   // squared-L2 in list form; algebraically equal to the nq+cn-2·dot form
   // the Spark operators use — identical in exact integer math
-  private def distDuck(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, ${Dims + 1}), " +
+  private def distDuckN(a: String, b: String, dims: Int): String =
+    s"list_sum(list_transform(range(1, ${dims + 1}), " +
       s"i -> ($a[CAST(i AS INT)] - $b[CAST(i AS INT)]) * " +
       s"($a[CAST(i AS INT)] - $b[CAST(i AS INT)])))"
+
+  private def distDuck(a: String, b: String): String = distDuckN(a, b, Dims)
+
+  // --- d20 PQ oracle: per-subspace Lloyd training replayed as CTEs --------
+  // (KMeans.fitQuantized over the hash-sample's m-th 16-dim slice; names
+  // psm/pcb/pa are per-(subspace, iteration) to keep the WITH body flat)
+  private def pqCentsCtes(m: Int): String = {
+    val (lo, hi) = (m * PqSub + 1, (m + 1) * PqSub)
+    def iter(i: Int): String =
+      s"""pa$m$i AS (SELECT vec_id, q, cent_id FROM (
+         |    SELECT c.vec_id, c.q, cb.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuckN("c.q", "cb.cq", PqSub)} ASC, cb.cent_id ASC) AS pr
+         |    FROM psm$m c CROSS JOIN pcb$m$i cb) WHERE pr = 1),
+         |pcb$m${i + 1} AS (SELECT cent_id, list(mm ORDER BY dim) AS cq FROM (
+         |    SELECT cent_id, dim,
+         |      CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mm
+         |    FROM (SELECT cent_id, unnest(q) AS x,
+         |            unnest(range(1, len(q) + 1)) AS dim FROM pa$m$i)
+         |    GROUP BY cent_id, dim)
+         |  GROUP BY cent_id)""".stripMargin
+    s"""psm$m AS (SELECT vec_id, q[$lo:$hi] AS q FROM psamp),
+       |pcb${m}0 AS (SELECT CAST(rn - 1 AS BIGINT) AS cent_id, q AS cq FROM
+       |    (SELECT q, row_number() OVER (ORDER BY vec_id ASC) AS rn FROM psm$m)
+       |  WHERE rn <= $PqK),
+       |${(0 until PqIters).map(iter).mkString(",\n")}""".stripMargin
+  }
 
   // one Lloyd iteration over the training sample CTE `samp`: argmin
   // assignment + floored element-wise mean (KMeans.lloydStep replayed
@@ -441,6 +561,58 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d20_pq_ann" -> {
+      def subUnion(t: String, idc: String, src: String, vc: String): String =
+        (0 until PqM).map { m =>
+          s"SELECT $idc, $m AS m, $src[${m * PqSub + 1}:${(m + 1) * PqSub}] AS $vc FROM $t"
+        }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+         |  WHERE vec_id < $NQueries),
+         |cand AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |psamp AS (SELECT vec_id, q FROM cand
+         |  WHERE (vec_id * 2654435761) % 100 < $SamplePct),
+         |${(0 until PqM).map(pqCentsCtes).mkString(",\n")},
+         |pcents AS (
+         |  ${(0 until PqM).map(m => s"SELECT $m AS m, cent_id, cq FROM pcb$m$PqIters").mkString("\n  UNION ALL ")}
+         |),
+         |psub AS (
+         |  ${subUnion("cand", "vec_id", "q", "sq")}
+         |),
+         |pcoded AS (SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT s.vec_id, s.m, cb.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${distDuckN("s.sq", "cb.cq", PqSub)} ASC, cb.cent_id ASC) AS pr
+         |    FROM psub s JOIN pcents cb ON s.m = cb.m) WHERE pr = 1),
+         |pcodes AS (SELECT vec_id, list(code ORDER BY m) AS codes
+         |  FROM pcoded GROUP BY vec_id),
+         |qsub AS (
+         |  ${subUnion("qs", "query_id", "qq", "sqq")}
+         |),
+         |plut AS (SELECT query_id, s.m, cb.cent_id,
+         |    ${dotDuckN("s.sqq", "cb.cq", PqSub)} AS pdot
+         |  FROM qsub s JOIN pcents cb ON s.m = cb.m),
+         |ppd AS (SELECT query_id, list(pdot ORDER BY m, cent_id) AS pd
+         |  FROM plut GROUP BY query_id),
+         |pscored AS (SELECT query_id, vec_id AS cand_id, codes,
+         |    CAST(list_sum(list_transform(range(0, $PqM),
+         |      m -> pd[CAST(m * $PqK + codes[CAST(m + 1 AS INT)] + 1 AS INT)]))
+         |      AS BIGINT) AS adot
+         |  FROM pcodes, ppd),
+         |pranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adot DESC, cand_id ASC) AS prn FROM pscored),
+         |refined AS (SELECT query_id, cand_id, adot,
+         |    ${dotDuck("qq", "q")} AS dot_exact
+         |  FROM pranked
+         |  JOIN cand ON cand.vec_id = pranked.cand_id
+         |  JOIN qs USING (query_id)
+         |  WHERE prn <= $PqPreM),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot_exact DESC, cand_id ASC) AS rn FROM refined)
+         |SELECT query_id, cand_id, adot, dot_exact, rn
+         |FROM ranked WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
+    },
 
     "d19_sq8_ann" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),

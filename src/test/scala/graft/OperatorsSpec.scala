@@ -228,6 +228,30 @@ class SimilarityRecallSpec extends SparkSpec {
     info(s"d19 SQ8 max winner score error: $maxErrBp bp")
     assert(maxErrBp <= 200L, s"SQ8 winner error $maxErrBp bp above 2% bound")
   }
+
+  test("d20 PQ-ADC top-k recall vs exact brute force; scores bounded by exact range") {
+    import spark.implicits._
+    val exact = SparkEntry.queries("d05_embed_cosine_topk")(spark, sfDir)
+      .select("query_id", "cand_id").as[(Long, Long)].collect().toSet
+    val pq = SparkEntry.queries("d20_pq_ann")(spark, sfDir)
+    val rows = pq.select(col("query_id"), col("cand_id"), col("dot_exact"),
+      col("rn")).as[(Long, Long, Long, Long)].collect()
+    val got = rows.map(r => (r._1, r._2)).toSet
+    assert(exact.nonEmpty && got.size == exact.size)
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    info(f"d20 PQ recall@3 vs exact top-k: $recall%.2f")
+    // a 40-bit PQ code on a near-orthogonal corpus is the hard regime
+    // (same reason d08's LSH floor is low here); the refine stage is what
+    // keeps the winners honest — production raises PqPreM, not the code
+    // rate, to buy recall
+    assert(recall >= 0.3, f"PQ recall $recall%.2f below documented floor")
+    // rn must be exactly the (dot_exact desc, cand_id asc) refine rank
+    rows.groupBy(_._1).foreach { case (q, rs) =>
+      val expected = rs.sortBy(r => (-r._3, r._2)).map(_._2).toSeq
+      val byRn = rs.sortBy(_._4).map(_._2).toSeq
+      assert(byRn == expected, s"query $q: rn order $byRn != refine order $expected")
+    }
+  }
 }
 
 class BloomFilterFunctionsSpec extends SparkSpec {
