@@ -19,6 +19,9 @@ final case class Thumbnail(doc_id: Long, width: Long, height: Long,
 final case class AudioWindow(doc_id: Long, win_id: Long, start: Long,
     energy: Long, peak: Long)
 
+/** Perceptual hash of a media payload (average-hash family). */
+final case class PHash(doc_id: Long, phash: Long)
+
 /** Multimodal column plumbing (SURVEY.md §2.A): treat image/audio/video as
   * opaque `binary` columns and run decode / feature-extraction as
   * partition-batched typed transforms.
@@ -111,6 +114,44 @@ object Multimodal {
             }
             AudioWindow(id, w, start, e, p)
           }
+        }
+      }
+  }
+
+  /** Perceptual hashing of an image-like payload (the average-hash /
+    * aHash family — the pHash shape minus the DCT, which needs a pixel
+    * decode this container lacks): the byte stream is cut into `bits`
+    * equal extents (the "pixel blocks"), and bit b is set when extent b's
+    * mean is >= the global mean — cross-multiplied in exact integers
+    * (`sum_b * n >= total * len_b`) so the hash replays verbatim in any
+    * SQL engine. Near-identical payloads differ in few extents, so their
+    * hashes sit within a small Hamming distance — the image analog of
+    * d04's SimHash for text. Same per-partition typed-decode shape as
+    * [[extractMeta]]; a real deployment swaps the extent sums for
+    * grayscale block means after the codec call.
+    */
+  def pHashes(spark: SparkSession, withPayloadDf: DataFrame,
+      bits: Int): Dataset[PHash] = {
+    import spark.implicits._
+    withPayloadDf.select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val n = bytes.length
+          var total = 0L
+          var i = 0
+          while (i < n) { total += bytes(i) & 0xff; i += 1 }
+          var h = 0L
+          var b = 0
+          while (b < bits) {
+            val lo = b * n / bits
+            val hi = (b + 1) * n / bits
+            var s = 0L
+            var k = lo
+            while (k < hi) { s += bytes(k) & 0xff; k += 1 }
+            if (s * n >= total * (hi - lo)) h |= 1L << b
+            b += 1
+          }
+          PHash(id, h)
         }
       }
   }

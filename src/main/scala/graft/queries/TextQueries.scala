@@ -66,6 +66,12 @@ object TextQueries {
   // / 1 audio / 1 video — a realistic skew); the per-item training-token
   // equivalent comes from the SAME stub-decode arithmetic m01/m05 use
   // (byte length n → width/height/frames), all integer division.
+  // --- m08 perceptual-hash near-dup: 32-bit aHash, 4x8-bit bands, exact
+  // Hamming <= PhHamT verify (pigeonhole-lossless: PhHamT < PhBands)
+  private val PhBits = 32
+  private val PhBands = 4
+  private val PhHamT = 3
+
   private val modalityCase =
     "CASE WHEN doc_id % 10 < 6 THEN 'text' WHEN doc_id % 10 < 8 THEN 'image' " +
       "WHEN doc_id % 10 < 9 THEN 'audio' ELSE 'video' END"
@@ -579,6 +585,39 @@ object TextQueries {
         stride = 5)
         .toDF()
         .orderBy("doc_id", "frame_id")
+    },
+
+    "m08_phash_neardup" -> { (s, d) =>
+      // Image near-dup detection — the multimodal twin of d04's SimHash:
+      // a 32-bit average-hash per payload (executor-side typed decode,
+      // Multimodal.pHashes), banded into 4x8-bit keys for the candidate
+      // self-join, exact Hamming verify at <= PhHamT. The banding is
+      // LOSSLESS here by pigeonhole: 3 differing bits cannot touch all 4
+      // bands, so every qualifying pair shares at least one band key —
+      // candidate generation is linear in n (equi-join per band,
+      // AQE-splittable), never all-pairs, with recall exactly 1.0
+      // (asserted against brute force in MultimodalSpec). Hamming is
+      // computed per candidate instance (cheap bit_count) and pairs
+      // dedupe AFTER the threshold — the d08 lesson.
+      val p = Multimodal
+        .pHashes(s, Multimodal.withPayload(Tables.documents(s, d)), PhBits)
+        .toDF()
+      val bandArr = (0 until PhBands)
+        .map(j => s"struct(CAST($j AS BIGINT) AS j, " +
+          s"(phash div ${1L << (8 * j)}L) % 256 AS v)")
+        .mkString(", ")
+      val bands = p.select(col("doc_id"), col("phash"),
+        explode(expr(s"array($bandArr)")).as("bj"))
+        .select(col("doc_id"), col("phash"), col("bj.j").as("j"), col("bj.v").as("v"))
+      val x = bands.select(col("j"), col("v"), col("doc_id").as("a"), col("phash").as("pa"))
+      val y = bands.select(col("j").as("j2"), col("v").as("v2"),
+        col("doc_id").as("b"), col("phash").as("pb"))
+      x.join(y, col("j") === col("j2") && col("v") === col("v2") && col("a") < col("b"))
+        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+        .filter(col("hamming") <= PhHamT)
+        .select(col("a"), col("b"), col("hamming"))
+        .distinct()
+        .orderBy("a", "b")
     })
 
   /** 13-gram → BIGINT rolling hash (Horner base 31, mod 2^56): identical
@@ -949,5 +988,33 @@ object TextQueries {
         |    CAST((frame_id * n) // frames + 1 AS INT),
         |    CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT) AS feature
         |FROM f WHERE frame_id % 5 = 0
-        |ORDER BY doc_id, frame_id""".stripMargin)
+        |ORDER BY doc_id, frame_id""".stripMargin,
+
+    "m08_phash_neardup" -> {
+      // per-bit term: extent mean vs global mean, cross-multiplied exact
+      val phashTerms = (0 until PhBits).map { b =>
+        val lo = s"(($b * n) // $PhBits + 1)"
+        val hi = s"((${b + 1} * n) // $PhBits)"
+        val len = s"($hi - (($b * n) // $PhBits))"
+        val es = s"coalesce(list_sum(list_slice(chars, CAST($lo AS INT), " +
+          s"CAST($hi AS INT))), 0)"
+        s"(CASE WHEN $es * n >= total * $len THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+      }.mkString("\n    + ")
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars,
+         |    CAST(coalesce(list_sum(
+         |      list_transform(string_split(text, ''), c -> ascii(c))), 0) AS BIGINT) AS total
+         |  FROM documents),
+         |p AS (SELECT doc_id, CAST($phashTerms AS BIGINT) AS phash FROM d),
+         |bands AS (SELECT doc_id, phash, unnest(range(0, $PhBands)) AS j FROM p),
+         |bv AS (SELECT doc_id, phash, j,
+         |    (phash // CAST(power(256, j) AS BIGINT)) % 256 AS v FROM bands),
+         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+         |    x.phash AS pa, y.phash AS pb
+         |  FROM bv x JOIN bv y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id)
+         |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(pa, pb)) <= $PhHamT
+         |ORDER BY a, b""".stripMargin
+    })
 }

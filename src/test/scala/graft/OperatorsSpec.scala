@@ -314,6 +314,38 @@ class MultimodalSpec extends SparkSpec {
     assert(w.forall(x => x.energy == expected && x.peak == 'b'.toLong))
   }
 
+  test("m08 banded pHash near-dup equals brute-force Hamming scan (lossless by pigeonhole)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.01" // sf0.001 yields zero qualifying pairs
+    val got = SparkEntry.queries("m08_phash_neardup")(spark, dir)
+      .select("a", "b", "hamming").as[(Long, Long, Long)].collect().toSet
+    val p = Multimodal.pHashes(spark,
+      Multimodal.withPayload(Tables.documents(spark, dir)), 32).toDF()
+    val brute = p.as("x").join(p.as("y"), col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", expr("CAST(bit_count(x.phash ^ y.phash) AS BIGINT)"))
+      .filter(col("hamming") <= 3)
+      .select(col("x.doc_id"), col("y.doc_id"), col("hamming"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(brute.nonEmpty, "corpus must contain qualifying near-dup payloads")
+    assert(got == brute,
+      "4x8-bit banding must be lossless at Hamming <= 3 (3 flips can't touch 4 bands)")
+  }
+
+  test("pHash is stable on identical payloads, local under edits, far on reordered bytes") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog " * 20
+    val docs = Seq((1L, base), (2L, base), (3L, "X" + base.substring(1)),
+      (4L, base.reverse)).toDF("doc_id", "text")
+    val h = Multimodal.pHashes(spark, Multimodal.withPayload(docs), 32)
+      .collect().map(x => x.doc_id -> x.phash).toMap
+    assert(h(1L) == h(2L), "identical payloads must hash identically")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(3L)) <= 3,
+      "a one-byte edit must stay inside the near-dup threshold")
+    assert(java.lang.Long.bitCount(h(1L) ^ h(4L)) >= 4,
+      "byte-reordered content must fall outside the threshold")
+  }
+
   test("frame sampling expands rows on executors with exact byte extents") {
     import spark.implicits._
     val docs = Seq((1L, "x" * 240)).toDF("doc_id", "text") // 240 bytes, 1+240%24=1+0=1? no: 240%24=0 -> 1 frame
