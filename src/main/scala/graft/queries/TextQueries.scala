@@ -191,6 +191,44 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    "t24_bigram_nll" -> { (s, d) =>
+      // Interpolated bigram-LM perplexity proxy — t20's unigram NLL with
+      // one order of context (the KenLM-style quality filter, one model
+      // order up): p(w2|w1) = 0.75·c(w1w2)/c(w1) + 0.25·c(w2)/N, so
+      // unseen-bigram mass backs off to the unigram term and no token
+      // scores -ln(0). Bigram formation is a zip_with over the split
+      // array — a pure scan projection, no self-join and no window, so
+      // the only shuffles are the two count groupBys (map-side combined)
+      // and the per-doc reduce; the LM joins are token-keyed equi-joins
+      // (broadcast-able vocab at this scale, AQE-splittable beyond).
+      // Doctrine: per-bigram -ln(p) quantized to 1e-6 BEFORE the
+      // order-independent integer SUM; docs with <2 tokens carry no
+      // bigrams and drop out on both engines.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(trim(text), ' ')").as("a"))
+      val bigs = docs.select(col("doc_id"), explode(expr(
+        "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
+          "(x, y) -> struct(x AS w1, y AS w2))")).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val uni = docs.select(explode(col("a")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("cu"))
+      val tot = uni.agg(sum(col("cu")).as("n_corpus"))
+      val bc = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      bigs
+        .join(bc, Seq("w1", "w2"))
+        .join(uni.select(col("tok").as("w1"), col("cu").as("cw1")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("cu").as("cu2")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("nll_e6", expr(
+          "CAST(round(-ln(0.75 * (cb / CAST(cw1 AS DOUBLE)) + " +
+            "0.25 * (cu2 / CAST(n_corpus AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_big"), sum(col("nll_e6")).as("sum_nll_e6"))
+        .withColumn("avg_nll_e4", expr(
+          "CAST(round(sum_nll_e6 / (n_big * 100.0)) AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+
     "t21_global_shuffle" -> { (s, d) =>
       // Deterministic global shuffle + shard layout: order the corpus by
       // a multiplicative hash (reproducible "random" order, no RNG),
@@ -703,6 +741,30 @@ object TextQueries {
         |    AS avg_nll_e4
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t24_bigram_nll" ->
+      """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS a
+        |  FROM documents),
+        |bg AS (SELECT doc_id, a[CAST(i - 1 AS INT)] AS w1, a[CAST(i AS INT)] AS w2
+        |  FROM (SELECT doc_id, a, unnest(range(2, len(a) + 1)) AS i FROM t)),
+        |uni AS (SELECT tok, COUNT(*) AS cu FROM
+        |    (SELECT unnest(a) AS tok FROM t) GROUP BY tok),
+        |tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n_corpus FROM uni),
+        |bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bg GROUP BY w1, w2),
+        |inst AS (SELECT doc_id,
+        |    CAST(round(-ln(0.75 * (cb / CAST(cw1 AS DOUBLE)) +
+        |      0.25 * (cu2 / CAST(n_corpus AS DOUBLE))) * 1000000) AS BIGINT)
+        |      AS nll_e6
+        |  FROM bg
+        |  JOIN bc USING (w1, w2)
+        |  JOIN (SELECT tok AS w1, cu AS cw1 FROM uni) USING (w1)
+        |  JOIN (SELECT tok AS w2, cu AS cu2 FROM uni) USING (w2)
+        |  CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_big,
+        |  CAST(SUM(nll_e6) AS BIGINT) AS sum_nll_e6,
+        |  CAST(round(CAST(SUM(nll_e6) AS BIGINT) / (COUNT(*) * 100.0)) AS BIGINT)
+        |    AS avg_nll_e4
+        |FROM inst GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "t19_adaptive_length_filter" ->
       """WITH th AS (SELECT lang,
