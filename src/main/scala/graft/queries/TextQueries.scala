@@ -72,6 +72,9 @@ object TextQueries {
   private val PhBands = 4
   private val PhHamT = 3
 
+  // m09: scene cut when the stub frame feature jumps by >= SceneCutT
+  private val SceneCutT = 400L
+
   // --- t25 winnowing: window of WinW consecutive 13-gram hashes; the
   // packed selection key is h40 * WinC + (WinC-1-pos), so MIN(key) is
   // (min hash, rightmost position) in one pass — h40 = h % 2^40 keeps
@@ -688,6 +691,26 @@ object TextQueries {
         .orderBy("doc_id", "frame_id")
     },
 
+    "m09_scene_cuts" -> { (s, d) =>
+      // Video scene-boundary detection: every frame's feature (stub
+      // byte-sum decode — a real deployment swaps in a frame-histogram
+      // or embedding distance) compared against its predecessor via a
+      // per-doc lag window; a jump >= SceneCutT marks a cut. Shape:
+      // executor-side frame expansion (Multimodal.sampleFrames stride=1)
+      // + ONE doc-keyed window shuffle; emitted rows are only the cuts.
+      // The monitoring twin of the m03 sampling path.
+      Multimodal.sampleFrames(s, Multimodal.withPayload(Tables.documents(s, d)),
+        stride = 1)
+        .toDF()
+        .withColumn("prev_feature", lag(col("feature"), 1).over(
+          Window.partitionBy("doc_id").orderBy("frame_id")))
+        .filter(col("prev_feature").isNotNull &&
+          abs(col("feature") - col("prev_feature")) >= SceneCutT)
+        .select(col("doc_id"), col("frame_id"), col("prev_feature"),
+          col("feature"), abs(col("feature") - col("prev_feature")).as("delta"))
+        .orderBy("doc_id", "frame_id")
+    },
+
     "m08_phash_neardup" -> { (s, d) =>
       // Image near-dup detection — the multimodal twin of d04's SimHash:
       // a 32-bit average-hash per payload (executor-side typed decode,
@@ -1147,6 +1170,29 @@ object TextQueries {
         |    CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT) AS feature
         |FROM f WHERE frame_id % 5 = 0
         |ORDER BY doc_id, frame_id""".stripMargin,
+
+    "m09_scene_cuts" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+         |    CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames,
+         |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars
+         |  FROM documents),
+         |f AS (SELECT doc_id, n, frames, chars,
+         |    unnest(range(0, frames)) AS frame_id FROM d),
+         |feat AS (SELECT doc_id, frame_id,
+         |    CAST(coalesce(list_sum(list_slice(chars,
+         |      CAST((frame_id * n) // frames + 1 AS INT),
+         |      CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT)
+         |      AS feature
+         |  FROM f),
+         |lagged AS (SELECT doc_id, frame_id, feature,
+         |    lag(feature) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_feature
+         |  FROM feat)
+         |SELECT doc_id, frame_id, prev_feature, feature,
+         |  abs(feature - prev_feature) AS delta
+         |FROM lagged
+         |WHERE prev_feature IS NOT NULL AND abs(feature - prev_feature) >= $SceneCutT
+         |ORDER BY doc_id, frame_id""".stripMargin,
 
     "m08_phash_neardup" -> {
       // per-bit term: extent mean vs global mean, cross-multiplied exact
