@@ -46,6 +46,10 @@ object SimilarityQueries {
   private val PqK = 32
   private val PqIters = 2
   private val PqPreM = 20
+  // d22 kNN label audit: vote size and probe slice
+  private val KnnK = 5
+  private val ProbeLo = 10
+  private val ProbeHi = 60
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -139,6 +143,69 @@ object SimilarityQueries {
         .filter(col("rn") <= K)
         .select(col("query_id"), col("vec_id").as("cand_id"), col("dot"), col("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    "d21_hard_negatives" -> { (s, d) =>
+      // Hard-negative mining for contrastive training: per query, the
+      // top-K most-similar corpus vectors with a DIFFERENT label — the
+      // near-misses a retrieval model must learn to push away (the
+      // in-batch-negatives upgrade every embedding-training pipeline
+      // runs). Same scan/broadcast/map-side-heap shape as d05 with the
+      // label-mismatch predicate fused into the scan before scoring —
+      // the filter prunes candidates ahead of the dot product.
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("q", expr(quantizeSql("embedding")))
+        .select(col("vec_id"), col("q"), col("label"))
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("label").as("qlabel"))
+      val scored = e.filter(col("vec_id") >= NQueries)
+        .crossJoin(broadcast(qs))
+        .filter(col("label") =!= col("qlabel"))
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "q")))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          col("label").as("neg_label"), col("dot"))
+      graft.operators.TopK.perKey(scored, Seq("query_id"), "dot", "cand_id", K)
+        .select(col("query_id"), col("cand_id"), col("neg_label"),
+          col("dot"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
+    "d22_knn_label_audit" -> { (s, d) =>
+      // Label-error detection via kNN consensus (the confident-learning
+      // shape): each probe's KnnK nearest neighbors (self excluded)
+      // majority-vote a label; disagreement with the stored label flags
+      // a candidate mislabel for human review. Vote: count per
+      // (probe, label), rank (votes desc, label asc) — fully
+      // deterministic. Probes are a broadcast slice; the corpus is
+      // scanned once through the map-side heap.
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("q", expr(quantizeSql("embedding")))
+        .select(col("vec_id"), col("q"), col("label"))
+      val probes = e.filter(col("vec_id") >= ProbeLo && col("vec_id") < ProbeHi)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"),
+          col("label").as("own_label"))
+      val scored = e.filter(col("vec_id") >= ProbeLo)
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("dot", expr(SimilaritySearch.dotSql("pq", "q")))
+        .select(col("probe_id"), col("own_label"), col("vec_id").as("cand_id"),
+          col("label"), col("dot"))
+      val top = graft.operators.TopK
+        .perKey(scored, Seq("probe_id"), "dot", "cand_id", KnnK)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("n_votes").desc, col("label").asc)
+      top.groupBy("probe_id", "own_label", "label")
+        .agg(count(lit(1)).as("n_votes"))
+        .withColumn("vr", row_number().over(w))
+        .filter(col("vr") === 1)
+        .select(col("probe_id"), col("own_label"),
+          col("label").as("pred_label"), col("n_votes"),
+          expr("CAST(CASE WHEN own_label = label THEN 1 ELSE 0 END AS BIGINT)")
+            .as("agree"))
+        .orderBy("probe_id")
     },
 
     "d20_pq_ann" -> { (s, d) =>
@@ -561,6 +628,37 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d21_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q, label FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, q AS qq, label AS qlabel FROM e
+         |  WHERE vec_id < $NQueries),
+         |cs AS (SELECT vec_id, q, label FROM e WHERE vec_id >= $NQueries),
+         |scored AS (SELECT query_id, cs.vec_id AS cand_id,
+         |    cs.label AS neg_label, ${dotDuck("qq", "q")} AS dot
+         |  FROM cs CROSS JOIN qs WHERE cs.label <> qs.qlabel),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
+         |SELECT query_id, cand_id, neg_label, dot, rn
+         |FROM ranked WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
+
+    "d22_knn_label_audit" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q, label FROM embeddings),
+         |probes AS (SELECT vec_id AS probe_id, q AS pq, label AS own_label
+         |  FROM e WHERE vec_id >= $ProbeLo AND vec_id < $ProbeHi),
+         |cs AS (SELECT vec_id, q, label FROM e WHERE vec_id >= $ProbeLo),
+         |scored AS (SELECT probe_id, own_label, cs.vec_id AS cand_id,
+         |    cs.label AS label, ${dotDuck("pq", "q")} AS dot
+         |  FROM cs CROSS JOIN probes WHERE cs.vec_id <> probes.probe_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored),
+         |votes AS (SELECT probe_id, own_label, label, COUNT(*) AS n_votes
+         |  FROM ranked WHERE rn <= $KnnK GROUP BY probe_id, own_label, label),
+         |vr AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY n_votes DESC, label ASC) AS vr FROM votes)
+         |SELECT probe_id, own_label, label AS pred_label, n_votes,
+         |  CAST(CASE WHEN own_label = label THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM vr WHERE vr = 1 ORDER BY probe_id""".stripMargin,
 
     "d20_pq_ann" -> {
       def subUnion(t: String, idc: String, src: String, vc: String): String =
