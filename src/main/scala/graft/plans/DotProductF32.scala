@@ -130,6 +130,7 @@ object GraftFunctions {
   val sh3Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles3")
   val sh13Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles13")
   val simh32Info = new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
+  val winnow13Info = new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow13")
   val hplanesInfo = new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplanes")
   val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -169,6 +170,11 @@ object GraftFunctions {
         ShingleHashes(exprs(0), Sh13Params._1, Sh13Params._2, Sh13Params._3)),
     (FunctionIdentifier("graft_simhash32"), simh32Info,
       (exprs: Seq[Expression]) => SimHash32(exprs(0))),
+    // t25's winnowing fingerprints: 13-gram Horner (base 31 mod 2^56)
+    // truncated to 40 bits, window w=8, position capacity 2^20
+    (FunctionIdentifier("graft_winnow13"), winnow13Info,
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0), Sh13Params._1,
+        Sh13Params._2, Sh13Params._3, 8, 1L << 40, 1L << 20)),
     (FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
         literalInt(exprs, 1, "graft_hyperplanes", "tables"),

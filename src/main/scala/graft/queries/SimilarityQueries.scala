@@ -234,16 +234,43 @@ object SimilarityQueries {
         .select(col("vec_id").as("query_id"), col("q").as("qq"))
       val corpus = e.filter(col("vec_id") >= NQueries)
       val sample = corpus.filter(expr(graft.operators.KMeans.sampleSql(SamplePct)))
-      // one codebook per subspace; tiny by definition -> union + broadcast
-      val cents = (0 until PqM).map { m =>
-        graft.operators.KMeans.fitQuantized(
-          sample.select(col("vec_id"),
-            expr(s"slice(q, ${m * PqSub + 1}, $PqSub)").as("q")),
-          PqK, PqIters)
-          .select(lit(m).as("cm"), col("cent_id"), col("cq"))
-      }.reduce(_ unionByName _).localCheckpoint()
       val subCols = (t: String) =>
         s"transform(sequence(0, ${PqM - 1}), m -> slice($t, CAST(m * $PqSub + 1 AS INT), $PqSub))"
+      // all PqM codebooks train in ONE Lloyd loop with the subspace id as
+      // part of every key (subspaces are independent, so the math is
+      // identical to PqM separate runs — the oracle replays them
+      // per-subspace): 2 jobs per iteration instead of 2*PqM. Init is
+      // fitQuantized's: the sample's first PqK vectors by vec_id, ids
+      // 0..PqK-1, per subspace. Shapes per iteration: one broadcast of
+      // all codebooks + map-side-combined min_by argmin (shuffles
+      // |sample|*PqM assignment rows), one (m, cent_id, dim) mean.
+      val sampleSubs = sample
+        .select(col("vec_id"), posexplode(expr(subCols("q"))).as(Seq("m", "sq")))
+      var cb = sampleSubs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("m").orderBy("vec_id")))
+        .filter(col("rn") <= PqK)
+        .select(col("m").as("cm"), (col("rn") - 1).cast("long").as("cent_id"),
+          col("sq").as("cq"))
+        .localCheckpoint()
+      (0 until PqIters).foreach { _ =>
+        cb = sampleSubs.join(broadcast(cb), col("m") === col("cm"))
+          .withColumn("dist", expr(
+            "aggregate(zip_with(sq, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
+          .groupBy("vec_id", "m")
+          .agg(min_by(struct(col("cent_id"), col("sq")),
+            struct(col("dist"), col("cent_id"))).as("best"))
+          .select(col("m"), col("best.cent_id").as("cent_id"),
+            posexplode(col("best.sq")).as(Seq("dim", "x")))
+          .groupBy("m", "cent_id", "dim")
+          .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("mm"))
+          .groupBy("m", "cent_id")
+          .agg(collect_list(struct(col("dim"), col("mm"))).as("dm"))
+          .select(col("m").as("cm"), col("cent_id"),
+            expr("transform(array_sort(dm), s -> s.mm)").as("cq"))
+          .localCheckpoint()
+      }
+      val cents = cb
       // encode: one corpus scan exploding the PqM subvectors, ONE broadcast
       // argmin against all codebooks at once, map-side-combined min_by —
       // the shuffled row is (vec_id, m, code)

@@ -86,10 +86,24 @@ object TextQueries {
 
   /** Winnowing fingerprint selection over (doc_id, text): distinct
     * (doc_id, fp) rows, where fp is the rightmost-minimum 40-bit 13-gram
-    * hash of each WinW-window (full windows only). One per-doc window
-    * pass — the packed key makes argmin a plain MIN (see t25).
+    * hash of each WinW-window (full windows only). The whole selection is
+    * position-local, so it runs inside the scan as one fused codegen
+    * expression ([[graft.plans.WinnowFps]], registered with these WinW/
+    * WinHMod/WinC constants) — no position explode, no window shuffle;
+    * only the ~|positions|/WinW fingerprints leave the projection.
+    * [[winnowFpsDeclarative]] is the windowed twin the DuckDB oracle
+    * replays; equality is spec-asserted on the corpus (DedupSpec).
     */
   private[graft] def winnowFps(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr("graft_winnow13(text)")).as("fp"))
+  }
+
+  /** Declarative window-function twin of [[winnowFps]] (the form the
+    * DuckDB oracle replays verbatim): positional hashes -> packed keys ->
+    * per-doc windowed MIN -> distinct.
+    */
+  private[graft] def winnowFpsDeclarative(docs: DataFrame): DataFrame = {
     val h = docs
       .select(col("doc_id"), posexplode(expr(shingleHash13PosArraySpark))
         .as(Seq("p0", "hh")))
@@ -278,7 +292,19 @@ object TextQueries {
       // n_shared >= 10 are reported with a containment score; the
       // measured corpus separates cleanly (true overlaps share 38-110
       // fingerprints, phrase-level noise 2-5).
-      val fps = winnowFps(Tables.documents(s, d))
+      // boilerplate cap (the t23 relative-threshold move, and the reason
+      // the pair join survives scale): a fingerprint in more than
+      // max(20, 1% of corpus) docs is shared phrasing, not copied
+      // content — it contributes O(df²) candidate pairs and ~0 evidence
+      // (measured sf0.1: 216 such fps carried 79% of the 7.5M raw pairs).
+      // Dropping them bounds per-fingerprint join fan-out by the cap.
+      val docs = Tables.documents(s, d)
+      val fpsAll = winnowFps(docs)
+      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+      val dfc = fpsAll.groupBy("fp").agg(count(lit(1)).as("dfc"))
+      val fps = fpsAll.join(dfc, "fp").crossJoin(broadcast(ndocs))
+        .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
+        .select("doc_id", "fp")
       val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       val x = fps.join(cnt, "doc_id")
         .select(col("fp"), col("doc_id").as("a"), col("nf").as("na"))
@@ -849,9 +875,13 @@ object TextQueries {
          |    npos FROM k),
          |sel AS (SELECT DISTINCT doc_id, minkey // $WinC AS fp
          |  FROM w WHERE pos <= npos - ${WinW - 1}),
-         |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM sel GROUP BY doc_id),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |dfc AS (SELECT fp, COUNT(*) AS dfc FROM sel GROUP BY fp),
+         |rare AS (SELECT doc_id, s.fp FROM sel s JOIN dfc USING (fp), nd
+         |  WHERE dfc.dfc <= greatest(CAST(20 AS BIGINT), nd.n_docs // 100)),
+         |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM rare GROUP BY doc_id),
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
-         |  FROM sel x JOIN sel y ON x.fp = y.fp AND x.doc_id < y.doc_id
+         |  FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id
          |  GROUP BY 1, 2)
          |SELECT a, b, n_shared,
          |  CAST(round(n_shared * 10000.0 / least(ca.nf, cb.nf)) AS BIGINT)

@@ -117,6 +117,16 @@ class DedupSpec extends SparkSpec {
       "docs with no common 13-gram must share no fingerprint")
   }
 
+  test("fused winnowing codegen is bit-equal to the declarative window form") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir)
+    val fused = graft.queries.TextQueries.winnowFps(docs)
+      .as[(Long, Long)].collect().toSet
+    val decl = graft.queries.TextQueries.winnowFpsDeclarative(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(fused.nonEmpty && fused == decl)
+  }
+
   test("minhash signatures are deterministic and text-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
