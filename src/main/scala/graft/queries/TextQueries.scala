@@ -75,6 +75,24 @@ object TextQueries {
   // m09: scene cut when the stub frame feature jumps by >= SceneCutT
   private val SceneCutT = 400L
 
+  /** t20's unigram-NLL table (doc_id, n_tok, sum_nll_e6, avg_nll_e4) —
+    * shared by t20 and t26; see t20 for the quantize-before-sum doctrine.
+    */
+  private def unigramNll(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+    val tot = freq.agg(sum(col("cnt")).as("n_corpus"))
+    toks.join(freq, "tok")
+      .crossJoin(broadcast(tot))
+      .withColumn("nll_e6", expr(
+        "CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000) AS BIGINT)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("nll_e6")).as("sum_nll_e6"))
+      .withColumn("avg_nll_e4", expr(
+        "CAST(round(sum_nll_e6 / (n_tok * 100.0)) AS BIGINT)"))
+  }
+
   // --- t25 winnowing: window of WinW consecutive 13-gram hashes; the
   // packed selection key is h40 * WinC + (WinC-1-pos), so MIN(key) is
   // (min hash, rightmost position) in one pass — h40 = h % 2^40 keeps
@@ -223,19 +241,32 @@ object TextQueries {
       // division is integer/integer in IEEE doubles, which is exactly
       // rounded, hence portable. Two shuffles: token-frequency groupBy +
       // per-doc reduce; the 1-row total broadcasts.
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
-      val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-      val tot = freq.agg(sum(col("cnt")).as("n_corpus"))
-      toks.join(freq, "tok")
-        .crossJoin(broadcast(tot))
-        .withColumn("nll_e6", expr(
-          "CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000) AS BIGINT)"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"), sum(col("nll_e6")).as("sum_nll_e6"))
-        .withColumn("avg_nll_e4", expr(
-          "CAST(round(sum_nll_e6 / (n_tok * 100.0)) AS BIGINT)"))
-        .orderBy("doc_id")
+      unigramNll(s, d).orderBy("doc_id")
+    },
+
+    "t26_ppl_partition" -> { (s, d) =>
+      // CCNet-style perplexity partitioning: the corpus split into
+      // head/middle/tail terciles of the t20 unigram NLL (head = most
+      // fluent; CCNet trains on head+middle and uses tail as the noisy
+      // bucket). Tercile boundaries are corpus percentiles (the t19
+      // percentile convention: round 4, one 1-row broadcast); per-bucket
+      // rollup is map-side combined. At 100 TB the NLL pass is t20 and
+      // the partition adds one broadcast compare — no extra corpus
+      // shuffle beyond the bucket rollup.
+      val nll = unigramNll(s, d).select(col("doc_id"), col("avg_nll_e4"))
+      val th = nll.agg(
+        round(expr("percentile(avg_nll_e4, 1.0/3)"), 4).as("b1"),
+        round(expr("percentile(avg_nll_e4, 2.0/3)"), 4).as("b2"))
+      nll.crossJoin(broadcast(th))
+        .withColumn("bucket", expr(
+          "CASE WHEN avg_nll_e4 <= b1 THEN 'head' " +
+            "WHEN avg_nll_e4 <= b2 THEN 'middle' ELSE 'tail' END"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("avg_nll_e4")).as("min_nll_e4"),
+          max(col("avg_nll_e4")).as("max_nll_e4"),
+          sum(col("avg_nll_e4")).as("sum_nll_e4"))
+        .orderBy("bucket")
     },
 
     "t24_bigram_nll" -> { (s, d) =>
@@ -803,6 +834,23 @@ object TextQueries {
       s"((__chars[CAST(i AS INT) + $j] + 31 * $acc) % $shingleHashMod)"
     }
 
+  /** t20's NLL table as a WITH-body fragment ending in
+    * `nll (doc_id, n_tok, sum_nll_e6, avg_nll_e4)` — shared by t20/t26.
+    */
+  private val unigramNllDuckCtes: String =
+    """toks AS (SELECT doc_id,
+      |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+      |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM freq),
+      |nll AS (SELECT doc_id, COUNT(*) AS n_tok,
+      |  CAST(SUM(CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000)
+      |    AS BIGINT)) AS BIGINT) AS sum_nll_e6,
+      |  CAST(round(CAST(SUM(CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE))
+      |    * 1000000) AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0)) AS BIGINT)
+      |    AS avg_nll_e4
+      |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+      |GROUP BY doc_id)""".stripMargin
+
   private val shingleHash13PosArrayDuck: String =
     s"list_transform(range(1, length(text) - 11), i -> $horner13Duck)"
 
@@ -846,18 +894,23 @@ object TextQueries {
         |ORDER BY shard, pos""".stripMargin,
 
     "t20_unigram_nll" ->
-      """WITH toks AS (SELECT doc_id,
-        |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
-        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
-        |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_corpus FROM freq)
-        |SELECT doc_id, COUNT(*) AS n_tok,
-        |  CAST(SUM(CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE)) * 1000000)
-        |    AS BIGINT)) AS BIGINT) AS sum_nll_e6,
-        |  CAST(round(CAST(SUM(CAST(round(-ln(cnt / CAST(n_corpus AS DOUBLE))
-        |    * 1000000) AS BIGINT)) AS BIGINT) / (COUNT(*) * 100.0)) AS BIGINT)
-        |    AS avg_nll_e4
-        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $unigramNllDuckCtes
+         |SELECT doc_id, n_tok, sum_nll_e6, avg_nll_e4
+         |FROM nll ORDER BY doc_id""".stripMargin,
+
+    "t26_ppl_partition" ->
+      s"""WITH $unigramNllDuckCtes,
+         |th AS (SELECT round(quantile_cont(avg_nll_e4, 1.0/3), 4) AS b1,
+         |    round(quantile_cont(avg_nll_e4, 2.0/3), 4) AS b2 FROM nll),
+         |bucketed AS (SELECT
+         |    CASE WHEN avg_nll_e4 <= b1 THEN 'head'
+         |         WHEN avg_nll_e4 <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |    avg_nll_e4
+         |  FROM nll CROSS JOIN th)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  MIN(avg_nll_e4) AS min_nll_e4, MAX(avg_nll_e4) AS max_nll_e4,
+         |  CAST(SUM(avg_nll_e4) AS BIGINT) AS sum_nll_e4
+         |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     "t25_winnow_overlap" ->
       s"""WITH d AS (SELECT doc_id, text,
