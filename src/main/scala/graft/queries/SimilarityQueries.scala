@@ -145,6 +145,29 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    "d23_retrieval_join" -> { (s, d) =>
+      // The retrieval-serving join: ANN winners resolved against the
+      // document store (vec_id == doc_id in this corpus) to return
+      // metadata alongside scores — what an actual RAG/retrieval endpoint
+      // ships. The ANN stage is d05's exact map-side-heap top-k; the
+      // winner set (NQueries*K rows) is broadcast against the documents
+      // scan, so the doc table is read once with the join key pushed —
+      // never shuffled. Quality gate stacked on top (lang of the hit),
+      // the retrieve-then-filter shape.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val top = SimilaritySearch.bruteForceTopK(
+        e.filter(col("vec_id") < NQueries),
+        e.filter(col("vec_id") >= NQueries), K)
+      Tables.documents(s, d)
+        .select(col("doc_id").as("cand_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .join(broadcast(top), "cand_id")
+        .select(col("query_id"), col("cand_id"), col("dot"), col("rn"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy("query_id", "rn")
+    },
+
     "d21_hard_negatives" -> { (s, d) =>
       // Hard-negative mining for contrastive training: per query, the
       // top-K most-similar corpus vectors with a DIFFERENT label — the
@@ -655,6 +678,19 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d23_retrieval_join" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < $NQueries),
+         |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |scored AS (SELECT query_id, cs.vec_id AS cand_id,
+         |    ${dotDuck("qq", "q")} AS dot
+         |  FROM cs CROSS JOIN qs),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
+         |SELECT query_id, cand_id, dot, rn, lang, source, n_chars
+         |FROM ranked JOIN documents ON documents.doc_id = ranked.cand_id
+         |WHERE rn <= $K ORDER BY query_id, rn""".stripMargin,
 
     "d21_hard_negatives" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q, label FROM embeddings),
