@@ -96,6 +96,28 @@ object EventStreams {
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"),
         col("network"), col("station"), col("latitude"), col("longitude"))
 
+  /** Streaming decontamination — the continuous-ingest twin of t14/t25:
+    * each incoming document's winnowing fingerprints are computed INSIDE
+    * the scan by the same fused codegen expression t25 uses
+    * (`graft_winnow13`), then stream-static joined against a static
+    * corpus fingerprint table (built once by the batch side —
+    * `TextQueries.winnowFps` over the protected corpus). Any incoming doc
+    * sharing a >= 20-char span with the corpus surfaces with the matched
+    * fingerprint and its corpus source. STATELESS: a stream-static inner
+    * join keeps no cross-batch state and needs no watermark — the static
+    * side broadcasts per micro-batch, so a refreshed corpus table is
+    * picked up without restarting the query.
+    *
+    * @param corpusFps static (fp, corpus_doc) table
+    * @return append-mode stream of (doc_id, fp, corpus_doc) matches
+    */
+  def decontaminateStream(docs: DataFrame, corpusFps: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr("graft_winnow13(text)")).as("fp"))
+      .join(broadcast(corpusFps), "fp")
+      .select(col("doc_id"), col("fp"), col("corpus_doc"))
+  }
+
   /** Stream-stream interval join: each purchase joined to signups of the
     * same user within the preceding 2 hours. Watermarks on BOTH sides
     * bound the join state; without them the state store grows forever.

@@ -240,6 +240,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("decontaminateStream flags docs sharing a span with the static corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val span = "a protected benchmark answer sentence that must not leak"
+    val corpus = Seq((100L, "eval item one contains " + span + " verbatim"),
+      (101L, "another unrelated eval item of fresh words")).toDF("doc_id", "text")
+    val corpusFps = graft.queries.TextQueries.winnowFps(corpus)
+      .withColumnRenamed("doc_id", "corpus_doc")
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.decontaminateStream(docs, corpusFps).writeStream
+      .format("memory").queryName("decon_test").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        (1L, "clean training document with entirely novel phrasing"),
+        (2L, "a crawled page quoting " + span + " in the middle"))
+      q.processAllAvailable()
+      val flagged = spark.sql("SELECT DISTINCT doc_id, corpus_doc FROM decon_test")
+        .as[(Long, Long)].collect().toSet
+      assert(flagged.map(_._1) == Set(2L),
+        s"only the contaminated doc must surface, got $flagged")
+      assert(flagged.forall(_._2 == 100L), "match must name its corpus source")
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
