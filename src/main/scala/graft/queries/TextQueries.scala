@@ -333,9 +333,15 @@ object TextQueries {
       val fpsAll = winnowFps(docs)
       val ndocs = docs.agg(count(lit(1)).as("n_docs"))
       val dfc = fpsAll.groupBy("fp").agg(count(lit(1)).as("dfc"))
+      // materialization barrier (the d11/KMeans pattern): the capped
+      // fingerprint table feeds BOTH self-join sides and the per-doc
+      // counts — without it the winnow+df subtree executes four times
+      // (verified via graft.Explain: zero ReusedExchange). At 100 TB this
+      // is the table a pipeline persists between stages.
       val fps = fpsAll.join(dfc, "fp").crossJoin(broadcast(ndocs))
         .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
         .select("doc_id", "fp")
+        .localCheckpoint()
       val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       val x = fps.join(cnt, "doc_id")
         .select(col("fp"), col("doc_id").as("a"), col("nf").as("na"))
