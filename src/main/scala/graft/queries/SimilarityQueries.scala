@@ -267,8 +267,10 @@ object SimilarityQueries {
       // 0..PqK-1, per subspace. Shapes per iteration: one broadcast of
       // all codebooks + map-side-combined min_by argmin (shuffles
       // |sample|*PqM assignment rows), one (m, cent_id, dim) mean.
+      // sample-sized and read by init + every Lloyd iteration: materialize
       val sampleSubs = sample
         .select(col("vec_id"), posexplode(expr(subCols("q"))).as(Seq("m", "sq")))
+        .localCheckpoint()
       var cb = sampleSubs
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("m").orderBy("vec_id")))

@@ -288,8 +288,12 @@ object TextQueries {
         "zip_with(slice(a, 1, size(a) - 1), slice(a, 2, size(a) - 1), " +
           "(x, y) -> struct(x AS w1, y AS w2))")).as("bg"))
         .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      // the vocab table feeds three consumers (total, w1 lookup, w2
+      // lookup) — materialize once (it is |vocab|-sized, tiny next to the
+      // bigram instance stream)
       val uni = docs.select(explode(col("a")).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("cu"))
+        .localCheckpoint()
       val tot = uni.agg(sum(col("cu")).as("n_corpus"))
       val bc = bigs.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
       bigs
