@@ -778,6 +778,32 @@ object TextQueries {
         .orderBy("doc_id", "frame_id")
     },
 
+    "m10_audio_vad" -> { (s, d) =>
+      // Voice-activity segmentation over the m05 analysis windows — the
+      // gaps-and-islands idiom: a window is ACTIVE when its energy is >=
+      // the document mean (cross-multiplied exact integers,
+      // energy·n_win >= total — no float threshold), and consecutive
+      // active windows merge into one segment via the win_id −
+      // row_number() island key. Per-doc window shuffle + map-side-
+      // combined segment rollup; the VAD step an audio pipeline runs
+      // before transcription (energy is the declared 8-bit-PCM stub).
+      val wins = Multimodal.audioWindows(
+        s, Multimodal.withPayload(Tables.documents(s, d)), win = 100, hop = 40)
+        .toDF()
+      val m = wins.groupBy("doc_id")
+        .agg(sum(col("energy")).as("tot"), count(lit(1)).as("nw"))
+      val isl = wins.join(m, "doc_id")
+        .filter(col("energy") * col("nw") >= col("tot"))
+        .withColumn("grp", col("win_id") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("win_id")))
+      isl.groupBy("doc_id", "grp")
+        .agg(min(col("win_id")).as("first_win"), max(col("win_id")).as("last_win"),
+          count(lit(1)).as("n_win"), sum(col("energy")).as("seg_energy"))
+        .select(col("doc_id"), col("first_win"), col("last_win"),
+          col("n_win"), col("seg_energy"))
+        .orderBy("doc_id", "first_win")
+    },
+
     "m08_phash_neardup" -> { (s, d) =>
       // Image near-dup detection — the multimodal twin of d04's SimHash:
       // a 32-bit average-hash per payload (executor-side typed decode,
@@ -1263,6 +1289,32 @@ object TextQueries {
         |    CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT) AS feature
         |FROM f WHERE frame_id % 5 = 0
         |ORDER BY doc_id, frame_id""".stripMargin,
+
+    "m10_audio_vad" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars
+        |  FROM documents),
+        |w AS (SELECT doc_id, n, chars,
+        |    unnest(range(0, CASE WHEN n >= 100 THEN (n - 100) // 40 + 1
+        |                         ELSE 0 END)) AS win_id
+        |  FROM d),
+        |f AS (SELECT doc_id, win_id,
+        |    CAST(list_sum(list_transform(
+        |      list_slice(chars, CAST(win_id * 40 + 1 AS INT),
+        |        CAST(win_id * 40 + 100 AS INT)),
+        |      x -> (x - 64) * (x - 64))) AS BIGINT) AS energy
+        |  FROM w),
+        |m AS (SELECT doc_id, CAST(SUM(energy) AS BIGINT) AS tot,
+        |    COUNT(*) AS nw FROM f GROUP BY doc_id),
+        |isl AS (SELECT f.doc_id, win_id, energy,
+        |    win_id - row_number() OVER (PARTITION BY f.doc_id
+        |      ORDER BY win_id) AS grp
+        |  FROM f JOIN m USING (doc_id) WHERE energy * nw >= tot)
+        |SELECT doc_id, MIN(win_id) AS first_win, MAX(win_id) AS last_win,
+        |  COUNT(*) AS n_win, CAST(SUM(energy) AS BIGINT) AS seg_energy
+        |FROM isl GROUP BY doc_id, grp
+        |ORDER BY doc_id, first_win""".stripMargin,
 
     "m09_scene_cuts" ->
       s"""WITH d AS (SELECT doc_id,
