@@ -276,6 +276,33 @@ object RelationalQueries {
         .orderBy("key")
     },
 
+    "q30_funnel" -> { (s, d) =>
+      // Strict-order conversion funnel view -> click -> purchase: each
+      // step counts users whose step event happens strictly AFTER their
+      // previous step's earliest time (min-ts per step, re-anchored per
+      // user — the sequenced funnel, not the loose intersect-of-actors).
+      // Three user-keyed groupBys + two user-keyed equi-joins; no
+      // windows over the raw stream, so nothing orders the full event
+      // log. Timestamps never reach the output (counts only), keeping
+      // the compare engine-exact.
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      v.agg(count(lit(1)).as("n_users"))
+        .select(lit(1L).as("step"), lit("view").as("stage"), col("n_users"))
+        .unionByName(c.agg(count(lit(1)).as("n_users"))
+          .select(lit(2L).as("step"), lit("click").as("stage"), col("n_users")))
+        .unionByName(p.agg(count(lit(1)).as("n_users"))
+          .select(lit(3L).as("step"), lit("purchase").as("stage"), col("n_users")))
+        .orderBy("step")
+    },
+
     "q29_parts_analysis" -> { (s, d) =>
       // Brand-level revenue over the parts dim (completes coverage of
       // every testdata table). Part is small → broadcast.
@@ -365,6 +392,20 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q30_funnel" ->
+      """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(ts) AS t2 FROM events e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(ts) AS t3 FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, COUNT(*) AS n_users FROM v
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), 'click', COUNT(*) FROM c
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), 'purchase', COUNT(*) FROM p
+        |ORDER BY step""".stripMargin,
+
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
