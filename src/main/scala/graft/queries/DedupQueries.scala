@@ -82,6 +82,32 @@ object DedupQueries {
         .orderBy("rep_id")
     },
 
+    "d24_dedup_funnel" -> { (s, d) =>
+      // End-to-end dedup-pipeline accounting — the report a data-curation
+      // run ships: raw corpus -> exact-dedup survivors (d01's normalized
+      // keys) -> near-dup survivors (d03/d11's LSH clustering applied ON
+      // the exact survivors, as a real pipeline sequences it; survivors =
+      // reps − clustered + clusters). Composes the existing stages, so
+      // every number is the one the stage queries themselves report;
+      // the three counts are 1-row aggregates, the stages' shapes are
+      // d01/d03/d11's.
+      val docs = Tables.documents(s, d)
+      val reps = Dedup.exact(docs).select(col("doc_id"))
+      val repDocs = docs.join(reps, "doc_id")
+      val comp = Dedup.components(Dedup.minHashLshPairs(repDocs, K, Bands))
+      val n0 = docs.agg(count(lit(1)).as("n_docs"))
+      val n1 = reps.agg(count(lit(1)).as("n1"))
+      val cl = comp.agg(count(lit(1)).as("n_in"),
+        countDistinct(col("label")).as("n_cl"))
+      n0.select(lit(1L).as("step"), lit("raw").as("stage"), col("n_docs"))
+        .unionByName(n1.select(lit(2L).as("step"), lit("exact").as("stage"),
+          col("n1").as("n_docs")))
+        .unionByName(n1.crossJoin(cl).select(lit(3L).as("step"),
+          lit("neardup").as("stage"),
+          (col("n1") - col("n_in") + col("n_cl")).as("n_docs")))
+        .orderBy("step")
+    },
+
     "d18_minhash_calibration" -> { (s, d) =>
       // Estimator calibration: for every d03 candidate pair, the MinHash
       // Jaccard ESTIMATE (matching permutations / K) next to the EXACT
@@ -147,9 +173,9 @@ object DedupQueries {
   /** Shared CTE chain ending in `bands(doc_id, band, sig)` — the LSH
     * bucket keys, reused by d03/d11/d14.
     */
-  private lazy val bandsCtes: String =
+  private def bandsCtesFor(src: String): String =
     s"""shl AS (SELECT doc_id, unnest(${Dedup.shingleArrayOracleSql}) AS sh3
-       |             FROM documents),
+       |             FROM $src),
        |sh AS (SELECT doc_id, ${Dedup.shingleCodeSql} AS code FROM shl),
        |mh AS (SELECT doc_id,
        |    $minhashAggs
@@ -158,14 +184,18 @@ object DedupQueries {
        |  $bandSelects
        |)""".stripMargin
 
+  private lazy val bandsCtes: String = bandsCtesFor("documents")
+
   /** [[bandsCtes]] + `lsh_pairs(a, b)` — the d03 pair generation, reused
     * by the d11 component closure.
     */
-  private lazy val lshPairsCtes: String =
-    s"""$bandsCtes,
+  private def lshPairsCtesFor(src: String): String =
+    s"""${bandsCtesFor(src)},
        |lsh_pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
        |  FROM bands x JOIN bands y
        |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
+
+  private lazy val lshPairsCtes: String = lshPairsCtesFor("documents")
 
   private val simhashSums: String = (0 until 32)
     .map(b => s"SUM(CASE WHEN ${hashSql(b, "code")} % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -211,6 +241,31 @@ object DedupQueries {
          |  MAX(id) AS max_id
          |FROM (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
          |GROUP BY label ORDER BY rep_id""".stripMargin,
+
+    "d24_dedup_funnel" ->
+      s"""WITH RECURSIVE
+         |repk AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY ${Dedup.normKeyOracleSql}),
+         |repdocs AS (SELECT d.* FROM documents d JOIN repk USING (doc_id)),
+         |${lshPairsCtesFor("repdocs")},
+         |edges AS (SELECT a, b FROM lsh_pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM lsh_pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |),
+         |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |cl AS (SELECT COUNT(*) AS n_in, COUNT(DISTINCT label) AS n_cl FROM lab),
+         |n0 AS (SELECT COUNT(*) AS n FROM documents),
+         |n1 AS (SELECT COUNT(*) AS n FROM repk)
+         |SELECT CAST(1 AS BIGINT) AS step, 'raw' AS stage, n AS n_docs FROM n0
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), 'exact', n FROM n1
+         |UNION ALL
+         |SELECT CAST(3 AS BIGINT), 'neardup', n1.n - cl.n_in + cl.n_cl
+         |FROM n1, cl
+         |ORDER BY step""".stripMargin,
 
     "d14_incremental_dedup" ->
       s"""WITH $bandsCtes
