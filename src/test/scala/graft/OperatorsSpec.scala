@@ -127,6 +127,46 @@ class DedupSpec extends SparkSpec {
     assert(fused.nonEmpty && fused == decl)
   }
 
+  test("randomized: fused winnowing equals declarative on arbitrary ASCII docs") {
+    import spark.implicits._
+    // seeded PRNG -> reproducible "arbitrary" corpus: lengths straddle the
+    // n=13 / n+w-1=20 edge cases, alphabet includes repeats to force hash
+    // ties (the rightmost-argmin tie-break path)
+    val rnd = new scala.util.Random(20260812L)
+    val alpha = "abcde fgh"
+    val docs = (1L to 200L).map { i =>
+      val len = rnd.nextInt(260) // includes < 13 and < 20 lengths
+      (i, Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    val fused = graft.queries.TextQueries.winnowFps(docs)
+      .as[(Long, Long)].collect().toSet
+    val decl = graft.queries.TextQueries.winnowFpsDeclarative(docs)
+      .as[(Long, Long)].collect().toSet
+    assert(fused == decl)
+    assert(fused.nonEmpty)
+  }
+
+  test("randomized: the winnowing theorem holds for planted shared spans") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42L)
+    val alpha = "abcdefghij klmnop"
+    def txt(len: Int) = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+    // 50 pairs, each sharing a planted span of exactly w + k - 1 = 20
+    // chars (the theorem's minimum) at random offsets
+    val rows = (0 until 50).flatMap { p =>
+      val span = txt(20)
+      Seq((2L * p, txt(rnd.nextInt(80)) + span + txt(rnd.nextInt(80))),
+        (2L * p + 1, txt(rnd.nextInt(80)) + span + txt(rnd.nextInt(80))))
+    }
+    val fps = graft.queries.TextQueries.winnowFps(rows.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    (0 until 50).foreach { p =>
+      assert((fps(2L * p) intersect fps(2L * p + 1)).nonEmpty,
+        s"pair $p: a planted 20-char shared span must share a fingerprint")
+    }
+  }
+
   test("minhash signatures are deterministic and text-sensitive") {
     import spark.implicits._
     val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
