@@ -145,6 +145,33 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    "d25_ann_recall_eval" -> { (s, d) =>
+      // The ANN recall eval AS a distributed query — the continuous
+      // monitoring job a production vector index runs against a ground-
+      // truth sample (specs measure recall driver-side; a 100 TB
+      // deployment computes it as data): per query, |exact top-k ∩ LSH
+      // top-k| via an equi-join on (query, candidate), recall_e4 per
+      // query with the d06 bucket sizes as the diagnostic. Both arms are
+      // the existing operators; the eval adds one NQueries-sized join.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val cs = e.filter(col("vec_id") >= NQueries)
+      val exact = SimilaritySearch.bruteForceTopK(qs, cs, K)
+        .select(col("query_id"), col("cand_id"))
+      val approx = SimilaritySearch.lshTopK(qs, cs, K, Planes, Dims)
+        .select(col("query_id"), col("cand_id").as("acand"))
+      val hits = exact.join(approx,
+        exact("query_id") === approx("query_id") &&
+          col("cand_id") === col("acand"), "left")
+        .groupBy(exact("query_id").as("query_id"))
+        .agg(count(lit(1)).as("k_exact"), count(col("acand")).as("n_hit"))
+      hits
+        .withColumn("recall_e4", expr("n_hit * 10000 div k_exact"))
+        .select(col("query_id"), col("k_exact"), col("n_hit"), col("recall_e4"))
+        .orderBy("query_id")
+    },
+
     "d23_retrieval_join" -> { (s, d) =>
       // The retrieval-serving join: ANN winners resolved against the
       // document store (vec_id == doc_id in this corpus) to return
@@ -680,6 +707,29 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d25_ann_recall_eval" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |qs AS (SELECT vec_id, q, ${bucketDuck("q")} AS bkt FROM e
+         |  WHERE vec_id < $NQueries),
+         |cs AS (SELECT vec_id, q, ${bucketDuck("q")} AS bkt FROM e
+         |  WHERE vec_id >= $NQueries),
+         |ex AS (SELECT query_id, cand_id FROM (
+         |    SELECT qs.vec_id AS query_id, cs.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY qs.vec_id
+         |        ORDER BY ${dotDuck("qs.q", "cs.q")} DESC, cs.vec_id ASC) AS rn
+         |    FROM cs CROSS JOIN qs) WHERE rn <= $K),
+         |ap AS (SELECT query_id, acand FROM (
+         |    SELECT qs.vec_id AS query_id, cs.vec_id AS acand,
+         |      row_number() OVER (PARTITION BY qs.vec_id
+         |        ORDER BY ${dotDuck("qs.q", "cs.q")} DESC, cs.vec_id ASC) AS rn
+         |    FROM cs JOIN qs ON cs.bkt = qs.bkt) WHERE rn <= $K),
+         |g AS (SELECT ex.query_id, COUNT(*) AS k_exact, COUNT(ap.acand) AS n_hit
+         |  FROM ex LEFT JOIN ap
+         |    ON ap.query_id = ex.query_id AND ap.acand = ex.cand_id
+         |  GROUP BY ex.query_id)
+         |SELECT query_id, k_exact, n_hit, n_hit * 10000 // k_exact AS recall_e4
+         |FROM g ORDER BY query_id""".stripMargin,
 
     "d23_retrieval_join" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
