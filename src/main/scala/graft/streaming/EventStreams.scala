@@ -21,6 +21,14 @@ final case class TrailState(buckets: List[(Long, Long)])
 final case class RateAnomaly(event_type: String, bucket_s: Long, n: Long,
     trail_sum: Long, n_prev: Long, anomaly: Boolean)
 
+/** Funnel state for [[EventStreams.funnelProgress]]: furthest completed
+  * step (0 = none) and its event time — two longs per user, forever.
+  */
+final case class FunnelState(step: Long, anchor: Long)
+
+/** One funnel advance emitted by [[EventStreams.funnelProgress]]. */
+final case class FunnelStep(user_id: Long, step: Long, stage: String, ts_s: Long)
+
 /** Open-session state for the event-time sessionizer (epoch millis). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -264,6 +272,40 @@ object EventStreams {
           verdict
         }
         state.update(TrailState(trail))
+        out.iterator
+      }
+  }
+
+  /** Streaming twin of q30_funnel: per-user sequenced funnel progression
+    * (view -> click -> purchase) via `flatMapGroupsWithState`. State is
+    * TWO longs per user (furthest step + that step's event time) no
+    * matter how long the stream runs; a step advances only on an event of
+    * the NEXT stage with ts strictly after the anchor — the same
+    * strict-order predicate as the batch query, applied in event-time
+    * order within each batch (matching q30 exactly on an in-order
+    * stream; the standard streaming trade-off for out-of-order arrivals
+    * is documented, not hidden: a late earlier-ts event cannot retract a
+    * step already taken). Emits one row per step ADVANCE only.
+    */
+  def funnelProgress(spark: SparkSession, events: DataFrame): Dataset[FunnelStep] = {
+    import spark.implicits._
+    val stages = Seq("view", "click", "purchase")
+    events.selectExpr("user_id", "CAST(ts AS LONG) AS ts_s", "event_type")
+      .as[(Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStep](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) { (uid, rows, state) =>
+        var st = state.getOption.getOrElse(FunnelState(0L, Long.MinValue))
+        val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStep]
+        rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, ts, typ) =>
+          if (st.step < stages.length && typ == stages(st.step.toInt) &&
+              (st.step == 0L || ts > st.anchor)) {
+            st = FunnelState(st.step + 1, ts)
+            out += FunnelStep(uid, st.step, stages((st.step - 1).toInt), ts)
+          }
+        }
+        state.update(st)
         out.iterator
       }
   }

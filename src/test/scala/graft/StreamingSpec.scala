@@ -265,6 +265,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("funnelProgress advances strict-order steps across batches with 2-long state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type")
+    val q = EventStreams.funnelProgress(spark, events).writeStream
+      .format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: full ordered funnel split across two batches
+      // user 2: clicks BEFORE viewing -> the click must not count, and
+      //         the later view then anchors step 1
+      mem.addData((ts(0), 1L, "view"), (ts(1), 1L, "click"),
+        (ts(0), 2L, "click"), (ts(1), 2L, "view"))
+      q.processAllAvailable()
+      mem.addData((ts(2), 1L, "purchase"), (ts(2), 2L, "error"))
+      q.processAllAvailable()
+      val steps = spark.sql("SELECT user_id, step, stage FROM funnel_test")
+        .as[(Long, Long, String)].collect().toSet
+      assert(steps == Set((1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+        (2L, 1L, "view")),
+        s"got $steps")
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
