@@ -19,6 +19,7 @@ object DedupQueries {
 
   private val K = 16     // minhash permutations
   private val Bands = 2  // 2 bands x 8 rows: collision prob J^8, selective
+  private val PrIters = 3 // d26 power iterations (fixed -> oracle-replayable)
 
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> { (s, d) =>
@@ -80,6 +81,39 @@ object DedupQueries {
         .select(col("label").as("rep_id"), col("id").as("keep_id"),
           col("n_chars").as("keep_chars"), col("cluster_size"))
         .orderBy("rep_id")
+    },
+
+    "d26_pagerank" -> { (s, d) =>
+      // Deterministic integer PageRank over the near-dup graph (d03's
+      // LSH pairs, symmetrized) — a CANONICALITY signal: within a dup
+      // cluster the most-connected copy ranks highest, complementing
+      // d15's keep-longest policy. All arithmetic is 1e6 fixed-point
+      // BIGINT with floor division (contribution = rank div degree,
+      // damping = 150000 + (85·inflow) div 100), so three power
+      // iterations replay verbatim in the oracle — the same
+      // exact-iterative-training discipline as d10's Lloyd. Per
+      // iteration: one rank⋈edges equi-join + one dst-keyed map-side-
+      // combined sum (the Pregel shape), lineage-cut via localCheckpoint.
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d), K, Bands)
+        .select(col("a"), col("b"))
+      val edges = pairs.unionByName(
+        pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+      var ranks = deg.select(col("a").as("id"), lit(1000000L).as("r"))
+        .localCheckpoint()
+      (0 until PrIters).foreach { _ =>
+        ranks = edges
+          .join(ranks, edges("a") === ranks("id"))
+          .join(deg, "a")
+          .select(col("b"), expr("r div deg").as("c"))
+          .groupBy("b").agg(sum(col("c")).as("inflow"))
+          .select(col("b").as("id"),
+            expr("150000 + (85 * inflow) div 100").as("r"))
+          .localCheckpoint()
+      }
+      ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
+        .orderBy(col("rank_e6").desc, col("doc_id").asc)
     },
 
     "d24_dedup_funnel" -> { (s, d) =>
@@ -241,6 +275,24 @@ object DedupQueries {
          |  MAX(id) AS max_id
          |FROM (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
          |GROUP BY label ORDER BY rep_id""".stripMargin,
+
+    "d26_pagerank" -> {
+      def iter(i: Int): String =
+        s"""pr${i + 1} AS (SELECT b AS id,
+           |    150000 + (85 * SUM(r // deg)) // 100 AS r
+           |  FROM edges
+           |  JOIN pr$i ON pr$i.id = edges.a
+           |  JOIN deg ON deg.a = edges.a
+           |  GROUP BY b)""".stripMargin
+      s"""WITH $lshPairsCtes,
+         |edges AS (SELECT a, b FROM lsh_pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM lsh_pairs),
+         |deg AS (SELECT a, COUNT(*) AS deg FROM edges GROUP BY a),
+         |pr0 AS (SELECT a AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+         |${(0 until PrIters).map(iter).mkString(",\n")}
+         |SELECT id AS doc_id, CAST(r AS BIGINT) AS rank_e6 FROM pr$PrIters
+         |ORDER BY rank_e6 DESC, doc_id ASC""".stripMargin
+    },
 
     "d24_dedup_funnel" ->
       s"""WITH RECURSIVE
