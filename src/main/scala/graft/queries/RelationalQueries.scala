@@ -303,6 +303,50 @@ object RelationalQueries {
         .orderBy("step")
     },
 
+    "q31_hll_distinct" -> { (s, d) =>
+      // HyperLogLog cardinality — with the SKETCH ITSELF oracle-checked,
+      // not just rows-only like q18's opaque sketches: the register table
+      // (64 registers × max trailing-zero rank) is exact integer state, S
+      // = Σ 2^(26−rho_max) is the harmonic sum over a COMMON denominator
+      // (2^-rho summed as scaled integers — the order-independent-SUM
+      // doctrine applied to a float-free harmonic mean), and est_raw =
+      // α·m²·2^26 div S is one integer division. Hash = multiplicative +
+      // one xorshift round (a bare multiplicative hash leaves arithmetic-
+      // progression structure in the low bits — measured +55% bias; mixed,
+      // raw lands within ±15%, the m=64 band). Small-range correction:
+      // classic linear counting on empty registers (est_lc, the one
+      // shared-formula double ln), selected by the standard raw<=2.5m ∧
+      // V>0 rule; exact distinct emitted as the audit column. At 100 TB
+      // the register table is the mergeable per-partition state (MAX per
+      // register — one tiny shuffle); the estimate is a 64-row fold.
+      val hll = Tables.events(s, d)
+        .select(expr("(user_id * 2654435761) % 2147483647").as("h1"))
+        .select(expr("((h1 ^ (h1 div 65536)) * 40503) % 2147483647").as("h"))
+        .select(expr("h % 64").as("reg"), expr("h div 64").as("rest"))
+        .select(col("reg"), expr(
+          "CASE WHEN rest = 0 THEN 26 ELSE bit_count((rest & -rest) - 1) + 1 END")
+          .as("rho"))
+        .groupBy("reg").agg(max(col("rho")).as("rho_max"))
+      val regs = Tables.events(s, d).sparkSession
+        .range(0, 64).toDF("r")
+        .join(hll, col("r") === col("reg"), "left")
+        .select(expr("coalesce(rho_max, 0)").as("rho_max"))
+      val exact = Tables.events(s, d)
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      regs.agg(
+        expr("CAST(SUM(CAST(power(2, 26 - rho_max) AS BIGINT)) AS BIGINT)").as("ss"),
+        expr("CAST(SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("v_empty"))
+        .withColumn("est_raw",
+          expr("(CAST(709 AS BIGINT) * 4096 * 67108864) div (1000 * ss)"))
+        .withColumn("est_lc", expr(
+          "CASE WHEN v_empty > 0 THEN CAST(round(64 * ln(64.0 / v_empty)) AS BIGINT) ELSE -1 END"))
+        .withColumn("est_used", expr(
+          "CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END"))
+        .crossJoin(broadcast(exact))
+        .select(lit(64L).as("m"), col("ss"), col("v_empty"), col("est_raw"),
+          col("est_lc"), col("est_used"), col("n_exact"))
+    },
+
     "q29_parts_analysis" -> { (s, d) =>
       // Brand-level revenue over the parts dim (completes coverage of
       // every testdata table). Part is small → broadcast.
@@ -392,6 +436,30 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q31_hll_distinct" ->
+      """WITH h0 AS (SELECT (user_id * 2654435761) % 2147483647 AS h1 FROM events),
+        |h AS (SELECT (xor(h1, h1 // 65536) * 40503) % 2147483647 AS h FROM h0),
+        |rr AS (SELECT h % 64 AS reg, h // 64 AS rest FROM h),
+        |rho AS (SELECT reg, CASE WHEN rest = 0 THEN 26
+        |    ELSE bit_count((rest & -rest) - 1) + 1 END AS rho FROM rr),
+        |mx AS (SELECT reg, MAX(rho) AS rho_max FROM rho GROUP BY reg),
+        |full_regs AS (SELECT coalesce(rho_max, 0) AS rho_max
+        |  FROM (SELECT unnest(range(0, 64)) AS r) LEFT JOIN mx ON mx.reg = r),
+        |s AS (SELECT
+        |    CAST(SUM(CAST(power(2, 26 - rho_max) AS BIGINT)) AS BIGINT) AS ss,
+        |    CAST(SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM full_regs),
+        |est AS (SELECT ss, v_empty,
+        |    (CAST(709 AS BIGINT) * 4096 * 67108864) // (1000 * ss) AS est_raw,
+        |    CASE WHEN v_empty > 0
+        |      THEN CAST(round(64 * ln(64.0 / v_empty)) AS BIGINT) ELSE -1 END AS est_lc
+        |  FROM s)
+        |SELECT CAST(64 AS BIGINT) AS m, ss, v_empty, est_raw, est_lc,
+        |  CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END
+        |    AS est_used,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
+        |FROM est""".stripMargin,
+
     "q30_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
         |  WHERE event_type = 'view' GROUP BY user_id),
