@@ -29,6 +29,9 @@ final case class FunnelState(step: Long, anchor: Long)
 /** One funnel advance emitted by [[EventStreams.funnelProgress]]. */
 final case class FunnelStep(user_id: Long, step: Long, stage: String, ts_s: Long)
 
+/** One HLL register of [[EventStreams.distinctSketch]]. */
+final case class RegisterState(reg: Long, rho_max: Long)
+
 /** Open-session state for the event-time sessionizer (epoch millis). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -307,6 +310,36 @@ object EventStreams {
         }
         state.update(st)
         out.iterator
+      }
+  }
+
+  /** Streaming twin of q31_hll_distinct: the HLL register table kept as
+    * keyed state — per register one MAX-rank long, so TOTAL state across
+    * the whole stream is 64 longs forever (the textbook mergeable-sketch
+    * bound; contrast dedupeStream, whose state grows with the watermark
+    * window). Same mixed hash and rank arithmetic as the batch query, so
+    * after any prefix of the stream the emitted registers equal the
+    * batch computation over the same rows (spec-asserted). Emit with
+    * OutputMode.Update; the estimate is the batch query's 64-row fold
+    * over the latest register states.
+    */
+  def distinctSketch(spark: SparkSession, events: DataFrame): Dataset[RegisterState] = {
+    import spark.implicits._
+    events
+      .selectExpr("(user_id * 2654435761) % 2147483647 AS h1")
+      .selectExpr("((h1 ^ (h1 div 65536)) * 40503) % 2147483647 AS h")
+      .selectExpr("h % 64 AS reg",
+        "CASE WHEN h div 64 = 0 THEN 26 " +
+          "ELSE bit_count(((h div 64) & -(h div 64)) - 1) + 1 END AS rho")
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, RegisterState](GroupStateTimeout.NoTimeout) {
+        (reg, rows, state) =>
+          val mx = rows.foldLeft(state.getOption.getOrElse(0L)) {
+            case (m, (_, rho)) => math.max(m, rho)
+          }
+          state.update(mx)
+          RegisterState(reg, mx)
       }
   }
 

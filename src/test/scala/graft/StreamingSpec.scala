@@ -290,6 +290,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("distinctSketch registers equal the batch HLL over the same rows, 64-long state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().toDF("user_id")
+    val q = EventStreams.distinctSketch(spark, events).writeStream
+      .format("memory").queryName("sketch_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(1L to 40L: _*)
+      q.processAllAvailable()
+      mem.addData(21L to 90L: _*) // overlap: sketch must not double-count
+      q.processAllAvailable()
+      // latest state per register from the update stream
+      val streamed = spark.sql(
+        """SELECT reg, max(rho_max) AS rho_max FROM sketch_test GROUP BY reg""")
+        .as[(Long, Long)].collect().toMap
+      val batch = (1L to 90L).toDF("user_id")
+        .selectExpr("(user_id * 2654435761) % 2147483647 AS h1")
+        .selectExpr("((h1 ^ (h1 div 65536)) * 40503) % 2147483647 AS h")
+        .selectExpr("h % 64 AS reg",
+          "CASE WHEN h div 64 = 0 THEN 26 " +
+            "ELSE bit_count(((h div 64) & -(h div 64)) - 1) + 1 END AS rho")
+        .groupBy("reg").agg(org.apache.spark.sql.functions.max("rho").as("rho_max"))
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == batch,
+        s"streamed registers must equal batch: ${streamed.toSeq.sorted} vs ${batch.toSeq.sorted}")
+      assert(streamed.size <= 64)
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
