@@ -19,6 +19,11 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  // q32 CMS row hashes: (a, b) pairs for ((a·u + b) % P) % 256
+  private val CmsRows: Seq[(Long, Long)] =
+    Seq((2654435761L, 17L), (2246822519L, 101L),
+      (3266489917L, 419L), (668265263L, 1009L))
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -303,6 +308,45 @@ object RelationalQueries {
         .orderBy("step")
     },
 
+    "q32_cms_heavy_hitters" -> { (s, d) =>
+      // Count-min sketch, oracle-checked like q31's HLL (q18's opaque
+      // sketches stay rows-only; this one hash-matches): 4 rows × 256
+      // counters with explicit (a·u + b) % P % w universal hashes, point
+      // estimate = min over the 4 rows, reported for the top 20 users by
+      // estimate with the exact count beside it — the CMS guarantee
+      // est >= exact is visible in every output row (overcount column).
+      // Shapes: counter build is one map-side-combined groupBy of 4·n
+      // (i, col) rows collapsing to <= 1024 counters (broadcast
+      // thereafter); estimates touch DISTINCT users only. At 100 TB the
+      // counter table is the mergeable state (elementwise +).
+      val P = 2147483647L
+      val ev = Tables.events(s, d).select(col("user_id"))
+      val hashes = CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        (i, s"((user_id * ${a}L + ${b}L) % $P) % 256")
+      }
+      val rowArr = hashes.map { case (i, h) =>
+        s"struct(CAST($i AS BIGINT) AS i, $h AS c)"
+      }.mkString(", ")
+      val counters = ev.select(explode(expr(s"array($rowArr)")).as("rc"))
+        .groupBy(col("rc.i").as("i"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+      val users = ev.groupBy("user_id").agg(count(lit(1)).as("exact"))
+      val est = hashes.foldLeft(users) { case (df, (i, h)) =>
+        df.join(broadcast(counters.filter(col("i") === i)
+          .select(col("c").as(s"c$i"), col("n").as(s"n$i"))),
+          expr(h) === col(s"c$i"))
+      }
+        .withColumn("est", expr(
+          hashes.map { case (i, _) => s"n$i" }.mkString("least(", ", ", ")")))
+      est
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("est").desc, col("user_id").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("user_id"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"), col("rn"))
+        .orderBy("rn")
+    },
+
     "q31_hll_distinct" -> { (s, d) =>
       // HyperLogLog cardinality — with the SKETCH ITSELF oracle-checked,
       // not just rows-only like q18's opaque sketches: the register table
@@ -436,6 +480,31 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q32_cms_heavy_hitters" -> {
+      val P = 2147483647L
+      val hs = CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        (i, s"((user_id * $a + $b) % $P) % 256")
+      }
+      val rowSelects = hs.map { case (i, h) =>
+        s"SELECT CAST($i AS BIGINT) AS i, $h AS c FROM events"
+      }.mkString("\n  UNION ALL ")
+      val joins = hs.map { case (i, h) =>
+        s"JOIN cnt c$i ON c$i.i = $i AND c$i.c = $h"
+      }.mkString("\n  ")
+      s"""WITH cnt AS (SELECT i, c, COUNT(*) AS n FROM (
+         |  $rowSelects
+         |) GROUP BY i, c),
+         |users AS (SELECT user_id, COUNT(*) AS exact FROM events GROUP BY user_id),
+         |est AS (SELECT user_id, exact,
+         |    least(${hs.map { case (i, _) => s"c$i.n" }.mkString(", ")}) AS est
+         |  FROM users
+         |  $joins),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    ORDER BY est DESC, user_id ASC) AS rn FROM est)
+         |SELECT user_id, est, exact, est - exact AS overcount, rn
+         |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin
+    },
+
     "q31_hll_distinct" ->
       """WITH h0 AS (SELECT (user_id * 2654435761) % 2147483647 AS h1 FROM events),
         |h AS (SELECT (xor(h1, h1 // 65536) * 40503) % 2147483647 AS h FROM h0),
