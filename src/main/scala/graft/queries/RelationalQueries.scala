@@ -308,6 +308,48 @@ object RelationalQueries {
         .orderBy("step")
     },
 
+    "q33_cms_tokens" -> { (s, d) =>
+      // q32's count-min sketch with STRING keys — the vocabulary
+      // heavy-hitter monitor (t06 computes the exact vocab top-k; a
+      // 100 TB feed monitors it with this sketch instead): tokens map to
+      // BIGINT Horner codes (base 31 mod P, the t14 discipline at token
+      // granularity), then the identical 4x256 counter/min machinery.
+      // Colliding codes share a cell exactly alike on both engines, so
+      // est >= exact still holds per token and the whole sketch stays
+      // hash-checkable.
+      val P = 2147483647L
+      val codeSql = "aggregate(transform(split(tok, ''), " +
+        s"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
+        s"(acc, c) -> (c + 31 * acc) % $P)"
+      val toks = Tables.documents(s, d)
+        .select(explode(expr("split(trim(text), ' ')")).as("tok"))
+        .select(col("tok"), expr(codeSql).as("code"))
+      val hashes = CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        (i, s"((code * ${a}L + ${b}L) % $P) % 256")
+      }
+      val rowArr = hashes.map { case (i, h) =>
+        s"struct(CAST($i AS BIGINT) AS i, $h AS c)"
+      }.mkString(", ")
+      val counters = toks.select(explode(expr(s"array($rowArr)")).as("rc"))
+        .groupBy(col("rc.i").as("i"), col("rc.c").as("c"))
+        .agg(count(lit(1)).as("n"))
+      val vocab = toks.groupBy("tok", "code").agg(count(lit(1)).as("exact"))
+      val est = hashes.foldLeft(vocab) { case (df, (i, h)) =>
+        df.join(broadcast(counters.filter(col("i") === i)
+          .select(col("c").as(s"c$i"), col("n").as(s"n$i"))),
+          expr(h) === col(s"c$i"))
+      }
+        .withColumn("est", expr(
+          hashes.map { case (i, _) => s"n$i" }.mkString("least(", ", ", ")")))
+      est
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("est").desc, col("tok").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("tok"), col("est"), col("exact"),
+          (col("est") - col("exact")).as("overcount"), col("rn"))
+        .orderBy("rn")
+    },
+
     "q32_cms_heavy_hitters" -> { (s, d) =>
       // Count-min sketch, oracle-checked like q31's HLL (q18's opaque
       // sketches stay rows-only; this one hash-matches): 4 rows × 256
@@ -480,6 +522,38 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q33_cms_tokens" -> {
+      val P = 2147483647L
+      val codeDuck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        s"(a, b) -> (b + 31 * a) % $P)"
+      val hs = CmsRows.zipWithIndex.map { case ((a, b), i) =>
+        (i, s"((code * $a + $b) % $P) % 256")
+      }
+      val rowSelects = hs.map { case (i, h) =>
+        s"SELECT CAST($i AS BIGINT) AS i, $h AS c FROM toks"
+      }.mkString("\n  UNION ALL ")
+      val joins = hs.map { case (i, h) =>
+        s"JOIN cnt c$i ON c$i.i = $i AND c$i.c = $h"
+      }.mkString("\n  ")
+      s"""WITH t0 AS (SELECT unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |toks AS (SELECT tok, $codeDuck AS code FROM t0),
+         |cnt AS (SELECT i, c, COUNT(*) AS n FROM (
+         |  $rowSelects
+         |) GROUP BY i, c),
+         |vocab AS (SELECT tok, code, COUNT(*) AS exact FROM toks
+         |  GROUP BY tok, code),
+         |est AS (SELECT tok, exact,
+         |    least(${hs.map { case (i, _) => s"c$i.n" }.mkString(", ")}) AS est
+         |  FROM vocab
+         |  $joins),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    ORDER BY est DESC, tok ASC) AS rn FROM est)
+         |SELECT tok, est, exact, est - exact AS overcount, rn
+         |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin
+    },
+
     "q32_cms_heavy_hitters" -> {
       val P = 2147483647L
       val hs = CmsRows.zipWithIndex.map { case ((a, b), i) =>
