@@ -32,6 +32,9 @@ final case class FunnelStep(user_id: Long, step: Long, stage: String, ts_s: Long
 /** One HLL register of [[EventStreams.distinctSketch]]. */
 final case class RegisterState(reg: Long, rho_max: Long)
 
+/** One CMS counter of [[EventStreams.cmsSketch]]. */
+final case class CounterState(i: Long, c: Long, n: Long)
+
 /** Open-session state for the event-time sessionizer (epoch millis). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -340,6 +343,37 @@ object EventStreams {
           }
           state.update(mx)
           RegisterState(reg, mx)
+      }
+  }
+
+  /** Streaming twin of q32_cms_heavy_hitters: the 4×256 count-min
+    * counters as keyed state — TOTAL state <= 1024 longs forever (the
+    * distinctSketch bound, CMS flavor; counters merge by +, so
+    * partitioned prefixes combine exactly). Same hash constants as the
+    * batch query; per micro-batch the 4·n hash rows pre-aggregate
+    * map-side before touching state. Emit with OutputMode.Update.
+    */
+  def cmsSketch(spark: SparkSession, events: DataFrame): Dataset[CounterState] = {
+    import spark.implicits._
+    val P = 2147483647L
+    val rows = Seq((2654435761L, 17L), (2246822519L, 101L),
+      (3266489917L, 419L), (668265263L, 1009L)).zipWithIndex.map {
+      case ((a, b), i) =>
+        s"struct(CAST($i AS BIGINT) AS i, ((user_id * ${a}L + ${b}L) % $P) % 256 AS c)"
+    }.mkString(", ")
+    // no pre-aggregate: Structured Streaming disallows an agg ahead of a
+    // stateful op here, so the hash rows fold inside the state function
+    // (the shuffle carries 4·batch rows onto <= 1024 keys)
+    events
+      .selectExpr(s"explode(array($rows)) AS rc")
+      .selectExpr("rc.i AS i", "rc.c AS c")
+      .as[(Long, Long)]
+      .groupByKey(identity)
+      .mapGroupsWithState[Long, CounterState](GroupStateTimeout.NoTimeout) {
+        case ((i, c), batchRows, state) =>
+          val n = state.getOption.getOrElse(0L) + batchRows.size
+          state.update(n)
+          CounterState(i, c, n)
       }
   }
 

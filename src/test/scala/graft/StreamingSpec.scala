@@ -321,6 +321,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cmsSketch counters equal the batch sketch over the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Long]
+    val events = mem.toDF().toDF("user_id")
+    val q = EventStreams.cmsSketch(spark, events).writeStream
+      .format("memory").queryName("cms_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(1L to 30L: _*)
+      q.processAllAvailable()
+      mem.addData(1L to 30L: _*) // same ids again: counters must double
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT i, c, max(n) AS n FROM cms_test GROUP BY i, c")
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      val P = 2147483647L
+      val rows = Seq((2654435761L, 17L), (2246822519L, 101L),
+        (3266489917L, 419L), (668265263L, 1009L)).zipWithIndex.map {
+        case ((a, b), i) =>
+          s"struct(CAST($i AS BIGINT) AS i, ((user_id * ${a}L + ${b}L) % $P) % 256 AS c)"
+      }.mkString(", ")
+      val batch = ((1L to 30L) ++ (1L to 30L)).toDF("user_id")
+        .selectExpr(s"explode(array($rows)) AS rc")
+        .groupBy("rc.i", "rc.c").count()
+        .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(streamed == batch)
+      assert(streamed.size <= 1024)
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
