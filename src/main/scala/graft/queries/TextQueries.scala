@@ -75,6 +75,14 @@ object TextQueries {
   // m09: scene cut when the stub frame feature jumps by >= SceneCutT
   private val SceneCutT = 400L
 
+  // t27 BM25: query size and the ONE shared per-term formula text (both
+  // engines evaluate this identical expression — k1=1.2, b=0.75, +1 idf)
+  private val QTerms = 3
+  private val bm25TermSql: String =
+    "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
+      "(tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE))) " +
+      "* 1000000"
+
   /** t20's unigram-NLL table (doc_id, n_tok, sum_nll_e6, avg_nll_e4) —
     * shared by t20 and t26; see t20 for the quantize-before-sum doctrine.
     */
@@ -360,6 +368,36 @@ object TextQueries {
           expr("CAST(round(n_shared * 10000.0 / least(na, nb)) AS BIGINT)"))
         .select(col("a"), col("b"), col("n_shared"), col("containment_e4"))
         .orderBy("a", "b")
+    },
+
+    "t27_bm25" -> { (s, d) =>
+      // BM25 ranked retrieval (k1=1.2, b=0.75) — the lexical-search twin
+      // of the d05 embedding path (a jane-like service and a RAG stack
+      // both need it): query = the corpus's top-QTerms tokens by DF
+      // (deterministic, data-derived — no out-of-band query string),
+      // per-(doc, term) score quantized to 1e-6 BIGINT BEFORE the
+      // per-doc SUM (t20 doctrine: the only doubles are one shared
+      // formula text per instance, never a float accumulation), dl/avgdl
+      // formed as dl·n_docs/total_len so the only division is the final
+      // shared-text one. Shapes: DF + length tables are map-side-combined
+      // groupBys, query terms broadcast, postings equi-join on token —
+      // the inverted-index scan shape.
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+      val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      val dfT = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
+      val qt = dfT.orderBy(col("df").desc, col("tok").asc).limit(QTerms)
+      val tf = t.join(broadcast(qt), "tok")
+        .groupBy("doc_id", "tok", "df").agg(count(lit(1)).as("tf"))
+      tf.join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("s_e6", expr(s"CAST(round($bm25TermSql) AS BIGINT)"))
+        .groupBy("doc_id").agg(sum(col("s_e6")).as("score_e6"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("score_e6").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 20)
+        .select(col("doc_id"), col("score_e6"), col("rn"))
+        .orderBy("rn")
     },
 
     "t21_global_shuffle" -> { (s, d) =>
@@ -947,6 +985,26 @@ object TextQueries {
          |  MIN(avg_nll_e4) AS min_nll_e4, MAX(avg_nll_e4) AS max_nll_e4,
          |  CAST(SUM(avg_nll_e4) AS BIGINT) AS sum_nll_e4
          |FROM bucketed GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "t27_bm25" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+         |qt AS (SELECT tok, df FROM dft ORDER BY df DESC, tok ASC LIMIT $QTerms),
+         |tf AS (SELECT doc_id, t.tok, df, COUNT(*) AS tf
+         |  FROM t JOIN qt USING (tok) GROUP BY doc_id, t.tok, df),
+         |sc AS (SELECT doc_id,
+         |    CAST(round($bm25TermSql) AS BIGINT) AS s_e6
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN stats),
+         |agg AS (SELECT doc_id, CAST(SUM(s_e6) AS BIGINT) AS score_e6
+         |  FROM sc GROUP BY doc_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |    ORDER BY score_e6 DESC, doc_id ASC) AS rn FROM agg)
+         |SELECT doc_id, score_e6, rn FROM ranked WHERE rn <= 20
+         |ORDER BY rn""".stripMargin,
 
     "t25_winnow_overlap" ->
       s"""WITH d AS (SELECT doc_id, text,
