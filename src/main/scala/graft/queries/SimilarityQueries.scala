@@ -145,6 +145,66 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    "d27_hybrid_rrf" -> { (s, d) =>
+      // Hybrid retrieval with reciprocal-rank fusion — the standard RAG
+      // serving stack in one query: for each query document (doc 0..9),
+      // corpus docs are ranked LEXICALLY (BM25 over the query doc's
+      // tokens — t27's shared formula text, per-term 1e-6 quantization
+      // before the sum) and SEMANTICALLY (the d05 exact integer dot over
+      // the aligned embeddings), then fused by RRF with the classic
+      // k=60: contribution = 1000000 div (60 + rank) — PURE INTEGER, so
+      // the whole ensemble is hash-checked. A doc absent from one arm
+      // contributes 0 from it (full outer join); top-10 per query.
+      // Shapes: both arms are the existing operators' shapes; fusion
+      // adds one (query, doc)-keyed full-outer join of two rank tables.
+      graft.plans.GraftFunctions.register(s)
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+      val qt = t.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("query_id"), col("tok")).distinct()
+      val ct = t.filter(col("doc_id") >= NQueries)
+      val dl = ct.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+      val dft = ct.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(count(lit(1)).as("df"))
+      val tf = ct.join(qt, "tok")
+        .groupBy("query_id", "doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val wLex = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("lex_score").desc, col("doc_id").asc)
+      val lex = tf.join(dft, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+        .withColumn("s_e6", expr(s"CAST(round(${TextQueries.bm25TermSql}) AS BIGINT)"))
+        .groupBy("query_id", "doc_id").agg(sum(col("s_e6")).as("lex_score"))
+        .withColumn("lex_rn", row_number().over(wLex).cast("long"))
+        .select(col("query_id"), col("doc_id"), col("lex_rn"))
+      val e = quantized(s, d)
+      val qs = e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("qid"), col("q").as("qq"))
+      val wSem = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("dot").desc, col("cand").asc)
+      val sem = e.filter(col("vec_id") >= NQueries)
+        .crossJoin(broadcast(qs))
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "q")))
+        .select(col("qid"), col("vec_id").as("cand"), col("dot"))
+        .withColumn("sem_rn", row_number().over(wSem).cast("long"))
+        .select(col("qid"), col("cand"), col("sem_rn"))
+      val wRrf = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("rrf_e6").desc, col("cand_id").asc)
+      lex.join(sem,
+        col("query_id") === col("qid") && col("doc_id") === col("cand"), "full_outer")
+        .select(coalesce(col("query_id"), col("qid")).as("query_id"),
+          coalesce(col("doc_id"), col("cand")).as("cand_id"),
+          coalesce(expr("1000000 div (60 + lex_rn)"), lit(0L)).as("lex_c"),
+          coalesce(expr("1000000 div (60 + sem_rn)"), lit(0L)).as("sem_c"),
+          coalesce(col("lex_rn"), lit(-1L)).as("lex_rn"),
+          coalesce(col("sem_rn"), lit(-1L)).as("sem_rn"))
+        .withColumn("rrf_e6", col("lex_c") + col("sem_c"))
+        .withColumn("rn", row_number().over(wRrf).cast("long"))
+        .filter(col("rn") <= 10)
+        .select(col("query_id"), col("cand_id"), col("rrf_e6"),
+          col("lex_rn"), col("sem_rn"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
     "d25_ann_recall_eval" -> { (s, d) =>
       // The ANN recall eval AS a distributed query — the continuous
       // monitoring job a production vector index runs against a ground-
@@ -707,6 +767,45 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d27_hybrid_rrf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+         |  FROM documents),
+         |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
+         |  WHERE doc_id < $NQueries),
+         |ct AS (SELECT doc_id, tok FROM t WHERE doc_id >= $NQueries),
+         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ct GROUP BY doc_id),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+         |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ct GROUP BY tok),
+         |tf AS (SELECT query_id, ct.doc_id, ct.tok, COUNT(*) AS tf
+         |  FROM ct JOIN qt USING (tok) GROUP BY query_id, ct.doc_id, ct.tok),
+         |sc AS (SELECT query_id, doc_id,
+         |    CAST(round(${graft.queries.TextQueries.bm25TermSql}) AS BIGINT) AS s_e6
+         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+         |lexs AS (SELECT query_id, doc_id, CAST(SUM(s_e6) AS BIGINT) AS lex_score
+         |  FROM sc GROUP BY query_id, doc_id),
+         |lex AS (SELECT query_id, doc_id, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC) AS lex_rn
+         |  FROM lexs),
+         |e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < $NQueries),
+         |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |sem AS (SELECT qid, cand, row_number() OVER (
+         |    PARTITION BY qid ORDER BY dot DESC, cand ASC) AS sem_rn FROM
+         |  (SELECT qid, cs.vec_id AS cand, ${dotDuck("qq", "q")} AS dot
+         |   FROM cs CROSS JOIN qs)),
+         |fused AS (SELECT coalesce(query_id, qid) AS query_id,
+         |    coalesce(doc_id, cand) AS cand_id,
+         |    coalesce(1000000 // (60 + lex_rn), 0) +
+         |      coalesce(1000000 // (60 + sem_rn), 0) AS rrf_e6,
+         |    coalesce(lex_rn, -1) AS lex_rn, coalesce(sem_rn, -1) AS sem_rn
+         |  FROM lex FULL OUTER JOIN sem
+         |    ON lex.query_id = sem.qid AND lex.doc_id = sem.cand),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_e6 DESC, cand_id ASC) AS rn FROM fused)
+         |SELECT query_id, cand_id, rrf_e6, lex_rn, sem_rn, rn
+         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
 
     "d25_ann_recall_eval" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),

@@ -78,7 +78,7 @@ object TextQueries {
   // t27 BM25: query size and the ONE shared per-term formula text (both
   // engines evaluate this identical expression — k1=1.2, b=0.75, +1 idf)
   private val QTerms = 3
-  private val bm25TermSql: String =
+  private[graft] val bm25TermSql: String =
     "ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) * (tf * 2.2) / " +
       "(tf + 1.2 * (0.25 + 0.75 * dl * n_docs / CAST(total_len AS DOUBLE))) " +
       "* 1000000"
