@@ -50,6 +50,10 @@ object SimilarityQueries {
   private val KnnK = 5
   private val ProbeLo = 10
   private val ProbeHi = 60
+  // d28 MMR: re-rank window and picks; score10 = 7·rel − 3·maxsim (λ=0.7
+  // in tenths — exact integers)
+  private val MmrM = 10
+  private val MmrK = 5
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -143,6 +147,51 @@ object SimilarityQueries {
         .filter(col("rn") <= K)
         .select(col("query_id"), col("vec_id").as("cand_id"), col("dot"), col("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    "d28_mmr_diversify" -> { (s, d) =>
+      // Maximal-Marginal-Relevance diversification — the re-rank step
+      // between retrieval and a RAG context window (top-M by relevance
+      // is redundant when the corpus has near-dups; MMR trades relevance
+      // against similarity to what's already picked): greedy over query
+      // 0's exact top-M, score10 = 7·rel − 3·max_{s∈S} sim(c, s), all
+      // exact integer dots, ties on cand_id. The greedy loop is
+      // inherently sequential — MmrK tiny iterations over an M-row
+      // re-rank window (M stays small at any corpus scale; the corpus-
+      // wide work is the base retrieval), each a broadcast join +
+      // 1-row argmax, lineage-cut like the Lloyd loops; the oracle
+      // replays every pick as generated CTEs.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val corpus = e.filter(col("vec_id") >= NQueries)
+      val base = SimilaritySearch.bruteForceTopK(
+        e.filter(col("vec_id") === 0), corpus, MmrM)
+        .select(col("cand_id"), col("dot").as("rel"))
+        .join(corpus.select(col("vec_id").as("cand_id"), col("q")), "cand_id")
+        .localCheckpoint()
+      var sel = base.orderBy(col("rel").desc, col("cand_id").asc).limit(1)
+        .select(lit(1L).as("pick"), col("cand_id"), col("rel"),
+          lit(0L).as("maxsim"), (lit(7L) * col("rel")).as("score10"), col("q"))
+        .localCheckpoint()
+      (2 to MmrK).foreach { t =>
+        val pick = base
+          .join(sel.select(col("cand_id").as("sid")), col("cand_id") === col("sid"),
+            "left_anti")
+          .crossJoin(broadcast(sel.select(col("q").as("sq"))))
+          .withColumn("sim", expr(SimilaritySearch.dotSql("q", "sq")))
+          .groupBy("cand_id", "rel")
+          .agg(max(col("sim")).as("maxsim"))
+          .withColumn("score10", lit(7L) * col("rel") - lit(3L) * col("maxsim"))
+          .orderBy(col("score10").desc, col("cand_id").asc).limit(1)
+          .join(base.select(col("cand_id").as("cid"), col("q")),
+            col("cand_id") === col("cid"))
+          .select(lit(t.toLong).as("pick"), col("cand_id"), col("rel"),
+            col("maxsim"), col("score10"), col("q"))
+        sel = sel.unionByName(pick).localCheckpoint()
+      }
+      sel.select(col("pick"), col("cand_id"), col("rel"), col("maxsim"),
+        col("score10"))
+        .orderBy("pick")
     },
 
     "d27_hybrid_rrf" -> { (s, d) =>
@@ -767,6 +816,36 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d28_mmr_diversify" -> {
+      def step(t: Int): String =
+        s"""sc$t AS (SELECT b.cand_id, b.rel,
+           |    MAX(${dotDuck("b.q", "bs.q")}) AS maxsim
+           |  FROM base b
+           |  JOIN sel${t - 1} s ON true
+           |  JOIN base bs ON bs.cand_id = s.cand_id
+           |  WHERE b.cand_id NOT IN (SELECT cand_id FROM sel${t - 1})
+           |  GROUP BY b.cand_id, b.rel),
+           |s$t AS (SELECT CAST($t AS BIGINT) AS pick, cand_id, rel, maxsim,
+           |    7 * rel - 3 * maxsim AS score10
+           |  FROM sc$t ORDER BY score10 DESC, cand_id ASC LIMIT 1),
+           |sel$t AS (SELECT * FROM sel${t - 1} UNION ALL SELECT * FROM s$t)""".stripMargin
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |q0 AS (SELECT q AS qq FROM e WHERE vec_id = 0),
+         |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |ranked AS (SELECT cs.vec_id AS cand_id, cs.q,
+         |    ${dotDuck("qq", "q")} AS rel,
+         |    row_number() OVER (ORDER BY ${dotDuck("qq", "q")} DESC,
+         |      cs.vec_id ASC) AS rn
+         |  FROM cs CROSS JOIN q0),
+         |base AS (SELECT cand_id, rel, q FROM ranked WHERE rn <= $MmrM),
+         |sel1 AS (SELECT CAST(1 AS BIGINT) AS pick, cand_id, rel,
+         |    CAST(0 AS BIGINT) AS maxsim, 7 * rel AS score10
+         |  FROM base ORDER BY rel DESC, cand_id ASC LIMIT 1),
+         |${(2 to MmrK).map(step).mkString(",\n")}
+         |SELECT pick, cand_id, rel, maxsim, score10 FROM sel$MmrK
+         |ORDER BY pick""".stripMargin
+    },
 
     "d27_hybrid_rrf" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
