@@ -207,8 +207,11 @@ object SimilarityQueries {
       // Shapes: both arms are the existing operators' shapes; fusion
       // adds one (query, doc)-keyed full-outer join of two rank tables.
       graft.plans.GraftFunctions.register(s)
+      // tokenized table feeds five consumers — materialize once (at
+      // 100 TB this is the persisted tokenization stage)
       val t = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+        .localCheckpoint()
       val qt = t.filter(col("doc_id") < NQueries)
         .select(col("doc_id").as("query_id"), col("tok")).distinct()
       val ct = t.filter(col("doc_id") >= NQueries)

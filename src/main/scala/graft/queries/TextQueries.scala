@@ -382,8 +382,10 @@ object TextQueries {
       // shared-text one. Shapes: DF + length tables are map-side-combined
       // groupBys, query terms broadcast, postings equi-join on token —
       // the inverted-index scan shape.
+      // tokenized table feeds three consumers — materialize once
       val t = Tables.documents(s, d)
         .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
+        .localCheckpoint()
       val dl = t.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
       val dfT = t.groupBy("tok").agg(countDistinct(col("doc_id")).as("df"))
