@@ -325,6 +325,42 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 }
 
+class PlanShapeSpec extends SparkSpec {
+  test("d23 retrieval join broadcasts the winner set, never shuffles documents") {
+    val plan = SparkEntry.queries("d23_retrieval_join")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the winner set must broadcast against the documents scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "the documents table must not be shuffled for a NQueries*K winner join")
+  }
+
+  test("d21 hard-negative label filter is applied before the ranking shuffle") {
+    // the label-mismatch predicate must sit under the heap/exchange, i.e.
+    // appear as a join condition or filter in the scan-side subtree, not
+    // as a post-ranking filter
+    val df = SparkEntry.queries("d21_hard_negatives")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("NOT (label"), s"label filter missing from plan")
+    import spark.implicits._
+    // and no returned negative carries the query's own label
+    val rows = df.select("query_id", "neg_label").as[(Long, Int)].collect()
+    val own = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").as[(Long, Int)].collect().toMap
+    assert(rows.nonEmpty && rows.forall { case (q, l) => own(q) != l })
+  }
+
+  test("q31/q32 sketch builds are single-scan map-side aggregations") {
+    for (name <- Seq("q31_hll_distinct", "q32_cms_heavy_hitters")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("HashAggregate"), s"$name: must hash-aggregate")
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: no cartesian may appear outside broadcast-1-row joins")
+    }
+  }
+}
+
 class BloomFilterFunctionsSpec extends SparkSpec {
   test("bloom pre-filter keeps every true key and prunes most others") {
     graft.plans.GraftFunctions.register(spark)
