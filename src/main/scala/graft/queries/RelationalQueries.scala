@@ -308,6 +308,40 @@ object RelationalQueries {
         .orderBy("step")
     },
 
+    "q34_expectations" -> { (s, d) =>
+      // Data-quality gate (the Deequ/Great-Expectations shape): a fixed
+      // suite of expectations evaluated over the fact table in ONE scan
+      // each family — null counts and range violations fold into a single
+      // conditional aggregate, key uniqueness is one groupBy, referential
+      // integrity one anti-join count — emitted as a (check, violations,
+      // passed) verdict table a pipeline gates deploys on. Every metric
+      // is an exact integer count.
+      val li = Tables.lineitem(s, d)
+      val scan = li.agg(
+        sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("null_key"),
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+          .otherwise(0L)).as("qty_range"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)).as("disc_range"))
+      val dupKeys = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .agg(coalesce(sum(col("n") - 1), lit(0L)).as("dup_lines"))
+      val orphans = li.join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_lines"))
+      def row(name: String, mcol: String) =
+        scan.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
+          .select(lit(name).as("check_name"), col(mcol).as("violations"),
+            expr(s"CAST(CASE WHEN $mcol = 0 THEN 1 ELSE 0 END AS BIGINT)")
+              .as("passed"))
+      row("key_not_null", "null_key")
+        .unionByName(row("line_key_unique", "dup_lines"))
+        .unionByName(row("quantity_in_range", "qty_range"))
+        .unionByName(row("discount_in_range", "disc_range"))
+        .unionByName(row("orderkey_in_orders", "orphan_lines"))
+        .orderBy("check_name")
+    },
+
     "q33_cms_tokens" -> { (s, d) =>
       // q32's count-min sketch with STRING keys — the vocabulary
       // heavy-hitter monitor (t06 computes the exact vocab top-k; a
@@ -522,6 +556,32 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q34_expectations" ->
+      """WITH scan AS (SELECT
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS null_key,
+        |    CAST(SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS qty_range,
+        |    CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS disc_range
+        |  FROM lineitem),
+        |dup AS (SELECT CAST(coalesce(SUM(n - 1), 0) AS BIGINT) AS dup_lines FROM
+        |  (SELECT COUNT(*) AS n FROM lineitem
+        |   GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1)),
+        |orph AS (SELECT CAST(COUNT(*) AS BIGINT) AS orphan_lines FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)),
+        |m AS (SELECT * FROM scan, dup, orph)
+        |SELECT check_name, violations,
+        |  CAST(CASE WHEN violations = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+        |FROM (
+        |  SELECT 'key_not_null' AS check_name, null_key AS violations FROM m
+        |  UNION ALL SELECT 'line_key_unique', dup_lines FROM m
+        |  UNION ALL SELECT 'quantity_in_range', qty_range FROM m
+        |  UNION ALL SELECT 'discount_in_range', disc_range FROM m
+        |  UNION ALL SELECT 'orderkey_in_orders', orphan_lines FROM m
+        |) ORDER BY check_name""".stripMargin,
+
     "q33_cms_tokens" -> {
       val P = 2147483647L
       val codeDuck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
