@@ -402,6 +402,27 @@ object TextQueries {
         .orderBy("rn")
     },
 
+    "t28_shard_manifest" -> { (s, d) =>
+      // Reproducibility manifest per training shard (the artifact a
+      // dataloader pins a run to): t21's deterministic shard assignment +
+      // per-shard doc count, byte mass, and an ORDER-INDEPENDENT content
+      // fingerprint — sum of per-doc rolling fingerprints mod P, so any
+      // permutation of the same docs yields the same manifest row and a
+      // single changed byte changes it. One scan + one 64-key
+      // map-side-combined rollup; per-doc fp reduced mod P BEFORE the sum
+      // (overflow-safe to ~9e9 docs/shard).
+      graft.plans.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .withColumn("shard", expr("((doc_id * 2654435761) % 1000000007) % 64"))
+        .withColumn("fp", expr("graft_fingerprint(text)"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          expr("CAST(SUM(fp % 1000000007) % 1000000007 AS BIGINT)")
+            .as("manifest_fp"))
+        .orderBy("shard")
+    },
+
     "t21_global_shuffle" -> { (s, d) =>
       // Deterministic global shuffle + shard layout: order the corpus by
       // a multiplicative hash (reproducible "random" order, no RNG),
@@ -1112,6 +1133,16 @@ object TextQueries {
     "t04_fingerprint" ->
       s"""SELECT doc_id, $fingerprintDuck AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t28_shard_manifest" ->
+      s"""WITH f AS (SELECT
+         |    ((doc_id * 2654435761) % 1000000007) % 64 AS shard,
+         |    n_chars, $fingerprintDuck AS fp
+         |  FROM documents)
+         |SELECT shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(fp % 1000000007) % 1000000007 AS BIGINT) AS manifest_fp
+         |FROM f GROUP BY shard ORDER BY shard""".stripMargin,
 
     "t05_stratified_sample" ->
       """SELECT doc_id, lang FROM documents
