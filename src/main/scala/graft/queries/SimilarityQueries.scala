@@ -149,6 +149,26 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    "d29_ivf_health" -> { (s, d) =>
+      // IVF index-health report — what an ANN ops team watches: per
+      // centroid, list population (skewed lists = hot probes) and exact
+      // integer quantization error (sum + floored mean ||x−c||²; drifting
+      // error = stale codebook, retrain signal). Same trained codebook
+      // and assignment pass as d10/d13; the report adds one cent_id-keyed
+      // map-side-combined rollup. The oracle replays training + assign +
+      // rollup end to end.
+      val e = quantized(s, d)
+      val codebook = graft.operators.KMeans
+        .fitQuantizedSampled(e, TargetClusterSize, SamplePct, IvfIters)
+      graft.operators.KMeans.assignQuantized(e, codebook)
+        .groupBy("cent_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("dist")).as("sum_err"),
+          expr("CAST(floor(CAST(SUM(dist) AS DOUBLE) / COUNT(*)) AS BIGINT)")
+            .as("mean_err"))
+        .orderBy("cent_id")
+    },
+
     "d28_mmr_diversify" -> { (s, d) =>
       // Maximal-Marginal-Relevance diversification — the re-rank step
       // between retrieval and a RAG context window (top-M by relevance
@@ -819,6 +839,20 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d29_ivf_health" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |cand AS (SELECT vec_id, q FROM e),
+         |$trainedCentsCtes,
+         |asg2 AS (SELECT vec_id, cent_id, dist FROM (
+         |    SELECT c.vec_id, ct.cent_id, ${distDuck("c.q", "ct.cq")} AS dist,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuck("c.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct) WHERE pr = 1)
+         |SELECT cent_id, COUNT(*) AS n_vecs,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_err,
+         |  CAST(floor(CAST(SUM(dist) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_err
+         |FROM asg2 GROUP BY cent_id ORDER BY cent_id""".stripMargin,
 
     "d28_mmr_diversify" -> {
       def step(t: Int): String =
