@@ -54,6 +54,8 @@ object SimilarityQueries {
   // in tenths — exact integers)
   private val MmrM = 10
   private val MmrK = 5
+  // d30: sweep nprobe 1..MaxNprobe (<= the 8 fixed centroids)
+  private val MaxNprobe = 4
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -147,6 +149,59 @@ object SimilarityQueries {
         .filter(col("rn") <= K)
         .select(col("query_id"), col("vec_id").as("cand_id"), col("dot"), col("rn"))
         .orderBy("query_id", "rn")
+    },
+
+    "d30_nprobe_sweep" -> { (s, d) =>
+      // The IVF tuning curve — recall@k vs probed-candidate volume for
+      // nprobe 1..4 in ONE query (how production picks nprobe: the knee
+      // of this curve): list assignment and query-to-list ranks compute
+      // ONCE, each scored row then explodes to the arms it belongs to
+      // (np >= its list rank), per-(np, query) ranking + exact-top-k
+      // intersection fold to a 4-row curve of (probed volume, hits,
+      // mean recall). d09's centroids/queries/corpus split; everything
+      // exact integers.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val n = e.withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
+      val cents = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"), col("nq").as("cn"))
+      val cand = n.filter(col("vec_id") >= 20)
+      val qs = n.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+      def argRanks(rows: DataFrame, idc: String, vc: String, nc: String) =
+        rows.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            col(nc) + col("cn") - lit(2L) * expr(SimilaritySearch.dotSql(vc, "cq")))
+          .withColumn("pr", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(idc)
+              .orderBy(col("dist").asc, col("cent_id").asc)))
+      val ca = argRanks(cand, "vec_id", "q", "nq").filter(col("pr") === 1)
+        .select(col("vec_id").as("cand_id"), col("q").as("cq2"), col("cent_id"))
+        .localCheckpoint()
+      val qp = argRanks(qs, "vec_id", "q", "nq").filter(col("pr") <= MaxNprobe)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"),
+          col("cent_id"), col("pr"))
+      val scored = ca.join(qp, "cent_id")
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "cq2")))
+        .select(col("query_id"), col("cand_id"), col("dot"), col("pr"))
+        .withColumn("np", explode(expr(
+          s"sequence(CAST(pr AS INT), $MaxNprobe)")))
+      val wk = org.apache.spark.sql.expressions.Window
+        .partitionBy("np", "query_id").orderBy(col("dot").desc, col("cand_id").asc)
+      val top = scored.withColumn("rn", row_number().over(wk))
+        .filter(col("rn") <= K)
+      val exact = SimilaritySearch.bruteForceTopK(
+        e.filter(col("vec_id") >= 10 && col("vec_id") < 20).select("vec_id", "q"),
+        e.filter(col("vec_id") >= 20).select("vec_id", "q"), K)
+        .select(col("query_id"), col("cand_id").as("ecand"))
+      val hits = top.join(exact,
+        top("query_id") === exact("query_id") && col("cand_id") === col("ecand"))
+        .groupBy("np").agg(count(lit(1)).as("n_hit"))
+      val vol = scored.groupBy("np").agg(count(lit(1)).as("total_cands"))
+      vol.join(hits, Seq("np"), "left")
+        .select(col("np").cast("long").as("nprobe"), col("total_cands"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          expr(s"coalesce(n_hit, 0) * 10000 div (${NQueries} * $K)").as("mean_recall_e4"))
+        .orderBy("nprobe")
     },
 
     "d29_ivf_health" -> { (s, d) =>
@@ -839,6 +894,49 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d30_nprobe_sweep" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS nq FROM e),
+         |cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cn FROM n
+         |  WHERE vec_id < 8),
+         |cand AS (SELECT vec_id, q, nq FROM n WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id, q, nq FROM n WHERE vec_id >= 10 AND vec_id < 20),
+         |ca AS (SELECT cand_id, q, cent_id FROM (
+         |    SELECT c.vec_id AS cand_id, c.q, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY c.nq + ct.cn - 2 * ${dotDuck("c.q", "ct.cq")} ASC,
+         |                 ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct) WHERE pr = 1),
+         |qp AS (SELECT query_id, qq, cent_id, pr FROM (
+         |    SELECT s.vec_id AS query_id, s.q AS qq, ct.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY s.nq + ct.cn - 2 * ${dotDuck("s.q", "ct.cq")} ASC,
+         |                 ct.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ct) WHERE pr <= $MaxNprobe),
+         |scored AS (SELECT qp.query_id, ca.cand_id,
+         |    ${dotDuck("qp.qq", "ca.q")} AS dot, qp.pr
+         |  FROM ca JOIN qp USING (cent_id)),
+         |arms AS (SELECT scored.*, np FROM scored
+         |  JOIN (SELECT unnest(range(1, ${MaxNprobe + 1})) AS np) ON np >= pr),
+         |topk AS (SELECT np, query_id, cand_id FROM (
+         |    SELECT np, query_id, cand_id, row_number() OVER (
+         |      PARTITION BY np, query_id ORDER BY dot DESC, cand_id ASC) AS rn
+         |    FROM arms) WHERE rn <= $K),
+         |ex AS (SELECT query_id, cand_id AS ecand FROM (
+         |    SELECT qs.vec_id AS query_id, cand.vec_id AS cand_id,
+         |      row_number() OVER (PARTITION BY qs.vec_id
+         |        ORDER BY ${dotDuck("qs.q", "cand.q")} DESC, cand.vec_id ASC) AS rn
+         |    FROM cand CROSS JOIN qs) WHERE rn <= $K),
+         |hits AS (SELECT np, COUNT(*) AS n_hit FROM topk
+         |  JOIN ex ON ex.query_id = topk.query_id AND ex.ecand = topk.cand_id
+         |  GROUP BY np),
+         |vol AS (SELECT np, COUNT(*) AS total_cands FROM arms GROUP BY np)
+         |SELECT CAST(vol.np AS BIGINT) AS nprobe, total_cands,
+         |  CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+         |  coalesce(n_hit, 0) * 10000 // (10 * $K) AS mean_recall_e4
+         |FROM vol LEFT JOIN hits ON hits.np = vol.np
+         |ORDER BY nprobe""".stripMargin,
 
     "d29_ivf_health" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
