@@ -329,11 +329,15 @@ object RelationalQueries {
       val orphans = li.join(Tables.orders(s, d),
         col("l_orderkey") === col("o_orderkey"), "left_anti")
         .agg(count(lit(1)).as("orphan_lines"))
+      // ONE metrics row, materialized — without the barrier each of the
+      // five verdict rows re-executes all three metric subtrees (40-scan
+      // plan, verified via graft.Explain)
+      val m = scan.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
+        .localCheckpoint()
       def row(name: String, mcol: String) =
-        scan.crossJoin(broadcast(dupKeys)).crossJoin(broadcast(orphans))
-          .select(lit(name).as("check_name"), col(mcol).as("violations"),
-            expr(s"CAST(CASE WHEN $mcol = 0 THEN 1 ELSE 0 END AS BIGINT)")
-              .as("passed"))
+        m.select(lit(name).as("check_name"), col(mcol).as("violations"),
+          expr(s"CAST(CASE WHEN $mcol = 0 THEN 1 ELSE 0 END AS BIGINT)")
+            .as("passed"))
       row("key_not_null", "null_key")
         .unionByName(row("line_key_unique", "dup_lines"))
         .unionByName(row("quantity_in_range", "qty_range"))
@@ -355,9 +359,11 @@ object RelationalQueries {
       val codeSql = "aggregate(transform(split(tok, ''), " +
         s"c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
         s"(acc, c) -> (c + 31 * acc) % $P)"
+      // tokenized+coded table feeds counters and vocab — materialize once
       val toks = Tables.documents(s, d)
         .select(explode(expr("split(trim(text), ' ')")).as("tok"))
         .select(col("tok"), expr(codeSql).as("code"))
+        .localCheckpoint()
       val hashes = CmsRows.zipWithIndex.map { case ((a, b), i) =>
         (i, s"((code * ${a}L + ${b}L) % $P) % 256")
       }

@@ -180,11 +180,14 @@ object SimilarityQueries {
       val qp = argRanks(qs, "vec_id", "q", "nq").filter(col("pr") <= MaxNprobe)
         .select(col("vec_id").as("query_id"), col("q").as("qq"),
           col("cent_id"), col("pr"))
+      // scored feeds both the per-arm ranking and the volume rollup —
+      // materialize so the probe join runs once
       val scored = ca.join(qp, "cent_id")
         .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "cq2")))
         .select(col("query_id"), col("cand_id"), col("dot"), col("pr"))
         .withColumn("np", explode(expr(
           s"sequence(CAST(pr AS INT), $MaxNprobe)")))
+        .localCheckpoint()
       val wk = org.apache.spark.sql.expressions.Window
         .partitionBy("np", "query_id").orderBy(col("dot").desc, col("cand_id").asc)
       val top = scored.withColumn("rn", row_number().over(wk))
