@@ -325,6 +325,42 @@ class SimilarityRecallSpec extends SparkSpec {
   }
 }
 
+class PipelineInvariantSpec extends SparkSpec {
+  test("d24 funnel is monotone: raw >= exact survivors >= near-dup survivors > 0") {
+    import spark.implicits._
+    val f = SparkEntry.queries("d24_dedup_funnel")(spark, sfDir)
+      .select("step", "n_docs").as[(Long, Long)].collect().toMap
+    assert(f(1L) >= f(2L) && f(2L) >= f(3L) && f(3L) > 0, s"funnel $f")
+  }
+
+  test("q31/q32/q33 sketch guarantees hold on the corpus") {
+    import spark.implicits._
+    // HLL: the selected estimator is within the documented band of exact
+    val h = SparkEntry.queries("q31_hll_distinct")(spark, sfDir)
+      .select("est_used", "n_exact").as[(Long, Long)].head()
+    assert(math.abs(h._1 - h._2) * 100 <= 35 * h._2,
+      s"HLL est ${h._1} vs exact ${h._2} outside 35% band")
+    // CMS: est >= exact for every reported key (the structural guarantee)
+    for (name <- Seq("q32_cms_heavy_hitters", "q33_cms_tokens")) {
+      val over = SparkEntry.queries(name)(spark, sfDir)
+        .select("overcount").as[Long].collect()
+      assert(over.nonEmpty && over.forall(_ >= 0L),
+        s"$name: CMS must never under-count")
+    }
+  }
+
+  test("d30 tuning curve is monotone in nprobe (recall and cost)") {
+    import spark.implicits._
+    val c = SparkEntry.queries("d30_nprobe_sweep")(spark, sfDir)
+      .select("nprobe", "total_cands", "mean_recall_e4")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(c.length == 4)
+    assert(c.sliding(2).forall { case Array(a, b) =>
+      b._2 >= a._2 && b._3 >= a._3 },
+      s"more probes must not reduce candidates or recall: ${c.toSeq}")
+  }
+}
+
 class PlanShapeSpec extends SparkSpec {
   test("d23 retrieval join broadcasts the winner set, never shuffles documents") {
     val plan = SparkEntry.queries("d23_retrieval_join")(spark, sfDir)
