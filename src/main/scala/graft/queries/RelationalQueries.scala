@@ -473,6 +473,33 @@ object RelationalQueries {
           col("est_lc"), col("est_used"), col("n_exact"))
     },
 
+    "q35_funnel_latency" -> { (s, d) =>
+      // Time-to-convert distribution for q30's funnel completers: per
+      // user the strict-order anchors (earliest view, first later click,
+      // first later purchase), then the view->purchase duration's
+      // n/min/max/p50/p90 over completing users — the product-analytics
+      // latency readout next to q30's counts. Durations in integer
+      // epoch seconds; percentiles follow the q15/t19 round-4
+      // convention. Same three user-keyed groupBys as q30 + one 1-row
+      // fold.
+      val ev = Tables.events(s, d)
+        .withColumn("ts_s", col("ts").cast("long"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_s")).as("t1"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_s") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts_s")).as("t2"), first(col("t1")).as("t1"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_s") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts_s")).as("t3"), first(col("t1")).as("t1"))
+      p.withColumn("dur_s", col("t3") - col("t1"))
+        .agg(count(lit(1)).as("n_converted"),
+          min(col("dur_s")).as("min_s"),
+          max(col("dur_s")).as("max_s"),
+          round(expr("percentile(dur_s, 0.5)"), 4).as("p50_s_4"),
+          round(expr("percentile(dur_s, 0.9)"), 4).as("p90_s_4"))
+    },
+
     "q29_parts_analysis" -> { (s, d) =>
       // Brand-level revenue over the parts dim (completes coverage of
       // every testdata table). Part is small → broadcast.
@@ -668,6 +695,24 @@ object RelationalQueries {
         |    AS est_used,
         |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
         |FROM est""".stripMargin,
+
+    "q35_funnel_latency" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |v AS (SELECT user_id, MIN(ts_s) AS t1 FROM e
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(ts_s) AS t2, MIN(t1) AS t1
+        |  FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND ts_s > t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(ts_s) AS t3, MIN(t1) AS t1
+        |  FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts_s > t2 GROUP BY e.user_id),
+        |durs AS (SELECT t3 - t1 AS dur_s FROM p)
+        |SELECT COUNT(*) AS n_converted,
+        |  MIN(dur_s) AS min_s, MAX(dur_s) AS max_s,
+        |  round(quantile_cont(dur_s, 0.5), 4) AS p50_s_4,
+        |  round(quantile_cont(dur_s, 0.9), 4) AS p90_s_4
+        |FROM durs""".stripMargin,
 
     "q30_funnel" ->
       """WITH v AS (SELECT user_id, MIN(ts) AS t1 FROM events
