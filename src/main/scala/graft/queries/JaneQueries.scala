@@ -171,6 +171,23 @@ object JaneQueries {
         .orderBy("network", "station", "channel")
     },
 
+    "j35_station_geojson" -> { (s, d) =>
+      // fdsnws-station format=geojson (the map-client format, j12's event
+      // rendering applied to the station index): one GeoJSON Feature per
+      // station at level=station, channel count as the property. Station
+      // site coords are x.5 by construction, so double->string rendering
+      // is engine-portable (the j12 precondition).
+      FdsnQuery.channels(ChannelIndex.build(Tables.events(s, d)),
+        StationParams(level = "station"))
+        .select(col("network"), col("station"), concat(
+          lit("""{"type":"Feature","geometry":{"type":"Point","coordinates":["""),
+          col("longitude").cast("string"), lit(","),
+          col("latitude").cast("string"),
+          lit("""]},"properties":{"n_channels":"""),
+          col("n_channels").cast("string"), lit("}}")).as("feature"))
+        .orderBy("network", "station")
+    },
+
     "j23_station_geo" -> { (s, d) =>
       // fdsnws-station geographic constraints: the event service's bbox +
       // point-radius (FDSN great-circle DEGREES) surface on the station
@@ -724,6 +741,18 @@ object JaneQueries {
          |  AND epoch_start <= TIMESTAMP '2024-02-20'
          |  AND updated_s >= CAST(floor(epoch(TIMESTAMP '2024-01-25')) AS BIGINT)
          |ORDER BY network, station, channel""".stripMargin,
+
+    "j35_station_geojson" ->
+      s"""WITH ch AS (${ChannelIndex.oracleCte}),
+         |st AS (SELECT network, station, COUNT(*) AS n_channels,
+         |    MIN(latitude) AS latitude, MIN(longitude) AS longitude
+         |  FROM ch GROUP BY network, station)
+         |SELECT network, station,
+         |  '{"type":"Feature","geometry":{"type":"Point","coordinates":[' ||
+         |  CAST(longitude AS VARCHAR) || ',' || CAST(latitude AS VARCHAR) ||
+         |  ']},"properties":{"n_channels":' ||
+         |  CAST(n_channels AS VARCHAR) || '}}' AS feature
+         |FROM st ORDER BY network, station""".stripMargin,
 
     "j23_station_geo" -> {
       val radiusDeg = graft.functions.GeoFunctions
