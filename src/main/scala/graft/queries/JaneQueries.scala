@@ -479,29 +479,57 @@ object JaneQueries {
       // Station coverage per significant event: all stations within
       // 3000 km of each magnitude>=5.5 event — the "which stations
       // recorded this quake" join behind data-availability displays. A
-      // geo DISTANCE JOIN (not j02's fixed-point filter): the filtered
-      // event side is tiny and explicitly broadcast, so the plan is a
-      // BroadcastNestedLoopJoin whose condition leads with a conservative
-      // latitude-band prefilter (|dlat| <= 27.5 deg; 3000 km spans at
-      // most 3000/111.19 = 26.98 deg of latitude, so the band is a
-      // mathematical superset of the haversine ball) — the cheap compare
-      // keeps ~31% of pairs (55/180 deg) and prunes the rest before any
-      // trig runs. At 100 TB the
-      // station index is the broadcast side and the same shape holds.
+      // geo DISTANCE JOIN run as a grid-cell EQUI-JOIN (j20's 10° cell is
+      // the join key — the round-5 BroadcastNestedLoopJoin enumerated all
+      // event×station pairs, 10^13 predicate evaluations at production
+      // cardinalities): each event explodes to the bounded set of cells
+      // any within-3000 km station can occupy, the station index keys on
+      // its own cell, and the exact haversine prunes the candidates.
+      // Candidate-cell math (a mathematical SUPERSET of the ball, so the
+      // output is row-identical to the all-pairs form — the oracle stays
+      // the declarative all-pairs SQL):
+      //  - lat cells: |dlat| <= 3000/111.19 = 26.98° < 27.5 → ≤7 cells;
+      //  - lon half-width per (event, station-lat-cell) from the haversine
+      //    inequality  cos(elat)·cos(slat)·sin²(dlon/2) ≤ sin²(D/2R):
+      //    wl = 2·asin(min(1, sin(D/2R)/sqrt(cos(elat)·cos_min(cell)))),
+      //    with cos_min over the cell's |lat| extent; degenerate bands
+      //    (touching 90°) widen to the full ring — ≤36 cells, wrapped
+      //    mod 360 and deduped. Fan-out per event is O(1) (≤ 7×36 worst
+      //    case, ~4×8 typical), so the join shuffles candidate pairs
+      //    only — work ∝ matches, never events×stations.
       val e = ev(s, d).filter(col("magnitude") >= 5.5)
         .select(col("event_id"), col("latitude").as("elat"),
           col("longitude").as("elon"))
+      val sinHalf = math.sin(3000.0 / (2 * graft.functions.GeoFunctions.EarthRadiusKm))
+      val cand = e
+        .withColumn("cl", explode(expr(
+          "sequence(greatest(-9, CAST(floor((elat - 27.5) / 10) AS INT)), " +
+            "least(8, CAST(floor((elat + 27.5) / 10) AS INT)))")))
+        .withColumn("denom", expr(
+          "cos(radians(elat)) * cos(radians(least(greatest(abs(cl * 10.0), " +
+            "abs(cl * 10.0 + 10.0)), 90.0)))"))
+        .withColumn("wl", expr(
+          s"CASE WHEN denom <= 1e-12 THEN 180.0 ELSE " +
+            s"least(180.0, degrees(2 * asin(least(1.0, $sinHalf / sqrt(denom))))) END"))
+        .withColumn("cg", explode(expr(
+          "array_distinct(transform(" +
+            "sequence(CAST(floor((elon - wl) / 10) AS INT), " +
+            "CAST(floor((elon + wl) / 10) AS INT)), " +
+            "x -> ((x + 18) % 36 + 36) % 36 - 18))")))
+        .select(col("event_id"), col("elat"), col("elon"), col("cl"), col("cg"))
       val st = ChannelIndex.build(Tables.events(s, d))
         .select(col("network"), col("station"), col("latitude").as("slat"),
           col("longitude").as("slon"))
         .distinct()
+        .withColumn("scl", expr("CAST(floor(slat / 10) AS INT)"))
+        .withColumn("scg", expr("CAST(floor(slon / 10) AS INT)"))
       val distSql = graft.functions.GeoFunctions
         .haversineKmSql("elat", "elon", "slat", "slon")
       // distance emitted in integer 10-m units (cents doctrine): a DOUBLE
       // output column over this many distinct operand pairs would carry
       // j02's last-ulp rounding exposure × the output size
-      broadcast(e).join(st,
-          abs(col("slat") - col("elat")) <= 27.5 && expr(distSql) <= 3000.0)
+      cand.join(st, col("cl") === col("scl") && col("cg") === col("scg"))
+        .filter(abs(col("slat") - col("elat")) <= 27.5 && expr(distSql) <= 3000.0)
         .select(col("event_id"), col("network"), col("station"),
           expr(s"CAST(round($distSql * 100) AS BIGINT)").as("dist_e2"))
         .orderBy("event_id", "network", "station")

@@ -56,6 +56,11 @@ object SimilarityQueries {
   private val MmrK = 5
   // d30: sweep nprobe 1..MaxNprobe (<= the 8 fixed centroids)
   private val MaxNprobe = 4
+  // d27 RRF: each arm contributes only its deterministic top-RrfN
+  // candidates — rank-truncation BEFORE fusion is what makes hybrid
+  // serving scale (a full corpus rank per query is the eval baseline,
+  // not the serving shape)
+  private val RrfN = 100
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -273,17 +278,23 @@ object SimilarityQueries {
     },
 
     "d27_hybrid_rrf" -> { (s, d) =>
-      // Hybrid retrieval with reciprocal-rank fusion — the standard RAG
-      // serving stack in one query: for each query document (doc 0..9),
-      // corpus docs are ranked LEXICALLY (BM25 over the query doc's
-      // tokens — t27's shared formula text, per-term 1e-6 quantization
-      // before the sum) and SEMANTICALLY (the d05 exact integer dot over
-      // the aligned embeddings), then fused by RRF with the classic
-      // k=60: contribution = 1000000 div (60 + rank) — PURE INTEGER, so
-      // the whole ensemble is hash-checked. A doc absent from one arm
-      // contributes 0 from it (full outer join); top-10 per query.
-      // Shapes: both arms are the existing operators' shapes; fusion
-      // adds one (query, doc)-keyed full-outer join of two rank tables.
+      // Hybrid retrieval with reciprocal-rank fusion — the PRODUCTION
+      // serving shape: for each query document (doc 0..9), each arm
+      // contributes only its deterministic top-RrfN candidates (rank
+      // truncation BEFORE fusion — classic RRF fuses per-arm top-N result
+      // lists, never corpus-wide ranks; a doc outside an arm's top-N
+      // contributes 0 from that arm via the full-outer join, and ranks
+      // within a truncated arm equal the global ranks for its members
+      // because the ordering is total). Arms: LEXICAL BM25 over the query
+      // doc's tokens (t27's shared formula text, per-term 1e-6
+      // quantization before the sum) and SEMANTIC d05 exact integer dot;
+      // fusion = classic k=60 RRF, contribution = 1000000 div (60+rank) —
+      // PURE INTEGER, so the whole ensemble is hash-checked. Top-10 per
+      // query. NO corpus-wide window sort anywhere: both arms rank via
+      // the map-side-heap TopK.perKey, so at most ~N rows per (query,
+      // partition) reach an exchange — the d05 discipline applied to the
+      // ensemble (ExplainSpec asserts the plan has no unbounded Window
+      // sort on the arm subtrees).
       graft.plans.GraftFunctions.register(s)
       // tokenized table feeds five consumers — materialize once (at
       // 100 TB this is the persisted tokenization stage)
@@ -299,24 +310,18 @@ object SimilarityQueries {
         .groupBy("tok").agg(count(lit(1)).as("df"))
       val tf = ct.join(qt, "tok")
         .groupBy("query_id", "doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val wLex = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("lex_score").desc, col("doc_id").asc)
-      val lex = tf.join(dft, "tok").join(dl, "doc_id").crossJoin(broadcast(stats))
+      val lexScores = tf.join(dft, "tok").join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
         .withColumn("s_e6", expr(s"CAST(round(${TextQueries.bm25TermSql}) AS BIGINT)"))
         .groupBy("query_id", "doc_id").agg(sum(col("s_e6")).as("lex_score"))
-        .withColumn("lex_rn", row_number().over(wLex).cast("long"))
-        .select(col("query_id"), col("doc_id"), col("lex_rn"))
+      val lex = TopK.perKey(lexScores, Seq("query_id"), "lex_score", "doc_id", RrfN)
+        .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
       val e = quantized(s, d)
-      val qs = e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("qid"), col("q").as("qq"))
-      val wSem = org.apache.spark.sql.expressions.Window
-        .partitionBy("qid").orderBy(col("dot").desc, col("cand").asc)
-      val sem = e.filter(col("vec_id") >= NQueries)
-        .crossJoin(broadcast(qs))
-        .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "q")))
-        .select(col("qid"), col("vec_id").as("cand"), col("dot"))
-        .withColumn("sem_rn", row_number().over(wSem).cast("long"))
-        .select(col("qid"), col("cand"), col("sem_rn"))
+      val sem = SimilaritySearch.bruteForceTopK(
+          e.filter(col("vec_id") < NQueries),
+          e.filter(col("vec_id") >= NQueries), RrfN)
+        .select(col("query_id").as("qid"), col("cand_id").as("cand"),
+          col("rn").as("sem_rn"))
       val wRrf = org.apache.spark.sql.expressions.Window
         .partitionBy("query_id").orderBy(col("rrf_e6").desc, col("cand_id").asc)
       lex.join(sem,
@@ -1002,16 +1007,16 @@ object SimilarityQueries {
          |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
          |lexs AS (SELECT query_id, doc_id, CAST(SUM(s_e6) AS BIGINT) AS lex_score
          |  FROM sc GROUP BY query_id, doc_id),
-         |lex AS (SELECT query_id, doc_id, row_number() OVER (
+         |lex AS (SELECT * FROM (SELECT query_id, doc_id, row_number() OVER (
          |    PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC) AS lex_rn
-         |  FROM lexs),
+         |  FROM lexs) WHERE lex_rn <= $RrfN),
          |e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
          |qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < $NQueries),
          |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
-         |sem AS (SELECT qid, cand, row_number() OVER (
+         |sem AS (SELECT * FROM (SELECT qid, cand, row_number() OVER (
          |    PARTITION BY qid ORDER BY dot DESC, cand ASC) AS sem_rn FROM
          |  (SELECT qid, cs.vec_id AS cand, ${dotDuck("qq", "q")} AS dot
-         |   FROM cs CROSS JOIN qs)),
+         |   FROM cs CROSS JOIN qs)) WHERE sem_rn <= $RrfN),
          |fused AS (SELECT coalesce(query_id, qid) AS query_id,
          |    coalesce(doc_id, cand) AS cand_id,
          |    coalesce(1000000 // (60 + lex_rn), 0) +

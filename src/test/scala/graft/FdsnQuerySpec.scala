@@ -149,14 +149,41 @@ class FdsnQuerySpec extends SparkSpec {
     assert(only.count() == all.filter(col("is_preferred") === 1).count())
   }
 
-  test("station-coverage distance join broadcasts the event side") {
-    // j31's geo distance join must plan as a broadcast nested-loop join
-    // (tiny filtered event side against the station index) — never a
-    // shuffled cartesian of the two tables.
+  test("station-coverage distance join is a cell equi-join, not a BNLJ") {
+    // j31's geo distance join must plan as an EQUI-join on the grid cell
+    // key (bounded per-event cell fan-out), never a BroadcastNestedLoopJoin
+    // or cartesian enumerating all event×station pairs — the 100 TB
+    // scale requirement (round-5 verdict item).
     val j31 = graft.queries.JaneQueries.queries("j31_station_coverage")(spark, sfDir)
     val plan = j31.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"expected a broadcast NL join in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BNLJ must not appear in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian must not appear in:\n$plan")
     assert(j31.count() > 0)
+  }
+
+  test("station-coverage cell candidates cover the 3000 km ball exactly") {
+    // The candidate-cell superset math (lat band + haversine-inequality
+    // lon width) must lose no pair: the equi-join form row-equals the
+    // brute-force all-pairs distance join.
+    import spark.implicits._
+    val cellForm = graft.queries.JaneQueries.queries("j31_station_coverage")(spark, sfDir)
+      .as[(Long, String, String, Long)].collect().toSet
+    val ev = graft.operators.Indexers.EventIndex.attach(Tables.events(spark, sfDir))
+      .filter(col("magnitude") >= 5.5)
+      .select(col("event_id"), col("latitude").as("elat"),
+        col("longitude").as("elon"))
+    val st = graft.operators.Indexers.ChannelIndex.build(Tables.events(spark, sfDir))
+      .select(col("network"), col("station"), col("latitude").as("slat"),
+        col("longitude").as("slon")).distinct()
+    val distSql = graft.functions.GeoFunctions
+      .haversineKmSql("elat", "elon", "slat", "slon")
+    val brute = ev.crossJoin(st).filter(expr(distSql) <= 3000.0)
+      .select(col("event_id"), col("network"), col("station"),
+        expr(s"CAST(round($distSql * 100) AS BIGINT)").as("dist_e2"))
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(cellForm == brute,
+      s"missing=${(brute -- cellForm).take(5)} extra=${(cellForm -- brute).take(5)}")
   }
 }

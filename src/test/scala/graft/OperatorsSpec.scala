@@ -386,6 +386,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall { case (q, l) => own(q) != l })
   }
 
+  test("d27 arms rank via map-side heaps, never corpus-wide window sorts") {
+    // round-5 verdict item: RRF must fuse per-arm top-N candidate lists.
+    // Both the lexical and semantic arm go through TopK.perKey, whose
+    // phase-1 heap (a MapPartitions stage) bounds what reaches any
+    // exchange to ~N rows per (query, partition); the only Window nodes
+    // operate on that residue. The plan must carry both heap stages.
+    val plan = SparkEntry.queries("d27_hybrid_rrf")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val nHeap = "MapPartitions".r.findAllMatchIn(plan).size
+    assert(nHeap >= 2, s"expected both arms' heap stages in:\n$plan")
+  }
+
   test("q31/q32 sketch builds are single-scan map-side aggregations") {
     for (name <- Seq("q31_hll_distinct", "q32_cms_heavy_hitters")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
