@@ -72,9 +72,17 @@ object Bench {
     val total = ok.map(_._1).sum
     val spreads = ok.map(_._2).toSeq.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    // Headline summary as the very LAST field: the driver stores a
+    // front-truncated tail of this line, so totals + the slowest-10 must
+    // sit at the end to survive truncation for cross-round comparison.
+    val slowest10 = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
+      .map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
+      s""""n_errors":${results.size - ok.size},"slowest10":$slowest10}"""
     println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
-      s""""errors":$errs,"spread":${fmtMap(_._2._2)},"queries":${fmtMap(_._2._1)}}""")
+      s""""errors":$errs,"spread":${fmtMap(_._2._2)},"queries":${fmtMap(_._2._1)},""" +
+      s""""tail":$tail}""")
     spark.stop()
   }
 }

@@ -148,7 +148,19 @@ object Multimodal {
             var s = 0L
             var k = lo
             while (k < hi) { s += bytes(k) & 0xff; k += 1 }
-            if (s * n >= total * (hi - lo)) h |= 1L << b
+            // exact 128-bit compare of s*n vs total*(hi-lo): the plain
+            // Long products bound by ~255*n^2/bits overflow for payloads
+            // around 1 GB — inconsistent with the 100 TB framing even
+            // though unreachable with the stub payloads. multiplyHigh +
+            // unsigned-low compare is exact for any payload size and
+            // bit-identical to the old compare below the overflow line.
+            val h1 = Math.multiplyHigh(s, n.toLong)
+            val l1 = s * n
+            val h2 = Math.multiplyHigh(total, (hi - lo).toLong)
+            val l2 = total * (hi - lo)
+            val ge = if (h1 != h2) h1 > h2
+              else java.lang.Long.compareUnsigned(l1, l2) >= 0
+            if (ge) h |= 1L << b
             b += 1
           }
           PHash(id, h)

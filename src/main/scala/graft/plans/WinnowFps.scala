@@ -45,6 +45,14 @@ case class WinnowFps(child: Expression, n: Int, base: Long, mod: Long,
   override def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[UTF8String].getBytes
     val cnt = b.length - n + 1
+    // position-packing precondition enforced, not assumed: pos (1-based,
+    // <= cnt) must stay below c or (c-1-pos) goes negative, silently
+    // corrupting rightmost-argmin selection AND making minkey/c diverge
+    // from the oracle's floor division. Fail loudly — a 100 TB run wants
+    // the document surfaced, not a wrong fingerprint.
+    if (cnt >= c) throw new IllegalArgumentException(
+      s"graft_winnow: document with ${b.length} bytes exceeds the " +
+        s"position-packing capacity (need n-grams < c=$c)")
     val wins = cnt - w + 1
     if (wins <= 0) return new GenericArrayData(Array.emptyLongArray)
     val k = new Array[Long](cnt)
@@ -93,6 +101,11 @@ case class WinnowFps(child: Expression, n: Int, base: Long, mod: Long,
       s"""
          |byte[] $b = $cv.getBytes();
          |int $cnt = $b.length - $n + 1;
+         |if ($cnt >= ${c}L) {
+         |  throw new IllegalArgumentException(
+         |    "graft_winnow: document with " + $b.length + " bytes exceeds " +
+         |    "the position-packing capacity (need n-grams < c=" + ${c}L + ")");
+         |}
          |int $wins = $cnt - $w + 1;
          |if ($wins <= 0) {
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(new long[0]);

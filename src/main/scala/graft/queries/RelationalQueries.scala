@@ -479,9 +479,9 @@ object RelationalQueries {
       // first later purchase), then the view->purchase duration's
       // n/min/max/p50/p90 over completing users — the product-analytics
       // latency readout next to q30's counts. Durations in integer
-      // epoch seconds; percentiles follow the q15/t19 round-4
-      // convention. Same three user-keyed groupBys as q30 + one 1-row
-      // fold.
+      // epoch seconds; percentiles follow the q15 ×20 fixed-point BIGINT
+      // convention (0.5 = 10/20, 0.9 = 18/20 — exact integers). Same
+      // three user-keyed groupBys as q30 + one 1-row fold.
       val ev = Tables.events(s, d)
         .withColumn("ts_s", col("ts").cast("long"))
       val v = ev.filter(col("event_type") === "view")
@@ -496,8 +496,8 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n_converted"),
           min(col("dur_s")).as("min_s"),
           max(col("dur_s")).as("max_s"),
-          round(expr("percentile(dur_s, 0.5)"), 4).as("p50_s_4"),
-          round(expr("percentile(dur_s, 0.9)"), 4).as("p90_s_4"))
+          expr("CAST(round(percentile(dur_s, 0.5) * 20) AS BIGINT)").as("p50_s_x20"),
+          expr("CAST(round(percentile(dur_s, 0.9) * 20) AS BIGINT)").as("p90_s_x20"))
     },
 
     "q29_parts_analysis" -> { (s, d) =>
@@ -545,13 +545,21 @@ object RelationalQueries {
     },
 
     "q15_percentile" -> { (s, d) =>
+      // Exact percentiles emitted as ×20 fixed-point BIGINTs (r6 doctrine
+      // close): with integer-valued inputs and p ∈ {k/20}, the
+      // interpolated percentile is an exact multiple of 1/20 — lo +
+      // frac·(hi−lo) with frac = (k(n−1) mod 20)/20 — so value×20 is a
+      // mathematical integer and round() collapses both engines' last-ulp
+      // differences to the same BIGINT (the integer-cents rule applied to
+      // percentiles; a round(·,4) DOUBLE column was the one remaining
+      // doctrine deviation).
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-          round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
-          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+          expr("CAST(round(percentile(l_quantity, 0.25) * 20) AS BIGINT)").as("p25_x20"),
+          expr("CAST(round(percentile(l_quantity, 0.5) * 20) AS BIGINT)").as("p50_x20"),
+          expr("CAST(round(percentile(l_quantity, 0.75) * 20) AS BIGINT)").as("p75_x20"),
+          expr("CAST(round(percentile(l_quantity, 0.95) * 20) AS BIGINT)").as("p95_x20"))
         .orderBy("l_returnflag")
     },
 
@@ -710,8 +718,8 @@ object RelationalQueries {
         |durs AS (SELECT t3 - t1 AS dur_s FROM p)
         |SELECT COUNT(*) AS n_converted,
         |  MIN(dur_s) AS min_s, MAX(dur_s) AS max_s,
-        |  round(quantile_cont(dur_s, 0.5), 4) AS p50_s_4,
-        |  round(quantile_cont(dur_s, 0.9), 4) AS p90_s_4
+        |  CAST(round(quantile_cont(dur_s, 0.5) * 20) AS BIGINT) AS p50_s_x20,
+        |  CAST(round(quantile_cont(dur_s, 0.9) * 20) AS BIGINT) AS p90_s_x20
         |FROM durs""".stripMargin,
 
     "q30_funnel" ->
@@ -915,10 +923,10 @@ object RelationalQueries {
 
     "q15_percentile" ->
       """SELECT l_returnflag,
-        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
-        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
-        |  round(quantile_cont(l_quantity, 0.75), 4) AS p75,
-        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |  CAST(round(quantile_cont(l_quantity, 0.25) * 20) AS BIGINT) AS p25_x20,
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 20) AS BIGINT) AS p50_x20,
+        |  CAST(round(quantile_cont(l_quantity, 0.75) * 20) AS BIGINT) AS p75_x20,
+        |  CAST(round(quantile_cont(l_quantity, 0.95) * 20) AS BIGINT) AS p95_x20
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the Bloom pre-filter only drops rows the join would drop anyway, so

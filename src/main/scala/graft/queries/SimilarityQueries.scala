@@ -517,6 +517,18 @@ object SimilarityQueries {
             expr("transform(array_sort(dm), s -> s.mm)").as("cq"))
           .localCheckpoint()
       }
+      // The flattened ADC lookup pd[m*PqK + code] assumes every (m,
+      // cent_id) cell survived training. A centroid that empties during
+      // Lloyd would shrink pd and make the arithmetic index read the
+      // WRONG cell (or NULL past the end — which Spark nulls and DuckDB's
+      // list_sum skips: an engine divergence). Enforce the invariant
+      // rather than assume it: cb is localCheckpoint'ed (already
+      // materialized), so this counts ≤ PqM*PqK local rows — no extra
+      // distributed work.
+      val nCb = cb.count()
+      require(nCb == PqM.toLong * PqK,
+        s"d20: codebook has $nCb cells, expected ${PqM * PqK} — a centroid " +
+          "emptied during Lloyd; the flattened ADC index would misread")
       val cents = cb
       // encode: one corpus scan exploding the PqM subvectors, ONE broadcast
       // argmin against all codebooks at once, map-side-combined min_by —

@@ -222,18 +222,21 @@ object TextQueries {
     "t19_adaptive_length_filter" -> { (s, d) =>
       // Adaptive (distribution-driven) length filtering: instead of fixed
       // cutoffs, drop each language's shortest/longest 5% — per-language
-      // exact p5/p95 of n_chars (q15's percentile convention), broadcast
-      // back, count survivors. Thresholds are O(langs) rows: one
-      // percentile groupBy + one broadcast join + one rollup; the
-      // per-doc verdict never shuffles the corpus.
+      // exact p5/p95 of n_chars (q15's ×20 fixed-point BIGINT convention:
+      // p ∈ {1/20, 19/20} over integer lengths makes value×20 a
+      // mathematical integer), broadcast back, count survivors. The keep
+      // compare is pure integers (20·n_chars vs the ×20 threshold —
+      // exactly equivalent to the rational compare). Thresholds are
+      // O(langs) rows: one percentile groupBy + one broadcast join + one
+      // rollup; the per-doc verdict never shuffles the corpus.
       val docs = Tables.documents(s, d)
       val thresholds = docs.groupBy("lang")
-        .agg(round(expr("percentile(n_chars, 0.05)"), 4).as("p5_4"),
-          round(expr("percentile(n_chars, 0.95)"), 4).as("p95_4"))
+        .agg(expr("CAST(round(percentile(n_chars, 0.05) * 20) AS BIGINT)").as("p5_x20"),
+          expr("CAST(round(percentile(n_chars, 0.95) * 20) AS BIGINT)").as("p95_x20"))
       docs.join(broadcast(thresholds), "lang")
         .withColumn("keep",
-          col("n_chars") >= col("p5_4") && col("n_chars") <= col("p95_4"))
-        .groupBy("lang", "p5_4", "p95_4")
+          col("n_chars") * 20 >= col("p5_x20") && col("n_chars") * 20 <= col("p95_x20"))
+        .groupBy("lang", "p5_x20", "p95_x20")
         .agg(count(lit(1)).as("n_total"),
           sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
         .orderBy("lang")
@@ -256,19 +259,22 @@ object TextQueries {
       // CCNet-style perplexity partitioning: the corpus split into
       // head/middle/tail terciles of the t20 unigram NLL (head = most
       // fluent; CCNet trains on head+middle and uses tail as the noisy
-      // bucket). Tercile boundaries are corpus percentiles (the t19
-      // percentile convention: round 4, one 1-row broadcast); per-bucket
+      // bucket). Tercile boundaries are corpus percentiles in ×3
+      // fixed-point BIGINTs (p ∈ {1/3, 2/3} over integer 1e-4 NLL units
+      // makes value×3 a mathematical integer — the q15 r6 convention;
+      // the bucket compare is then pure integers, 3·avg_nll_e4 vs the ×3
+      // boundary, one 1-row broadcast); per-bucket
       // rollup is map-side combined. At 100 TB the NLL pass is t20 and
       // the partition adds one broadcast compare — no extra corpus
       // shuffle beyond the bucket rollup.
       val nll = unigramNll(s, d).select(col("doc_id"), col("avg_nll_e4"))
       val th = nll.agg(
-        round(expr("percentile(avg_nll_e4, 1.0/3)"), 4).as("b1"),
-        round(expr("percentile(avg_nll_e4, 2.0/3)"), 4).as("b2"))
+        expr("CAST(round(percentile(avg_nll_e4, 1.0/3) * 3) AS BIGINT)").as("b1_x3"),
+        expr("CAST(round(percentile(avg_nll_e4, 2.0/3) * 3) AS BIGINT)").as("b2_x3"))
       nll.crossJoin(broadcast(th))
         .withColumn("bucket", expr(
-          "CASE WHEN avg_nll_e4 <= b1 THEN 'head' " +
-            "WHEN avg_nll_e4 <= b2 THEN 'middle' ELSE 'tail' END"))
+          "CASE WHEN avg_nll_e4 * 3 <= b1_x3 THEN 'head' " +
+            "WHEN avg_nll_e4 * 3 <= b2_x3 THEN 'middle' ELSE 'tail' END"))
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_docs"),
           min(col("avg_nll_e4")).as("min_nll_e4"),
@@ -997,11 +1003,13 @@ object TextQueries {
 
     "t26_ppl_partition" ->
       s"""WITH $unigramNllDuckCtes,
-         |th AS (SELECT round(quantile_cont(avg_nll_e4, 1.0/3), 4) AS b1,
-         |    round(quantile_cont(avg_nll_e4, 2.0/3), 4) AS b2 FROM nll),
+         |th AS (SELECT
+         |    CAST(round(quantile_cont(avg_nll_e4, 1.0/3) * 3) AS BIGINT) AS b1_x3,
+         |    CAST(round(quantile_cont(avg_nll_e4, 2.0/3) * 3) AS BIGINT) AS b2_x3
+         |  FROM nll),
          |bucketed AS (SELECT
-         |    CASE WHEN avg_nll_e4 <= b1 THEN 'head'
-         |         WHEN avg_nll_e4 <= b2 THEN 'middle' ELSE 'tail' END AS bucket,
+         |    CASE WHEN avg_nll_e4 * 3 <= b1_x3 THEN 'head'
+         |         WHEN avg_nll_e4 * 3 <= b2_x3 THEN 'middle' ELSE 'tail' END AS bucket,
          |    avg_nll_e4
          |  FROM nll CROSS JOIN th)
          |SELECT bucket, COUNT(*) AS n_docs,
@@ -1087,14 +1095,14 @@ object TextQueries {
 
     "t19_adaptive_length_filter" ->
       """WITH th AS (SELECT lang,
-        |    round(quantile_cont(n_chars, 0.05), 4) AS p5_4,
-        |    round(quantile_cont(n_chars, 0.95), 4) AS p95_4
+        |    CAST(round(quantile_cont(n_chars, 0.05) * 20) AS BIGINT) AS p5_x20,
+        |    CAST(round(quantile_cont(n_chars, 0.95) * 20) AS BIGINT) AS p95_x20
         |  FROM documents GROUP BY lang)
-        |SELECT d.lang, p5_4, p95_4, COUNT(*) AS n_total,
-        |  CAST(SUM(CASE WHEN n_chars >= p5_4 AND n_chars <= p95_4
+        |SELECT d.lang, p5_x20, p95_x20, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN n_chars * 20 >= p5_x20 AND n_chars * 20 <= p95_x20
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents d JOIN th ON d.lang = th.lang
-        |GROUP BY d.lang, p5_4, p95_4 ORDER BY d.lang""".stripMargin,
+        |GROUP BY d.lang, p5_x20, p95_x20 ORDER BY d.lang""".stripMargin,
 
     "t18_leakfree_split" ->
       s"""WITH rep AS (SELECT ${graft.operators.Dedup.normKeyOracleSql} AS key,

@@ -117,6 +117,21 @@ class DedupSpec extends SparkSpec {
       "docs with no common 13-gram must share no fingerprint")
   }
 
+  test("winnowing rejects documents beyond the position-packing capacity") {
+    // the packed key (h*c + c-1-pos) assumes pos < c = 2^20; a longer
+    // document must fail loudly, not silently corrupt rightmost-argmin
+    // selection (round-5 advice item)
+    import spark.implicits._
+    val big = Seq((1L, "x" * ((1 << 20) + 20))).toDF("doc_id", "text")
+    val ex = intercept[Exception] {
+      graft.queries.TextQueries.winnowFps(big).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("position-packing")),
+      s"expected the capacity guard, got: $ex")
+  }
+
   test("fused winnowing codegen is bit-equal to the declarative window form") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
