@@ -19,6 +19,22 @@ object DocumentStore {
     df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Full version history per document group (Jane: "all versions of this
+    * document") — the supersede chain j08's latest-wins view collapses:
+    * every version row, flagged `is_latest`, with `superseded_by` = the id
+    * of the next-higher version (NULL-safe -1 for the head). ONE window
+    * over the same document-key shuffle as [[latestVersions]]; at 100 TB
+    * the partition key is the document group, so state per key is the
+    * (tiny) version count.
+    */
+  def versionHistory(df: DataFrame, groupCols: Seq[String], versionCol: String,
+      idCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(versionCol).asc)
+    df.withColumn("superseded_by", coalesce(lead(col(idCol), 1).over(w), lit(-1L)))
+      .withColumn("is_latest",
+        when(col("superseded_by") === -1L, 1L).otherwise(0L))
+  }
+
   /** Deterministic page fetch (Jane REST pagination: ordering + offset/limit).
     * Callers must pass a total ordering (include a unique id tie-break).
     */

@@ -249,6 +249,20 @@ object JaneQueries {
         .orderBy("group_id")
     },
 
+    "j36_version_history" -> { (s, d) =>
+      // "All versions of this document" — the supersede chain behind
+      // j08's latest-wins view (Jane serves both): every version with
+      // is_latest and the superseding doc id, over the same derived
+      // version groups as j08. One group-keyed window shuffle.
+      val versioned = Tables.documents(s, d)
+        .withColumn("group_id", expr("doc_id div 5"))
+        .withColumn("version", expr("doc_id % 5"))
+      DocumentStore.versionHistory(versioned, Seq("group_id"), "version", "doc_id")
+        .select(col("group_id"), col("doc_id"), col("version"),
+          col("is_latest"), col("superseded_by"), col("n_chars"))
+        .orderBy("group_id", "version")
+    },
+
     "j09_pagination" -> { (s, d) =>
       DocumentStore.page(Tables.documents(s, d),
         Seq(col("n_chars").desc, col("doc_id").asc), offset = 20, limit = 10)
@@ -682,6 +696,19 @@ object JaneQueries {
         |                           ORDER BY doc_id % 5 DESC) AS rn
         |      FROM documents)
         |WHERE rn = 1 ORDER BY group_id""".stripMargin,
+
+    "j36_version_history" ->
+      """SELECT group_id, doc_id, version,
+        |  CAST(CASE WHEN superseded_by = -1 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_latest,
+        |  superseded_by, n_chars
+        |FROM (SELECT doc_id, n_chars, doc_id // 5 AS group_id,
+        |        doc_id % 5 AS version,
+        |        coalesce(lead(doc_id) OVER (PARTITION BY doc_id // 5
+        |          ORDER BY doc_id % 5 ASC), CAST(-1 AS BIGINT))
+        |          AS superseded_by
+        |      FROM documents)
+        |ORDER BY group_id, version""".stripMargin,
 
     "j09_pagination" ->
       """SELECT doc_id, source, n_chars FROM documents

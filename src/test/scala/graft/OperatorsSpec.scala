@@ -413,6 +413,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(nHeap >= 2, s"expected both arms' heap stages in:\n$plan")
   }
 
+  test("q36 CMS serving plan reads only the persisted counter store") {
+    // the serving split's claim: point estimates come from the stored
+    // ≤1024-row counter table with NO events scan anywhere in the plan
+    val path = s"/tmp/graft_stores/cms_spec_${System.nanoTime()}"
+    graft.queries.RelationalQueries.cmsCounterTable(spark, sfDir)
+      .write.mode("overwrite").parquet(path)
+    val serve = graft.queries.RelationalQueries.cmsServe(
+      spark, path, spark.range(0, 24).toDF("user_id"))
+    val plan = serve.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"serving must scan the store:\n$plan")
+    assert(!plan.contains("events.parquet"),
+      s"serving must not scan the raw events table:\n$plan")
+    // and estimates are never below zero + present for every lookup
+    assert(serve.count() == 24)
+  }
+
   test("q31/q32 sketch builds are single-scan map-side aggregations") {
     for (name <- Seq("q31_hll_distinct", "q32_cms_heavy_hitters")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
