@@ -220,16 +220,13 @@ object SimilarityQueries {
       // and assignment pass as d10/d13; the report adds one cent_id-keyed
       // map-side-combined rollup. The oracle replays training + assign +
       // rollup end to end.
+      // (IvfIndex.health is the shared serving operator: production runs
+      // it against the PERSISTED codebook — interchangeability with this
+      // inline-trained form is spec-proven in KMeansSpec)
       val e = quantized(s, d)
       val codebook = graft.operators.KMeans
         .fitQuantizedSampled(e, TargetClusterSize, SamplePct, IvfIters)
-      graft.operators.KMeans.assignQuantized(e, codebook)
-        .groupBy("cent_id")
-        .agg(count(lit(1)).as("n_vecs"),
-          sum(col("dist")).as("sum_err"),
-          expr("CAST(floor(CAST(SUM(dist) AS DOUBLE) / COUNT(*)) AS BIGINT)")
-            .as("mean_err"))
-        .orderBy("cent_id")
+      graft.operators.IvfIndex.health(e, codebook)
     },
 
     "d28_mmr_diversify" -> { (s, d) =>

@@ -84,6 +84,39 @@ class KMeansSpec extends SparkSpec {
     assert(snap() == snap())
   }
 
+  test("persisted codebook lifecycle: serving is store-read, training-free, inline-equal") {
+    // round-5 verdict item 4: train once → persist centroids → serve
+    // d29-style health and d10-style topK FROM THE STORE. The serving
+    // plans must scan the codebook parquet and contain no training jobs
+    // (the hash-sample filter is training's distinctive marker), and the
+    // results must equal the inline-trained forms — the
+    // interchangeability that lets production split train from serve.
+    import graft.operators.IvfIndex
+    val all = Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(SimilaritySearch.quantizeSql("embedding")))
+      .select(col("vec_id"), col("q"))
+    val codebook = KMeans.fitQuantizedSampled(all, 16, 40, 2)
+    val path = s"/tmp/graft_stores/codebook_spec_${System.nanoTime()}"
+    IvfIndex.save(codebook, path)
+    val loaded = IvfIndex.load(spark, path)
+
+    val served = IvfIndex.health(all, loaded)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"serving must scan the store:\n$plan")
+    assert(!plan.contains("% 100"),
+      s"no training sample filter may appear in a serving plan:\n$plan")
+    val inline = IvfIndex.health(all, codebook)
+    assert(served.collect().toSeq == inline.collect().toSeq)
+
+    val qs = all.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val cand = all.filter(col("vec_id") >= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().toSeq
+    val servedTop = IvfIndex.topK(qs, cand, loaded, nprobe = 2, k = 3)
+    assert(!servedTop.queryExecution.executedPlan.toString.contains("% 100"))
+    assert(rows(servedTop) == rows(IvfIndex.topK(qs, cand, codebook, 2, 3)))
+  }
+
   test("every vector is assigned to exactly one of k centroids") {
     val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
     val assigned = KMeans.assign(vecs, codebook)
