@@ -132,6 +132,34 @@ object EventStreams {
       .select(col("doc_id"), col("fp"), col("corpus_doc"))
   }
 
+  /** Streaming incremental MinHash dedup — the continuous-ingest twin of
+    * d14 (the daily-crawl path a pipeline actually runs continuously):
+    * each incoming document's MinHash band signatures are computed INSIDE
+    * the scan by the same fused codegen expression the batch side uses
+    * (`graft_minhash16` via `Dedup.bandSignatures` — a stateless
+    * projection, so it streams), then stream-static joined against the
+    * PERSISTED corpus band index (the table `ParquetStore.writeBucketed`
+    * lays out for the batch d14 — ParquetStoreSpec proves that layout
+    * joins with the corpus side shuffle-free). Emits candidate
+    * (new_id, dup_of) evidence rows; a pair sharing several bands emits
+    * several rows — production folds them per micro-batch in the
+    * downstream `foreachBatch` merge (a stream-wide distinct would need
+    * unbounded state; the evidence stream itself is STATELESS, no
+    * watermark, and a refreshed corpus index is picked up per micro-batch
+    * without restart). Candidate-set equality with batch d14 on the same
+    * rows is spec-asserted in StreamingSpec.
+    *
+    * @param corpusBands static (dup_of, band, sig) persisted band index
+    * @return append-mode stream of (new_id, dup_of) candidate pairs
+    */
+  def dedupCandidatesStream(docs: DataFrame, corpusBands: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    graft.operators.Dedup.bandSignatures(docs, 16, 2)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+      .join(corpusBands, Seq("band", "sig"))
+      .select(col("new_id"), col("dup_of"))
+  }
+
   /** Stream-stream interval join: each purchase joined to signups of the
     * same user within the preceding 2 hours. Watermarks on BOTH sides
     * bound the join state; without them the state store grows forever.
