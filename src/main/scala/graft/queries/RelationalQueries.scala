@@ -25,6 +25,17 @@ object RelationalQueries {
       (3266489917L, 419L), (668265263L, 1009L))
   private val CmsP = 2147483647L
 
+  private val SkewOracle: String =
+    """WITH dim AS (SELECT unnest(range(0, 100)) AS k),
+      |f AS (SELECT CAST(CASE WHEN l_orderkey % 100 < 90 THEN 0
+      |         ELSE l_orderkey % 100 END AS BIGINT) AS hk,
+      |       l_extendedprice FROM lineitem)
+      |SELECT k % 7 AS grp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |    AS rev_c
+      |FROM f JOIN dim ON hk = k
+      |GROUP BY 1 ORDER BY grp""".stripMargin
+
   /** The q32 counter build: events → ≤1024-row (i, c, n) counter table —
     * the mergeable CMS state (elementwise +). Shared by q32's audited
     * eval twin and q36's persisted serving split.
@@ -40,6 +51,54 @@ object RelationalQueries {
       .select(explode(expr(s"array($rowArr)")).as("rc"))
       .groupBy(col("rc.i").as("i"), col("rc.c").as("c"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** The skew-measurement join (q37/q38 + graft.SkewBench): a DELIBERATE
+    * hot key — 90% of lineitem rows land on hk=0, the remaining 10% on
+    * hk ∈ {90..99} — joined to a 100-row dim FORCED onto the sort-merge
+    * path (`hint("merge")`; a broadcastable dim would hide the disease —
+    * the production setting this simulates is a dim too big to
+    * broadcast). Unsalted: the fact shuffles on hk and ONE task sorts
+    * and joins 90% of the table. Salted: the dim replicates ×16 and the
+    * fact adds a deterministic salt, so the hot key spreads over 16
+    * tasks; results are bit-identical (each fact row still matches
+    * exactly one dim replica) and both variants share one oracle.
+    */
+  private[graft] def skewJoinAgg(s: SparkSession, d: String,
+      salted: Boolean, hot: Boolean = true, amp: Int = 1,
+      mappers: Int = 0): DataFrame = {
+    // hot=false is SkewBench's uniform-key CONTROL (same volume, no hot
+    // key) — it prices the fixed shuffle/join cost so the skew penalty
+    // is read as disease-minus-control; amp>1 replicates rows executor-
+    // side so the hot task dominates scheduling overhead at toy SF;
+    // mappers>0 round-robins the fact over that many map tasks first —
+    // sf0.1's lineitem is ONE parquet row group = one mapper, and AQE's
+    // skew split works at mapper granularity (it regroups map outputs),
+    // so without this the splitter has nothing to split; a production
+    // fact table always has many mappers
+    val hkSql =
+      if (hot) "CAST(CASE WHEN l_orderkey % 100 < 90 THEN 0 " +
+        "ELSE l_orderkey % 100 END AS BIGINT)"
+      else "CAST(l_orderkey % 100 AS BIGINT)"
+    val base0 = Tables.lineitem(s, d)
+    val base = if (mappers > 0) base0.repartition(mappers) else base0
+    val fact0 = if (amp > 1)
+      base.withColumn("rep", explode(expr(s"sequence(1, $amp)"))) else base
+    val fact = fact0.withColumn("hk", expr(hkSql))
+    val dim = s.range(0, 100).select(col("id").as("k"), (col("id") % 7).as("grp"))
+    val joined = if (salted) {
+      val salts = 16
+      val sf = fact.withColumn("fsalt",
+        expr(s"(l_orderkey * 7 + l_linenumber) % $salts"))
+      val sd = dim.withColumn("dsalt", explode(expr(s"sequence(0L, ${salts - 1}L)")))
+      sf.join(sd.hint("merge"),
+        col("hk") === col("k") && col("fsalt") === col("dsalt"))
+    } else {
+      fact.join(dim.hint("merge"), col("hk") === col("k"))
+    }
+    joined.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum(cents(col("l_extendedprice"))).as("rev_c"))
+      .orderBy("grp")
   }
 
   /** CMS point-estimate serving over a PERSISTED counter store: the
@@ -386,6 +445,24 @@ object RelationalQueries {
         .orderBy("check_name")
     },
 
+    "q37_skew_salted" -> { (s, d) =>
+      // The skew CURE, oracle-checked: the deliberately hot-keyed
+      // sort-merge join (90% of rows on one key — see skewJoinAgg) run
+      // through explicit ×16 salting. q38 is the same computation
+      // UNSALTED — the disease; BENCH carries both, and graft.SkewBench
+      // isolates disease vs AQE-skew-split vs salting under controlled
+      // configs (numbers in SURVEY §6b).
+      skewJoinAgg(s, d, salted = true)
+    },
+
+    "q38_skew_unsalted" -> { (s, d) =>
+      // The skew DISEASE, same semantics and oracle as q37: the hot key
+      // shuffles 90% of the fact into one sort-merge task (AQE's runtime
+      // skew split is the only mitigation here — measured explicitly by
+      // graft.SkewBench with it on and off).
+      skewJoinAgg(s, d, salted = false)
+    },
+
     "q36_cms_serve" -> { (s, d) =>
       // CMS SERVING split (r6 verdict item): q32/q33 build counters and
       // audit them against the exact per-key scan in one query — the EVAL
@@ -681,6 +758,11 @@ object RelationalQueries {
         |  UNION ALL SELECT 'discount_in_range', disc_range FROM m
         |  UNION ALL SELECT 'orderkey_in_orders', orphan_lines FROM m
         |) ORDER BY check_name""".stripMargin,
+
+    // q37/q38 share one oracle — salting is plan-level, the results are
+    // identical by construction (that IS the exactness claim)
+    "q37_skew_salted" -> SkewOracle,
+    "q38_skew_unsalted" -> SkewOracle,
 
     "q36_cms_serve" -> {
       val P = 2147483647L
