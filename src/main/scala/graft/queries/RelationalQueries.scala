@@ -565,6 +565,44 @@ object RelationalQueries {
         .orderBy("rn")
     },
 
+    "q39_hll_serve" -> { (s, d) =>
+      // HLL SERVING split — q36's lifecycle applied to q31's sketch
+      // (q31 stays the audited eval twin with the exact-distinct scan):
+      // build the 64-register table (the mergeable per-partition state —
+      // MAX per register), PERSIST it, and answer the cardinality
+      // question from the STORE alone. At 100 TB each ingest window
+      // merges its registers into this table and every estimate is a
+      // 64-row fold — no events scan at question time (the serving
+      // subplan reads only the register parquet). Same register/estimate
+      // arithmetic as q31, so the oracle replays build + estimate; the
+      // persistence round-trip is the identity the hash proves.
+      val path = s"/tmp/graft_stores/hll_${new java.io.File(d).getName}"
+      Tables.events(s, d)
+        .select(expr("(user_id * 2654435761) % 2147483647").as("h1"))
+        .select(expr("((h1 ^ (h1 div 65536)) * 40503) % 2147483647").as("h"))
+        .select(expr("h % 64").as("reg"), expr("h div 64").as("rest"))
+        .select(col("reg"), expr(
+          "CASE WHEN rest = 0 THEN 26 ELSE bit_count((rest & -rest) - 1) + 1 END")
+          .as("rho"))
+        .groupBy("reg").agg(max(col("rho")).as("rho_max"))
+        .write.mode("overwrite").parquet(path)
+      val stored = s.read.parquet(path)
+      s.range(0, 64).toDF("r")
+        .join(stored, col("r") === col("reg"), "left")
+        .select(expr("coalesce(rho_max, 0)").as("rho_max"))
+        .agg(
+          expr("CAST(SUM(CAST(power(2, 26 - rho_max) AS BIGINT)) AS BIGINT)").as("ss"),
+          expr("CAST(SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("v_empty"))
+        .withColumn("est_raw",
+          expr("(CAST(709 AS BIGINT) * 4096 * 67108864) div (1000 * ss)"))
+        .withColumn("est_lc", expr(
+          "CASE WHEN v_empty > 0 THEN CAST(round(64 * ln(64.0 / v_empty)) AS BIGINT) ELSE -1 END"))
+        .withColumn("est_used", expr(
+          "CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END"))
+        .select(lit(64L).as("m"), col("ss"), col("v_empty"), col("est_raw"),
+          col("est_lc"), col("est_used"))
+    },
+
     "q31_hll_distinct" -> { (s, d) =>
       // HyperLogLog cardinality — with the SKETCH ITSELF oracle-checked,
       // not just rows-only like q18's opaque sketches: the register table
@@ -843,6 +881,29 @@ object RelationalQueries {
          |SELECT user_id, est, exact, est - exact AS overcount, rn
          |FROM ranked WHERE rn <= 20 ORDER BY rn""".stripMargin
     },
+
+    "q39_hll_serve" ->
+      """WITH h0 AS (SELECT (user_id * 2654435761) % 2147483647 AS h1 FROM events),
+        |h AS (SELECT (xor(h1, h1 // 65536) * 40503) % 2147483647 AS h FROM h0),
+        |rr AS (SELECT h % 64 AS reg, h // 64 AS rest FROM h),
+        |rho AS (SELECT reg, CASE WHEN rest = 0 THEN 26
+        |    ELSE bit_count((rest & -rest) - 1) + 1 END AS rho FROM rr),
+        |mx AS (SELECT reg, MAX(rho) AS rho_max FROM rho GROUP BY reg),
+        |full_regs AS (SELECT coalesce(rho_max, 0) AS rho_max
+        |  FROM (SELECT unnest(range(0, 64)) AS r) LEFT JOIN mx ON mx.reg = r),
+        |s AS (SELECT
+        |    CAST(SUM(CAST(power(2, 26 - rho_max) AS BIGINT)) AS BIGINT) AS ss,
+        |    CAST(SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_empty
+        |  FROM full_regs),
+        |est AS (SELECT ss, v_empty,
+        |    (CAST(709 AS BIGINT) * 4096 * 67108864) // (1000 * ss) AS est_raw,
+        |    CASE WHEN v_empty > 0
+        |      THEN CAST(round(64 * ln(64.0 / v_empty)) AS BIGINT) ELSE -1 END AS est_lc
+        |  FROM s)
+        |SELECT CAST(64 AS BIGINT) AS m, ss, v_empty, est_raw, est_lc,
+        |  CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END
+        |    AS est_used
+        |FROM est""".stripMargin,
 
     "q31_hll_distinct" ->
       """WITH h0 AS (SELECT (user_id * 2654435761) % 2147483647 AS h1 FROM events),
