@@ -21,6 +21,20 @@ object DedupQueries {
   private val Bands = 2  // 2 bands x 8 rows: collision prob J^8, selective
   private val PrIters = 3 // d26 power iterations (fixed -> oracle-replayable)
 
+  /** d31's serving half: the incoming batch signatured in-scan and joined
+    * against the PERSISTED corpus band index — this plan reads only the
+    * stored bands + the batch docs, never re-signaturing the corpus
+    * (spec-asserted in PlanShapeSpec).
+    */
+  private[graft] def bandServe(s: SparkSession, storePath: String,
+      batch: DataFrame): DataFrame = {
+    val corpus = s.read.parquet(storePath)
+    Dedup.bandSignatures(batch, K, Bands)
+      .select(col("doc_id").as("new_id"), col("band"), col("sig"))
+      .join(corpus, Seq("band", "sig"))
+      .select("new_id", "dup_of").distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "d01_dedup_exact" -> { (s, d) =>
       Dedup.exact(Tables.documents(s, d)).orderBy("doc_id")
@@ -77,11 +91,7 @@ object DedupQueries {
       Dedup.bandSignatures(docs.filter(!isNew), K, Bands)
         .select(col("doc_id").as("dup_of"), col("band"), col("sig"))
         .write.mode("overwrite").parquet(path)
-      val corpus = s.read.parquet(path)
-      Dedup.bandSignatures(docs.filter(isNew), K, Bands)
-        .select(col("doc_id").as("new_id"), col("band"), col("sig"))
-        .join(corpus, Seq("band", "sig"))
-        .select("new_id", "dup_of").distinct()
+      bandServe(s, path, docs.filter(isNew))
         .orderBy("new_id", "dup_of")
     },
 

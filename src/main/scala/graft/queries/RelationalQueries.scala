@@ -53,6 +53,29 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q39's serving half: the HLL cardinality estimate computed from the
+    * PERSISTED register table alone — a 64-row fold with no events scan
+    * anywhere in the plan (spec-asserted in PlanShapeSpec). Same
+    * estimate arithmetic as q31.
+    */
+  private[graft] def hllServe(s: SparkSession, storePath: String): DataFrame = {
+    val stored = s.read.parquet(storePath)
+    s.range(0, 64).toDF("r")
+      .join(stored, col("r") === col("reg"), "left")
+      .select(expr("coalesce(rho_max, 0)").as("rho_max"))
+      .agg(
+        expr("CAST(SUM(CAST(power(2, 26 - rho_max) AS BIGINT)) AS BIGINT)").as("ss"),
+        expr("CAST(SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("v_empty"))
+      .withColumn("est_raw",
+        expr("(CAST(709 AS BIGINT) * 4096 * 67108864) div (1000 * ss)"))
+      .withColumn("est_lc", expr(
+        "CASE WHEN v_empty > 0 THEN CAST(round(64 * ln(64.0 / v_empty)) AS BIGINT) ELSE -1 END"))
+      .withColumn("est_used", expr(
+        "CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END"))
+      .select(lit(64L).as("m"), col("ss"), col("v_empty"), col("est_raw"),
+        col("est_lc"), col("est_used"))
+  }
+
   /** The skew-measurement join (q37/q38 + graft.SkewBench): a DELIBERATE
     * hot key — 90% of lineitem rows land on hk=0, the remaining 10% on
     * hk ∈ {90..99} — joined to a 100-row dim FORCED onto the sort-merge
@@ -586,21 +609,7 @@ object RelationalQueries {
           .as("rho"))
         .groupBy("reg").agg(max(col("rho")).as("rho_max"))
         .write.mode("overwrite").parquet(path)
-      val stored = s.read.parquet(path)
-      s.range(0, 64).toDF("r")
-        .join(stored, col("r") === col("reg"), "left")
-        .select(expr("coalesce(rho_max, 0)").as("rho_max"))
-        .agg(
-          expr("CAST(SUM(CAST(power(2, 26 - rho_max) AS BIGINT)) AS BIGINT)").as("ss"),
-          expr("CAST(SUM(CASE WHEN rho_max = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("v_empty"))
-        .withColumn("est_raw",
-          expr("(CAST(709 AS BIGINT) * 4096 * 67108864) div (1000 * ss)"))
-        .withColumn("est_lc", expr(
-          "CASE WHEN v_empty > 0 THEN CAST(round(64 * ln(64.0 / v_empty)) AS BIGINT) ELSE -1 END"))
-        .withColumn("est_used", expr(
-          "CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END"))
-        .select(lit(64L).as("m"), col("ss"), col("v_empty"), col("est_raw"),
-          col("est_lc"), col("est_used"))
+      hllServe(s, path)
     },
 
     "q31_hll_distinct" -> { (s, d) =>

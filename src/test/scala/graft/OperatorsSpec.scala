@@ -429,6 +429,46 @@ class PlanShapeSpec extends SparkSpec {
     assert(serve.count() == 24)
   }
 
+  test("q39/d31 serving plans read only their persisted stores") {
+    // the serving-split family's claim, spec-backed for the other two
+    // stores (q36's counter spec above; IvfIndex in KMeansSpec): HLL
+    // estimates come from the stored registers with no events scan, and
+    // incremental-dedup candidates from the stored bands + batch docs
+    // with no corpus re-signaturing
+    import org.apache.spark.sql.functions.col
+    val hllPath = s"/tmp/graft_stores/hll_spec_${System.nanoTime()}"
+    Tables.events(spark, sfDir)
+      .select(expr("(user_id * 2654435761) % 2147483647").as("h1"))
+      .select(expr("((h1 ^ (h1 div 65536)) * 40503) % 2147483647").as("h"))
+      .select(expr("h % 64").as("reg"), expr("h div 64").as("rest"))
+      .select(col("reg"), expr(
+        "CASE WHEN rest = 0 THEN 26 ELSE bit_count((rest & -rest) - 1) + 1 END")
+        .as("rho"))
+      .groupBy("reg").agg(org.apache.spark.sql.functions.max(col("rho")).as("rho_max"))
+      .write.mode("overwrite").parquet(hllPath)
+    val hllServe = graft.queries.RelationalQueries.hllServe(spark, hllPath)
+    val hllPlan = hllServe.queryExecution.executedPlan.toString
+    assert(hllPlan.contains(hllPath) && !hllPlan.contains("events.parquet"),
+      s"HLL serving must read only the register store:\n$hllPlan")
+    assert(hllServe.count() == 1)
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val bandPath = s"/tmp/graft_stores/bands_spec_${System.nanoTime()}"
+    graft.operators.Dedup.bandSignatures(docs.filter(col("doc_id") % 10 =!= 7), 16, 2)
+      .select(col("doc_id").as("dup_of"), col("band"), col("sig"))
+      .write.mode("overwrite").parquet(bandPath)
+    val serve = graft.queries.DedupQueries.bandServe(
+      spark, bandPath, docs.filter(col("doc_id") % 10 === 7))
+    val plan = serve.queryExecution.executedPlan.toString
+    assert(plan.contains(bandPath),
+      s"band serving must scan the store:\n$plan")
+    // exactly ONE documents scan (the batch side) — the corpus is never
+    // re-signatured at serve time
+    val nDocScans = plan.linesIterator.count(l =>
+      l.contains("FileScan parquet") && l.contains("documents.parquet"))
+    assert(nDocScans == 1, s"expected 1 documents scan, got $nDocScans:\n$plan")
+  }
+
   test("q31/q32 sketch builds are single-scan map-side aggregations") {
     for (name <- Seq("q31_hll_distinct", "q32_cms_heavy_hitters")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
