@@ -158,7 +158,70 @@ object TextQueries {
       s"ELSE (1 + $n % 24) * $patches END"
   }
 
+  // t29 BPE: number of pair-merge iterations learned over the word
+  // histogram (each is O(|vocab|) work; the corpus is scanned exactly once)
+  private val BpeIters = 6
+
+  /** Greedy leftmost non-overlapping application of merge (lhs, rhs) to a
+    * symbol array `syms`, as a string-accumulator fold: a merged symbol
+    * lhs||rhs never equals lhs (rhs nonempty), so the "last symbol ==
+    * lhs" suffix test can never re-match a symbol created in the same
+    * pass — the fold IS the greedy scan. Spec-checked against a reference
+    * Scala implementation (OperatorsSpec), replayed verbatim by the
+    * DuckDB oracle via `list_reduce` with a prepended seed.
+    */
+  private[graft] val bpeMergeSpark: String =
+    "filter(split(aggregate(syms, '', (acc, x) -> " +
+      "CASE WHEN endswith(acc, concat('|', lhs)) AND x = rhs " +
+      "THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]'), " +
+      "s -> s <> '')"
+
   val queries: Map[String, Q] = Map(
+    "t29_bpe_merges" -> { (s, d) =>
+      // BPE tokenizer training (the Sennrich 2016 algorithm) as a
+      // distributed pipeline: the ONLY corpus-scale pass is the
+      // token-count groupBy (map-side combined) — the merge loop then
+      // runs entirely over the compact word-frequency table (O(|vocab|)
+      // rows; this corpus→histogram→iterate split is exactly how
+      // production BPE trainers scale, the histogram being the mergeable
+      // sufficient statistic). Each iteration counts adjacent symbol
+      // pairs weighted by word frequency, picks the argmax pair (count
+      // desc, lexicographic tie-break), and applies it with greedy
+      // leftmost non-overlapping semantics via a string-accumulator fold
+      // over the symbol array: a merged symbol L||R never equals L (R is
+      // nonempty), so the "last symbol == L" test can never re-match a
+      // symbol created in the same pass — the fold IS the greedy scan,
+      // and replays verbatim in the oracle (Spark `aggregate` / DuckDB
+      // `list_reduce` with a prepended seed, the t04 fold convention).
+      // 1-row best-pair broadcast per iteration, lineage-cut like the
+      // Lloyd/PageRank loops. Output: the learned merge table — the
+      // artifact a tokenizer run pins.
+      val wf = Tables.documents(s, d)
+        .select(explode(expr("split(trim(text), ' ')")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      var seq = wf.withColumn("syms", expr("split(w, '')")).localCheckpoint()
+      val merges = (1 to BpeIters).map { i =>
+        val best = seq
+          .select(col("cnt"), explode(expr(
+            "zip_with(slice(syms, 1, size(syms) - 1), " +
+              "slice(syms, 2, size(syms) - 1), (x, y) -> concat(x, '|', y))"))
+            .as("p"))
+          .groupBy(expr("split_part(p, '|', 1)").as("lhs"),
+            expr("split_part(p, '|', 2)").as("rhs"))
+          .agg(sum(col("cnt")).as("pair_n"))
+          .orderBy(col("pair_n").desc, col("lhs").asc, col("rhs").asc)
+          .limit(1)
+          .localCheckpoint() // feeds BOTH the output row and the merge join
+        seq = seq.crossJoin(broadcast(best.select("lhs", "rhs")))
+          .withColumn("syms", expr(bpeMergeSpark))
+          .select("w", "cnt", "syms")
+          .localCheckpoint()
+        best.select(lit(i.toLong).as("it"), col("lhs"), col("rhs"),
+          col("pair_n"))
+      }
+      merges.reduce(_ unionByName _).orderBy("it")
+    },
+
     "t16_pii_scrub" -> { (s, d) =>
       // PII redaction (training-data hygiene): count and replace emails /
       // phones / IPs with typed placeholder tokens. Pure per-row codegen'd
@@ -963,7 +1026,34 @@ object TextQueries {
   private val langScoresDuck: String =
     langMarkers.map { case (l, ws) => s"${scoreDuck(ws)} AS s_$l" }.mkString(",\n    ")
 
+  // t29 oracle: one CTE triple (pair counts, argmax pair, merged seqs)
+  // per iteration — the d26/d10 replay-the-loop discipline.
+  private def bpeIterCtes(i: Int): String =
+    s"""pc$i AS (SELECT split_part(p, '|', 1) AS lhs, split_part(p, '|', 2) AS rhs,
+       |    CAST(SUM(cnt) AS BIGINT) AS pair_n
+       |  FROM (SELECT unnest(list_transform(range(1, len(syms)),
+       |      j -> syms[CAST(j AS INT)] || '|' || syms[CAST(j + 1 AS INT)])) AS p, cnt
+       |    FROM seq${i - 1})
+       |  GROUP BY lhs, rhs),
+       |b$i AS (SELECT lhs, rhs, pair_n FROM pc$i
+       |  ORDER BY pair_n DESC, lhs ASC, rhs ASC LIMIT 1),
+       |seq$i AS (SELECT w, cnt,
+       |    list_filter(string_split(list_reduce(list_prepend('', syms), (acc, x) ->
+       |      CASE WHEN ends_with(acc, '|' || lhs) AND x = rhs THEN acc || x
+       |           ELSE acc || '|' || x END), '|'), s -> s <> '') AS syms
+       |  FROM seq${i - 1}, b$i)""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "t29_bpe_merges" ->
+      s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+         |seq0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM wf),
+         |${(1 to BpeIters).map(bpeIterCtes).mkString(",\n")}
+         |${(1 to BpeIters)
+            .map(i => s"SELECT CAST($i AS BIGINT) AS it, lhs, rhs, pair_n FROM b$i")
+            .mkString("\nUNION ALL ")}
+         |ORDER BY it""".stripMargin,
     "t16_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id, $piiDuckSql AS pii FROM documents)
          |SELECT doc_id,

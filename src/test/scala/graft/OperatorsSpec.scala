@@ -588,3 +588,83 @@ class MultimodalSpec extends SparkSpec {
     assert(s2(0).feature == (0 until (242 / 3)).map(i => if (i % 2 == 0) 'a' else 'b').map(_.toLong).sum % 997)
   }
 }
+
+class BpeSpec extends SparkSpec {
+  import org.apache.spark.sql.functions.expr
+
+  /** Reference greedy leftmost non-overlapping merge — the semantics BPE
+    * training applies at every iteration (Sennrich 2016). */
+  private def refMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  private def foldMerge(cases: Seq[(Seq[String], String, String)]): Seq[Seq[String]] = {
+    import spark.implicits._
+    cases.zipWithIndex
+      .map { case ((syms, l, r), i) => (i.toLong, syms, l, r) }
+      .toDF("i", "syms", "lhs", "rhs")
+      .withColumn("merged", expr(graft.queries.TextQueries.bpeMergeSpark))
+      .orderBy("i")
+      .select("merged").as[Seq[String]].collect().toSeq
+  }
+
+  test("BPE merge fold equals the greedy reference on crafted edge cases") {
+    val cases: Seq[(Seq[String], String, String)] = Seq(
+      (Seq("a", "a", "a", "a"), "a", "a"),        // run: non-overlap -> [aa, aa]
+      (Seq("a", "a", "a"), "a", "a"),             // odd run -> [aa, a]
+      (Seq("a", "b", "a", "b"), "a", "b"),        // repeat pattern -> [ab, ab]
+      (Seq("a"), "a", "a"),                       // single symbol, no pair
+      (Seq("ab", "ab", "c"), "ab", "c"),          // multi-char lhs
+      (Seq("x", "ab", "c", "y"), "ab", "c"),      // interior merge
+      (Seq("a", "b"), "b", "a"),                  // no match
+      (Seq("aa", "a", "a"), "a", "a")             // prior-merge symbol inert
+    )
+    val got = foldMerge(cases)
+    cases.zip(got).foreach { case ((syms, l, r), m) =>
+      assert(m == refMerge(syms, l, r),
+        s"fold diverges from greedy reference on ($syms, $l, $r): $m")
+    }
+  }
+
+  test("randomized: BPE merge fold equals the greedy reference") {
+    val rnd = new scala.util.Random(41)
+    val alphabet = Seq("a", "b", "ab", "ba", "aa")
+    val cases = (0 until 300).map { _ =>
+      val syms = Seq.fill(1 + rnd.nextInt(10))(alphabet(rnd.nextInt(alphabet.size)))
+      (syms, alphabet(rnd.nextInt(alphabet.size)), alphabet(rnd.nextInt(alphabet.size)))
+    }
+    val got = foldMerge(cases)
+    cases.zip(got).foreach { case ((syms, l, r), m) =>
+      assert(m == refMerge(syms, l, r),
+        s"fold diverges from greedy reference on ($syms, $l, $r): $m")
+    }
+  }
+
+  test("t29 merges are valid: positive counts, vocabulary grows, pairs were adjacent") {
+    val df = graft.queries.TextQueries.queries("t29_bpe_merges")(spark, sfDir)
+      .collect()
+    assert(df.length == 6)
+    val seen = scala.collection.mutable.Set[String]()
+    df.sortBy(_.getLong(0)).foreach { row =>
+      val (l, r, n) = (row.getString(1), row.getString(2), row.getLong(3))
+      assert(n > 0, "merge must have positive corpus support")
+      val merged = l + r
+      assert(!seen.contains(merged), s"merge $merged learned twice")
+      seen += merged
+      // each side is either a base character or a previously learned merge
+      assert(l.length == 1 || seen.contains(l) || df.exists(p =>
+        p.getLong(0) < row.getLong(0) && p.getString(1) + p.getString(2) == l),
+        s"lhs $l is neither a char nor a learned symbol")
+      assert(r.length == 1 || df.exists(p =>
+        p.getLong(0) < row.getLong(0) && p.getString(1) + p.getString(2) == r),
+        s"rhs $r is neither a char nor a learned symbol")
+    }
+  }
+}
