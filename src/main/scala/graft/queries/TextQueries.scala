@@ -162,6 +162,10 @@ object TextQueries {
   // histogram (each is O(|vocab|) work; the corpus is scanned exactly once)
   private val BpeIters = 6
 
+  // t30: systematic-sampling tick count (the target sample size; the
+  // realized count is total_w div step >= WsTicks by floor arithmetic)
+  private val WsTicks = 50
+
   /** Greedy leftmost non-overlapping application of merge (lhs, rhs) to a
     * symbol array `syms`, as a string-accumulator fold: a merged symbol
     * lhs||rhs never equals lhs (rhs nonempty), so the "last symbol ==
@@ -220,6 +224,85 @@ object TextQueries {
           col("pair_n"))
       }
       merges.reduce(_ unionByName _).orderBy("it")
+    },
+
+    "t30_weighted_sample" -> { (s, d) =>
+      // Systematic weighted sampling (importance sampling for data
+      // mixing): every document gets probability proportional to its
+      // weight (chars here — a quality score in production) by laying
+      // all weights end-to-end in the t21 deterministic-shuffle order
+      // and selecting the documents whose weight interval contains a
+      // multiple of step = total_w/50 — the classic systematic sampler,
+      // exact integers, no RNG (heavy docs can be drawn >1 time via
+      // n_ticks, the with-replacement accounting a mixture loader uses).
+      // The global prefix sum is computed the way a 1000-executor job
+      // must: a 64-shard within-shard running total plus broadcast
+      // per-shard offsets (two corpus scans, O(shards) driver-side
+      // state) — NOT a single-partition global window; the oracle's
+      // global ORDER BY cumsum replays the identical total order
+      // (shard, h, doc_id), which is what the hash match proves.
+      val o = Tables.documents(s, d).select(col("doc_id"),
+        col("n_chars").as("w"),
+        expr("(doc_id * 2654435761) % 1000000007").as("h"))
+        .withColumn("shard", expr("h % 64"))
+      // pass 1: per-shard totals -> offsets (exclusive prefix over 64
+      // rows) + grand total; tiny table, materialized once
+      val sw = o.groupBy("shard").agg(sum(col("w")).as("sw"))
+        .localCheckpoint()
+      val offsets = sw.withColumn("off", coalesce(
+        sum(col("sw")).over(Window.orderBy("shard")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("shard", "off")
+      val tot = sw.agg(sum(col("sw")).as("total_w"))
+      // pass 2: within-shard running total + offset = global prefix sum
+      o.withColumn("cw_local", sum(col("w")).over(
+        Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .join(broadcast(offsets), "shard")
+        .crossJoin(broadcast(tot))
+        .withColumn("cw", expr("off + cw_local"))
+        .withColumn("n_ticks", expr(
+          s"cw div (total_w div $WsTicks) - (cw - w) div (total_w div $WsTicks)"))
+        .filter(col("n_ticks") > 0)
+        .select("doc_id", "shard", "w", "cw", "n_ticks")
+        .orderBy("cw", "doc_id")
+    },
+
+    "t31_repeat_factor" -> { (s, d) =>
+      // Repeat-factor upsampling (the LVIS/detection-style materialized
+      // twin of t17's weights): each document repeats floor(weight)
+      // times plus one stochastic-rounding extra decided by its hash
+      // fraction (deterministic, no RNG — E[r] equals the real-valued
+      // weight, so the epoch hits the uniform-language target mix in
+      // expectation and exactly in the hash-uniform limit). The epoch is
+      // actually MATERIALIZED: `sequence(1, r)` + explode (r >= 1
+      // filtered first — Spark's sequence DESCENDS on an empty range),
+      // which at 100 TB is a pure executor-side row expansion with no
+      // shuffle; the rollup then proves the realized epoch equals the
+      // plan (n_epoch = Σr). Weights are t17's exact integer formula; a
+      // real run writes the exploded epoch instead of rolling it up.
+      val byLang = Tables.documents(s, d)
+        .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      val tot = byLang.agg(sum(col("n_docs")).as("total"),
+        count(lit(1)).as("n_langs"))
+      val wt = byLang.crossJoin(broadcast(tot))
+        .withColumn("weight_e6", expr(
+          "(1000000 div n_langs) * 1000000 div (n_docs * 1000000 div total)"))
+        .select("lang", "weight_e6")
+      val reps = Tables.documents(s, d).select("doc_id", "lang")
+        .join(broadcast(wt), "lang")
+        .withColumn("r", expr(
+          "weight_e6 div 1000000 + " +
+            "CASE WHEN ((doc_id * 2654435761) % 1000000007) % 1000000 " +
+            "< weight_e6 % 1000000 THEN 1 ELSE 0 END"))
+      val epoch = reps.filter(col("r") >= 1)
+        .select(col("doc_id"), col("lang"), col("r"),
+          explode(expr("sequence(1L, r)")).as("rep"))
+      epoch.groupBy("lang")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_epoch"),
+          min(col("r")).as("min_r"), max(col("r")).as("max_r"))
+        .orderBy("lang")
     },
 
     "t16_pii_scrub" -> { (s, d) =>
@@ -1044,6 +1127,37 @@ object TextQueries {
        |  FROM seq${i - 1}, b$i)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t31_repeat_factor" ->
+      """WITH b AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+        |    COUNT(*) AS n_langs FROM b),
+        |wt AS (SELECT lang,
+        |    (1000000 // n_langs) * 1000000 // (n_docs * 1000000 // total)
+        |      AS weight_e6
+        |  FROM b, t),
+        |r AS (SELECT d.doc_id, d.lang,
+        |    weight_e6 // 1000000 +
+        |      CASE WHEN ((d.doc_id * 2654435761) % 1000000007) % 1000000
+        |           < weight_e6 % 1000000 THEN 1 ELSE 0 END AS r
+        |  FROM documents d JOIN wt USING (lang))
+        |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(r) AS BIGINT) AS n_epoch,
+        |  CAST(MIN(r) AS BIGINT) AS min_r, CAST(MAX(r) AS BIGINT) AS max_r
+        |FROM r WHERE r >= 1 GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "t30_weighted_sample" ->
+      s"""WITH o AS (SELECT doc_id, n_chars AS w,
+         |    (doc_id * 2654435761) % 1000000007 AS h FROM documents),
+         |c AS (SELECT doc_id, h % 64 AS shard, w,
+         |    CAST(SUM(w) OVER (ORDER BY h % 64, h, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM o),
+         |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM o),
+         |s AS (SELECT doc_id, shard, w, cw,
+         |    CAST(cw // (total_w // $WsTicks)
+         |      - (cw - w) // (total_w // $WsTicks) AS BIGINT) AS n_ticks
+         |  FROM c, t)
+         |SELECT doc_id, shard, w, cw, n_ticks FROM s
+         |WHERE n_ticks > 0 ORDER BY cw, doc_id""".stripMargin,
+
     "t29_bpe_merges" ->
       s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS w
          |  FROM documents),

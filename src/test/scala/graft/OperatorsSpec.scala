@@ -668,3 +668,60 @@ class BpeSpec extends SparkSpec {
     }
   }
 }
+
+class SamplingSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("t30 partition-less windows operate only on O(shards) aggregates") {
+    // the distributed-prefix-sum claim: the corpus-sized running total is
+    // shard-partitioned; any global-order (single-partition) window in
+    // the plan sits on the 64-row per-shard totals, never on the corpus
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val plan = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
+      .queryExecution.optimizedPlan
+    val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globals.nonEmpty, "expected the 64-row offsets window")
+    globals.foreach { w =>
+      // its input is the checkpointed per-shard aggregate (a LogicalRDD
+      // leaf), never a file scan of the corpus
+      assert(w.child.collectFirst { case r: LogicalRelation => r }.isEmpty,
+        s"a partition-less window must sit on the shard aggregate, got:\n$w")
+    }
+    assert(plan.collect {
+      case w: LWindow if w.partitionSpec.nonEmpty => w }.nonEmpty,
+      "the corpus running total must be shard-partitioned")
+  }
+
+  test("t30 systematic sampling: exact tick accounting, heavy docs always drawn") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sfDir)
+    val totalW = docs.agg(sum("n_chars")).as[Long].head()
+    val step = totalW / 50
+    val sel = SparkEntry.queries("t30_weighted_sample")(spark, sfDir)
+      .select("doc_id", "w", "n_ticks").as[(Long, Long, Long)].collect()
+    // ticks partition into the docs' weight intervals: every tick lands once
+    assert(sel.map(_._3).sum == totalW / step)
+    // an interval wider than the step must contain a tick: heavy docs are
+    // deterministically drawn — the property quality-weighted mixing needs
+    val heavy = docs.filter(col("n_chars") > step)
+      .select("doc_id").as[Long].collect().toSet
+    assert(heavy.subsetOf(sel.map(_._1).toSet))
+  }
+
+  test("t31 repeat factors move the epoch mix toward the uniform target") {
+    import spark.implicits._
+    val out = SparkEntry.queries("t31_repeat_factor")(spark, sfDir)
+      .select("lang", "n_docs", "n_epoch").as[(String, Long, Long)].collect()
+    val raw = graft.Tables.documents(spark, sfDir).groupBy("lang").count()
+      .as[(String, Long)].collect().toMap
+    val rawTot = raw.values.sum.toDouble
+    val epochTot = out.map(_._3).sum.toDouble
+    val nl = out.length.toDouble
+    def dev(shares: Seq[Double]) = shares.map(s => math.abs(s - 1.0 / nl)).max
+    val rawDev = dev(out.map(o => raw(o._1) / rawTot))
+    val epochDev = dev(out.map(o => o._3 / epochTot))
+    assert(epochDev < rawDev,
+      s"epoch mix must be closer to uniform: $epochDev vs raw $rawDev")
+  }
+}
