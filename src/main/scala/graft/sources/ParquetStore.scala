@@ -47,6 +47,38 @@ object ParquetStore {
     col("p_cell_lat").between(math.floor(minLat / 10).toLong, math.floor(maxLat / 10).toLong) &&
       col("p_cell_lon").between(math.floor(minLon / 10).toLong, math.floor(maxLon / 10).toLong)
 
+  /** Small-files compaction — the maintenance pass every continuously
+    * ingested store needs: streaming micro-batches, upserts, and wide
+    * per-task writers accumulate many tiny files, and at 100 TB scan
+    * throughput dies on per-file open/footer overhead and undersized row
+    * groups (plus a listing/metadata entry per file). Rewrites the store
+    * as ceil(bytes / targetBytes) files, installed with the same
+    * rename-aside swap as the streaming upsert sink so no reader ever
+    * sees a missing or half-written store, and an interrupted swap
+    * leaves `path` or `path.old` holding the complete pre-compaction
+    * data. Compaction is pure layout — content-identical by
+    * construction (spec-asserted). Returns the target file count.
+    */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L << 20): Int = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.compact")
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    val bytes = fs.getContentSummary(p).getLength
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(path).repartition(n)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (!fs.rename(p, old))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"compact: cannot install $tmp at $path")
+    fs.delete(old, true)
+    n
+  }
+
   /** Write a table bucketed (and sorted) on its join key. Two tables
     * bucketed the same way join with NO shuffle on either side — at 100 TB
     * the lineitem⋈orders join becomes a per-bucket sort-merge with zero

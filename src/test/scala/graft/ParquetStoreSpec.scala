@@ -124,4 +124,22 @@ class ParquetStoreSpec extends SparkSpec {
       conf.set("spark.sql.autoBroadcastJoinThreshold", bjt)
     }
   }
+
+  test("compact collapses a fragmented store without changing its content") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_compact").toString + "/docs"
+    val docs = graft.Tables.documents(spark, sfDir)
+    docs.repartition(50).write.parquet(dir)
+    def files = new java.io.File(dir).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = files
+    assert(before >= 40, s"fixture should be fragmented, got $before files")
+    val n = ParquetStore.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1 && files == 1, s"expected 1 compacted file, got $files")
+    // compaction is pure layout: content identical, temp/aside dirs gone
+    val got = spark.read.parquet(dir).orderBy("doc_id").collect().toSeq
+    assert(got == docs.orderBy("doc_id").collect().toSeq)
+    assert(!new java.io.File(dir + ".compact").exists())
+    assert(!new java.io.File(dir + ".old").exists())
+  }
 }
