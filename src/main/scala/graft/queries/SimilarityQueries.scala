@@ -85,6 +85,34 @@ object SimilarityQueries {
       .select(col("vec_id"), col("q"))
 
   val queries: Map[String, Q] = Map(
+    "m11_caption_pairs" -> { (s, d) =>
+      // Cross-modal contrastive pair mining (the CLIP-style image→caption
+      // alignment step a multimodal training pipeline runs to build its
+      // pair table): m07's deterministic modality split provides the
+      // modalities (images: doc_id % 10 ∈ {6,7}; text: doc_id % 10 < 6);
+      // each probe image retrieves its best text doc by embedding
+      // similarity through the d05 broadcast-probe + map-side-heap shape
+      // (probes broadcast, the text corpus scanned once — never
+      // shuffled), and the winner resolves against the document store by
+      // id for its metadata, the d23 serving join (winner set broadcast,
+      // documents never shuffled). Probe set = the image docs with
+      // doc_id < 100 (fixed O(1) probes at any SF, the d05 discipline;
+      // the corpus-wide all-images run is the same plan with the probe
+      // filter dropped — per-image cost is one scan of its LSH/IVF
+      // bucket once fed through d06/d09 instead of the exact arm).
+      val e = quantized(s, d)
+      val top = SimilaritySearch.bruteForceTopK(
+        e.filter(expr("vec_id % 10 IN (6, 7) AND vec_id < 100")),
+        e.filter(expr("vec_id % 10 < 6")), 1)
+        .select(col("query_id").as("image_id"),
+          col("cand_id").as("text_id"), col("dot"))
+      Tables.documents(s, d)
+        .join(broadcast(top), col("doc_id") === col("text_id"))
+        .select(col("image_id"), col("text_id"), col("dot"),
+          col("lang"), col("source"))
+        .orderBy("image_id")
+    },
+
     "d05_embed_cosine_topk" -> { (s, d) =>
       val e = quantized(s, d)
       SimilaritySearch.bruteForceTopK(
@@ -885,6 +913,20 @@ object SimilarityQueries {
          |SELECT query_id, vec_id AS cand_id, dot, rn
          |FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "m11_caption_pairs" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |img AS (SELECT vec_id AS image_id, q AS qq FROM e
+         |  WHERE vec_id % 10 IN (6, 7) AND vec_id < 100),
+         |txt AS (SELECT vec_id, q FROM e WHERE vec_id % 10 < 6),
+         |scored AS (SELECT image_id, txt.vec_id AS text_id,
+         |    ${dotDuck("qq", "q")} AS dot
+         |  FROM txt CROSS JOIN img),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY image_id
+         |    ORDER BY dot DESC, text_id ASC) AS rn FROM scored)
+         |SELECT image_id, text_id, dot, lang, source
+         |FROM ranked JOIN documents d ON d.doc_id = ranked.text_id
+         |WHERE rn = 1 ORDER BY image_id""".stripMargin,
 
     "d05_embed_cosine_topk" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),

@@ -401,6 +401,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(rows.nonEmpty && rows.forall { case (q, l) => own(q) != l })
   }
 
+  test("m11 probes broadcast; documents resolve via broadcast, never shuffled") {
+    // the d05 probe shape + d23 serving join, composed: the only joins
+    // are the broadcast probe scan and the broadcast winner resolution —
+    // nothing shuffles the corpus
+    val plan = SparkEntry.queries("m11_caption_pairs")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "the winner set must broadcast against the documents scan")
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus table may shuffle in the pair-mining plan")
+  }
+
   test("d27 arms rank via map-side heaps, never corpus-wide window sorts") {
     // round-5 verdict item: RRF must fuse per-arm top-N candidate lists.
     // Both the lexical and semantic arm go through TopK.perKey, whose
