@@ -35,6 +35,30 @@ object DocumentStore {
         when(col("superseded_by") === -1L, 1L).otherwise(0L))
   }
 
+  /** Retention vacuum — the version-debris GC a continuously upserted
+    * store needs: every re-upload leaves a superseded row behind (j36
+    * serves that history; at 100 TB it dominates storage unless reaped).
+    * Keeps the newest `keep` versions per group; with `tombstoneCol`,
+    * groups whose LATEST version is a delete marker are dropped entirely
+    * (the tombstone reap — older tombstones inside the keep window stay,
+    * they are history). Both decisions ride the same document-key
+    * shuffle as [[latestVersions]] (spec asserts exactly one Exchange),
+    * and the rewrite composes with [[graft.sources.ParquetStore.compact]]
+    * in one maintenance pass.
+    */
+  def vacuum(df: DataFrame, groupCols: Seq[String], versionCol: String,
+      keep: Int, tombstoneCol: Option[String] = None): DataFrame = {
+    val byKey = Window.partitionBy(groupCols.map(col): _*)
+    val ranked = df.withColumn("__rn",
+      row_number().over(byKey.orderBy(col(versionCol).desc)))
+    val kept = ranked.filter(col("__rn") <= keep)
+    tombstoneCol.fold(kept) { t =>
+      kept.withColumn("__dead",
+          max(when(col("__rn") === 1 && col(t), 1).otherwise(0)).over(byKey))
+        .filter(col("__dead") === 0).drop("__dead")
+    }.drop("__rn")
+  }
+
   /** Deterministic page fetch (Jane REST pagination: ordering + offset/limit).
     * Callers must pass a total ordering (include a unique id tie-break).
     */

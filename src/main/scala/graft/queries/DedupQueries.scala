@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -49,6 +50,70 @@ object DedupQueries {
 
     "d03_minhash_lsh" -> { (s, d) =>
       Dedup.minHashLshPairs(Tables.documents(s, d), K, Bands).orderBy("a", "b")
+    },
+
+    "d32_ensemble_dedup" -> { (s, d) =>
+      // Ensemble dedup: a production pipeline fuses SEVERAL near-dup
+      // signals into ONE clustering decision — exact normalized-key
+      // groups (d01), the MinHash-LSH candidate graph (d03), and SimHash
+      // near-pairs at hamming<=3 (d04) union into a single edge set
+      // whose connected components are the final duplicate clusters (any
+      // one signal suffices to tie two docs — signals catch different
+      // duplication modes: byte-identical re-uploads, shingle overlap,
+      // token-distribution twins). Per cluster, the per-signal edge
+      // counts say which detector did the work — the number a pipeline
+      // owner tunes thresholds on. Edge generation is the d01/d03/d04
+      // operators (each one shuffle); the closure is d11's O(diameter)
+      // min-label propagation over the (tiny vs corpus) union graph;
+      // attribution is one edge⋈label join. The SimHash arm runs at its
+      // HIGH-PRECISION operating point — signature-identical twins — so
+      // the pair scan is a plain EQUI-join on the full 32-bit signature
+      // (linear in group sizes; a hamming>0 point would use m08's
+      // banded OR-join instead), and boilerplate signatures are excluded
+      // at the t25 relative df cap: this corpus's 31-word vocabulary
+      // collapses most distinct-token sets onto one signature (410 docs
+      // share the top one at sf0.1 — hamming<=3 there means 420k+ pairs,
+      // the degenerate-detector case the cap + per-signal attribution
+      // exist to expose).
+      val docs = Tables.documents(s, d)
+      val lsh = Dedup.minHashLshPairs(docs, K, Bands)
+        .select(col("a"), col("b"), lit("lsh").as("signal"))
+      val nd = docs.agg(count(lit(1)).as("n_docs"))
+      val sig = Dedup.simHash(docs, bits = 32)
+        .withColumn("bkt", expr("n_chars div 50"))
+        .select(col("doc_id"), col("bkt"), col("simhash"))
+        .repartition(col("doc_id")) // d04's barrier: one signature pass
+      val dfc = sig.groupBy("bkt", "simhash").agg(count(lit(1)).as("dfc"))
+      val rare = sig.join(dfc, Seq("bkt", "simhash"))
+        .crossJoin(broadcast(nd))
+        .filter(expr("dfc <= greatest(CAST(20 AS BIGINT), n_docs div 100)"))
+        .select("doc_id", "bkt", "simhash")
+      val sim = rare.as("x").join(rare.as("y"),
+          col("x.bkt") === col("y.bkt") &&
+            col("x.simhash") === col("y.simhash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          lit("simhash").as("signal"))
+      val exact = docs
+        .withColumn("rep", min(col("doc_id")).over(
+          Window.partitionBy(expr(Dedup.normKeySql))))
+        .filter(col("doc_id") =!= col("rep"))
+        .select(col("rep").as("a"), col("doc_id").as("b"),
+          lit("exact").as("signal"))
+      val edges = lsh.unionByName(sim).unionByName(exact)
+        .localCheckpoint() // feeds the closure AND the attribution join
+      val labels = Dedup.components(edges.select("a", "b").distinct())
+      val attrib = edges
+        .join(labels.withColumnRenamed("id", "a"), "a")
+        .groupBy("label").agg(
+          sum(when(col("signal") === "lsh", 1L).otherwise(0L)).as("n_lsh"),
+          sum(when(col("signal") === "simhash", 1L).otherwise(0L)).as("n_sim"),
+          sum(when(col("signal") === "exact", 1L).otherwise(0L)).as("n_exact"))
+      labels.groupBy("label").agg(count(lit(1)).as("cluster_size"))
+        .join(attrib, "label")
+        .select(col("label").as("rep_id"), col("cluster_size"),
+          col("n_lsh"), col("n_sim"), col("n_exact"))
+        .orderBy("rep_id")
     },
 
     "d11_dedup_clusters" -> { (s, d) =>
@@ -297,6 +362,51 @@ object DedupQueries {
       s"""WITH $lshPairsCtes
          |SELECT a, b FROM lsh_pairs
          |ORDER BY a, b""".stripMargin,
+
+    "d32_ensemble_dedup" ->
+      s"""WITH RECURSIVE $lshPairsCtes,
+         |stok AS (SELECT doc_id, n_chars,
+         |    unnest(list_distinct(string_split(trim(text), ' '))) AS tok
+         |  FROM documents),
+         |scodes AS (SELECT doc_id, n_chars, ${Dedup.tokenCodeSql(8)} AS code
+         |  FROM (SELECT doc_id, n_chars, rpad(tok, 8, ' ') AS rp FROM stok)),
+         |ssums AS (SELECT doc_id, n_chars,
+         |    $simhashSums
+         |  FROM scodes GROUP BY doc_id, n_chars),
+         |ssig AS (SELECT doc_id, n_chars // 50 AS bkt, $simhashValue AS simhash
+         |  FROM ssums),
+         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |sdfc AS (SELECT bkt, simhash, COUNT(*) AS dfc FROM ssig
+         |  GROUP BY bkt, simhash),
+         |srare AS (SELECT s.doc_id, s.bkt, s.simhash
+         |  FROM ssig s JOIN sdfc USING (bkt, simhash), nd
+         |  WHERE sdfc.dfc <= greatest(CAST(20 AS BIGINT), nd.n_docs // 100)),
+         |sim_pairs AS (SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM srare x JOIN srare y
+         |  ON x.bkt = y.bkt AND x.simhash = y.simhash AND x.doc_id < y.doc_id),
+         |ex AS (SELECT doc_id,
+         |    MIN(doc_id) OVER (PARTITION BY ${Dedup.normKeyOracleSql}) AS rep
+         |  FROM documents),
+         |tagged AS (SELECT a, b, 'lsh' AS signal FROM lsh_pairs
+         |  UNION ALL SELECT a, b, 'simhash' AS signal FROM sim_pairs
+         |  UNION ALL SELECT rep AS a, doc_id AS b, 'exact' AS signal
+         |    FROM ex WHERE doc_id <> rep),
+         |uniq AS (SELECT DISTINCT a, b FROM tagged),
+         |edges AS (SELECT a, b FROM uniq UNION ALL SELECT b AS a, a AS b FROM uniq),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |),
+         |lab AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |attrib AS (SELECT label,
+         |    CAST(SUM(CASE WHEN signal = 'lsh' THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+         |    CAST(SUM(CASE WHEN signal = 'simhash' THEN 1 ELSE 0 END) AS BIGINT) AS n_sim,
+         |    CAST(SUM(CASE WHEN signal = 'exact' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+         |  FROM tagged JOIN lab ON lab.id = tagged.a GROUP BY label),
+         |sz AS (SELECT label, COUNT(*) AS cluster_size FROM lab GROUP BY label)
+         |SELECT sz.label AS rep_id, cluster_size, n_lsh, n_sim, n_exact
+         |FROM sz JOIN attrib USING (label) ORDER BY rep_id""".stripMargin,
 
     "d11_dedup_clusters" ->
       s"""WITH RECURSIVE $lshPairsCtes,

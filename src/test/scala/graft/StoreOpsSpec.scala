@@ -39,6 +39,26 @@ class StoreOpsSpec extends SparkSpec {
     assert(got == Set((1L, "a"), (2L, "B"), (3L, "c")))
   }
 
+  test("vacuum keeps the newest k versions and reaps tombstoned groups") {
+    import spark.implicits._
+    val rows = Seq(
+      // group a: 4 live versions — keep the newest 2
+      ("a", 1L, false), ("a", 2L, false), ("a", 3L, false), ("a", 4L, false),
+      // group b: latest version is a delete marker — reaped entirely
+      ("b", 1L, false), ("b", 2L, true),
+      // group c: an OLD tombstone superseded by a live row — stays (history)
+      ("c", 1L, true), ("c", 2L, false)
+    ).toDF("k", "version", "deleted")
+    val out = DocumentStore.vacuum(rows, Seq("k"), "version",
+      keep = 2, tombstoneCol = Some("deleted"))
+    val got = out.select("k", "version").as[(String, Long)].collect().toSet
+    assert(got == Set(("a", 3L), ("a", 4L), ("c", 1L), ("c", 2L)))
+    // both decisions ride ONE document-key shuffle
+    val nEx = "Exchange".r
+      .findAllMatchIn(out.queryExecution.executedPlan.toString).size
+    assert(nEx == 1, s"vacuum must ride one key shuffle, got $nEx")
+  }
+
   test("latestVersions keeps exactly the max version per group") {
     import spark.implicits._
     val df = Seq((1L, 1L, "old"), (1L, 3L, "new"), (2L, 5L, "only"))
