@@ -180,6 +180,38 @@ object TextQueries {
       "THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]'), " +
       "s -> s <> '')"
 
+  /** Shared t29/t32 trainer: the BpeIters pair-merge loop over the word
+    * histogram. Returns (per-iteration best-pair rows, final symbolized
+    * word table); see t29 for the algorithm notes.
+    */
+  private def bpeTrain(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val wf = Tables.documents(s, d)
+      .select(explode(expr("split(trim(text), ' ')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var seq = wf.withColumn("syms", expr("split(w, '')")).localCheckpoint()
+    val merges = (1 to BpeIters).map { i =>
+      val best = seq
+        .select(col("cnt"), explode(expr(
+          "zip_with(slice(syms, 1, size(syms) - 1), " +
+            "slice(syms, 2, size(syms) - 1), (x, y) -> concat(x, '|', y))"))
+          .as("p"))
+        .groupBy(expr("split_part(p, '|', 1)").as("lhs"),
+          expr("split_part(p, '|', 2)").as("rhs"))
+        .agg(sum(col("cnt")).as("pair_n"))
+        .orderBy(col("pair_n").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .localCheckpoint() // feeds BOTH the output row and the merge join
+      seq = seq.crossJoin(broadcast(best.select("lhs", "rhs")))
+        .withColumn("syms", expr(bpeMergeSpark))
+        .select("w", "cnt", "syms")
+        .localCheckpoint()
+      best.select(lit(i.toLong).as("it"), col("lhs"), col("rhs"),
+        col("pair_n"))
+    }
+    (merges, seq)
+  }
+
   val queries: Map[String, Q] = Map(
     "t29_bpe_merges" -> { (s, d) =>
       // BPE tokenizer training (the Sennrich 2016 algorithm) as a
@@ -200,30 +232,27 @@ object TextQueries {
       // 1-row best-pair broadcast per iteration, lineage-cut like the
       // Lloyd/PageRank loops. Output: the learned merge table — the
       // artifact a tokenizer run pins.
-      val wf = Tables.documents(s, d)
-        .select(explode(expr("split(trim(text), ' ')")).as("w"))
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-      var seq = wf.withColumn("syms", expr("split(w, '')")).localCheckpoint()
-      val merges = (1 to BpeIters).map { i =>
-        val best = seq
-          .select(col("cnt"), explode(expr(
-            "zip_with(slice(syms, 1, size(syms) - 1), " +
-              "slice(syms, 2, size(syms) - 1), (x, y) -> concat(x, '|', y))"))
-            .as("p"))
-          .groupBy(expr("split_part(p, '|', 1)").as("lhs"),
-            expr("split_part(p, '|', 2)").as("rhs"))
-          .agg(sum(col("cnt")).as("pair_n"))
-          .orderBy(col("pair_n").desc, col("lhs").asc, col("rhs").asc)
-          .limit(1)
-          .localCheckpoint() // feeds BOTH the output row and the merge join
-        seq = seq.crossJoin(broadcast(best.select("lhs", "rhs")))
-          .withColumn("syms", expr(bpeMergeSpark))
-          .select("w", "cnt", "syms")
-          .localCheckpoint()
-        best.select(lit(i.toLong).as("it"), col("lhs"), col("rhs"),
-          col("pair_n"))
-      }
-      merges.reduce(_ unionByName _).orderBy("it")
+      bpeTrain(s, d)._1.reduce(_ unionByName _).orderBy("it")
+    },
+
+    "t32_bpe_vocab" -> { (s, d) =>
+      // The tokenizer APPLIED (t29 trains once; this is what the
+      // pipeline then runs over every corpus): the learned merges
+      // re-segment the word histogram, and the resulting symbol table —
+      // each surviving symbol with its corpus occurrence count and
+      // length — is the vocab/fertility report context-window budgeting
+      // reads (corpus tokens = Σcount; merged symbols' share = how much
+      // the 6 merges compressed the stream). Same corpus→histogram
+      // split: the only corpus-scale pass is the token count; encoding
+      // touches O(|vocab|) rows and real deployments join the encoded
+      // vocab back to documents by word — never re-fold per document.
+      val seqFinal = bpeTrain(s, d)._2
+      seqFinal.select(col("cnt"), explode(col("syms")).as("symbol"))
+        .groupBy("symbol")
+        .agg(sum(col("cnt")).as("corpus_count"))
+        .withColumn("sym_len", length(col("symbol")).cast("long"))
+        .select(col("symbol"), col("sym_len"), col("corpus_count"))
+        .orderBy(col("corpus_count").desc, col("symbol").asc)
     },
 
     "t30_weighted_sample" -> { (s, d) =>
@@ -1168,6 +1197,18 @@ object TextQueries {
             .map(i => s"SELECT CAST($i AS BIGINT) AS it, lhs, rhs, pair_n FROM b$i")
             .mkString("\nUNION ALL ")}
          |ORDER BY it""".stripMargin,
+
+    "t32_bpe_vocab" ->
+      s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+         |seq0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM wf),
+         |${(1 to BpeIters).map(bpeIterCtes).mkString(",\n")}
+         |SELECT symbol, CAST(length(symbol) AS BIGINT) AS sym_len,
+         |  CAST(SUM(cnt) AS BIGINT) AS corpus_count
+         |FROM (SELECT unnest(syms) AS symbol, cnt FROM seq$BpeIters)
+         |GROUP BY symbol
+         |ORDER BY corpus_count DESC, symbol ASC""".stripMargin,
     "t16_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id, $piiDuckSql AS pii FROM documents)
          |SELECT doc_id,

@@ -659,6 +659,23 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("t32 vocab conserves corpus characters and carries merged symbols") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{expr, sum}
+    val vocab = graft.queries.TextQueries.queries("t32_bpe_vocab")(spark, sfDir)
+      .select("symbol", "sym_len", "corpus_count")
+      .as[(String, Long, Long)].collect()
+    // merging never creates or destroys characters: sym_len-weighted
+    // counts must equal the corpus's total token characters
+    val totalChars = graft.Tables.documents(spark, sfDir)
+      .select(expr("aggregate(split(trim(text), ' '), 0L, (a, t) -> a + length(t))")
+        .as("n")).agg(sum("n")).as[Long].head()
+    assert(vocab.map(v => v._2 * v._3).sum == totalChars)
+    // the learned merges actually show up in the encoded stream
+    assert(vocab.exists(v => v._1.length > 1 && v._3 > 0))
+    vocab.foreach { case (sym, len, _) => assert(len == sym.length) }
+  }
+
   test("t29 merges are valid: positive counts, vocabulary grows, pairs were adjacent") {
     val df = graft.queries.TextQueries.queries("t29_bpe_merges")(spark, sfDir)
       .collect()
