@@ -683,6 +683,36 @@ object RelationalQueries {
           expr("CAST(round(percentile(dur_s, 0.9) * 20) AS BIGINT)").as("p90_s_x20"))
     },
 
+    "q40_extended_stats" -> { (s, d) =>
+      // ANALYZE-style EXTENDED column statistics (t09 profiles single
+      // columns; this is the multi-column step a cost-based optimizer
+      // and a feature-engineering audit both consume): exact correlation
+      // SUFFICIENT STATISTICS (n, Σx, Σy, Σxy, Σx², Σy²) per numeric
+      // column pair, from which corr/cov derive offline — emitting the
+      // sufficient statistics instead of corr keeps every output an
+      // exact BIGINT (no sqrt/doubles), and they MERGE by + (the
+      // per-partition/incremental-refresh state). One corpus scan: stack
+      // expands each row to its 3 pairs executor-side, one
+      // map-side-combined groupBy. Magnitudes: dollar-quantized price
+      // (~1e5) keeps Σx² under 2^63 to ~1e8 rows per stats partition —
+      // at 100 TB this runs per day-partition and merges, which is also
+      // how ANALYZE schedules it.
+      val q = Tables.lineitem(s, d).selectExpr(
+        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(round(l_extendedprice) AS BIGINT) AS price_d",
+        "CAST(round(l_discount * 100) AS BIGINT) AS disc_e2")
+      q.selectExpr(
+        "stack(3, 'qty_price', qty, price_d, 'qty_disc', qty, disc_e2, " +
+          "'price_disc', price_d, disc_e2) AS (pair, x, y)")
+        .groupBy("pair")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+          sum(col("x") * col("y")).as("sum_xy"),
+          sum(col("x") * col("x")).as("sum_x2"),
+          sum(col("y") * col("y")).as("sum_y2"))
+        .orderBy("pair")
+    },
+
     "q29_parts_analysis" -> { (s, d) =>
       // Brand-level revenue over the parts dim (completes coverage of
       // every testdata table). Part is small → broadcast.
@@ -780,6 +810,22 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q40_extended_stats" ->
+      """WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS price_d,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS disc_e2
+        |  FROM lineitem),
+        |pairs AS (
+        |  SELECT 'qty_price' AS pair, qty AS x, price_d AS y FROM q
+        |  UNION ALL SELECT 'qty_disc' AS pair, qty AS x, disc_e2 AS y FROM q
+        |  UNION ALL SELECT 'price_disc' AS pair, price_d AS x, disc_e2 AS y FROM q)
+        |SELECT pair, COUNT(*) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |  CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(SUM(x * x) AS BIGINT) AS sum_x2,
+        |  CAST(SUM(y * y) AS BIGINT) AS sum_y2
+        |FROM pairs GROUP BY pair ORDER BY pair""".stripMargin,
+
     "q34_expectations" ->
       """WITH scan AS (SELECT
         |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
