@@ -698,7 +698,7 @@ object RelationalQueries {
       // at 100 TB this runs per day-partition and merges, which is also
       // how ANALYZE schedules it.
       val q = Tables.lineitem(s, d).selectExpr(
-        "CAST(l_quantity AS BIGINT) AS qty",
+        "CAST(round(l_quantity) AS BIGINT) AS qty",
         "CAST(round(l_extendedprice) AS BIGINT) AS price_d",
         "CAST(round(l_discount * 100) AS BIGINT) AS disc_e2")
       q.selectExpr(
@@ -811,7 +811,7 @@ object RelationalQueries {
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
     "q40_extended_stats" ->
-      """WITH q AS (SELECT CAST(l_quantity AS BIGINT) AS qty,
+      """WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
         |    CAST(round(l_extendedprice) AS BIGINT) AS price_d,
         |    CAST(round(l_discount * 100) AS BIGINT) AS disc_e2
         |  FROM lineitem),
