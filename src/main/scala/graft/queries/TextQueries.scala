@@ -321,9 +321,11 @@ object TextQueries {
       val reps = Tables.documents(s, d).select("doc_id", "lang")
         .join(broadcast(wt), "lang")
         .withColumn("r", expr(
-          "weight_e6 div 1000000 + " +
+          // least(..., 10): the LVIS repeat-factor CAP — a vanishing
+          // domain would otherwise explode to weight-sized fan-out
+          "least(weight_e6 div 1000000 + " +
             "CASE WHEN ((doc_id * 2654435761) % 1000000007) % 1000000 " +
-            "< weight_e6 % 1000000 THEN 1 ELSE 0 END"))
+            "< weight_e6 % 1000000 THEN 1 ELSE 0 END, CAST(10 AS BIGINT))"))
       val epoch = reps.filter(col("r") >= 1)
         .select(col("doc_id"), col("lang"), col("r"),
           explode(expr("sequence(1L, r)")).as("rep"))
@@ -1165,9 +1167,10 @@ object TextQueries {
         |      AS weight_e6
         |  FROM b, t),
         |r AS (SELECT d.doc_id, d.lang,
-        |    weight_e6 // 1000000 +
+        |    least(weight_e6 // 1000000 +
         |      CASE WHEN ((d.doc_id * 2654435761) % 1000000007) % 1000000
-        |           < weight_e6 % 1000000 THEN 1 ELSE 0 END AS r
+        |           < weight_e6 % 1000000 THEN 1 ELSE 0 END,
+        |      CAST(10 AS BIGINT)) AS r
         |  FROM documents d JOIN wt USING (lang))
         |SELECT lang, COUNT(*) AS n_docs, CAST(SUM(r) AS BIGINT) AS n_epoch,
         |  CAST(MIN(r) AS BIGINT) AS min_r, CAST(MAX(r) AS BIGINT) AS max_r

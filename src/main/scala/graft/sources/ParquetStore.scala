@@ -66,6 +66,11 @@ object ParquetStore {
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(s"$path.compact")
     val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    // heal an interrupted swap (the upsertSink rule): if the store is
+    // missing, the aside copy IS the store — a failed heal must abort,
+    // since proceeding would read nothing and then delete the only copy
+    if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+      throw new java.io.IOException(s"compact: cannot heal $old -> $p")
     val bytes = fs.getContentSummary(p).getLength
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(path).repartition(n)

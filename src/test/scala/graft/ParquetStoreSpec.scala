@@ -141,5 +141,13 @@ class ParquetStoreSpec extends SparkSpec {
     assert(got == docs.orderBy("doc_id").collect().toSeq)
     assert(!new java.io.File(dir + ".compact").exists())
     assert(!new java.io.File(dir + ".old").exists())
+    // interrupted-swap injection (the upsertSink discipline): store moved
+    // aside, install never happened — the next compact must heal first
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".old")))
+    val n2 = ParquetStore.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n2 == 1)
+    assert(spark.read.parquet(dir).orderBy("doc_id").collect().toSeq ==
+      docs.orderBy("doc_id").collect().toSeq)
+    assert(!new java.io.File(dir + ".old").exists())
   }
 }
