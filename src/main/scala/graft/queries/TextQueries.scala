@@ -180,16 +180,38 @@ object TextQueries {
       "THEN concat(acc, x) ELSE concat(acc, '|', x) END), '[|]'), " +
       "s -> s <> '')"
 
+  /** The char-symbolized word histogram (w, cnt, syms) — BPE's training
+    * input and encoding target; the one corpus-scale pass.
+    */
+  private[graft] def bpeWords(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(expr("split(trim(text), ' ')")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      .withColumn("syms", expr("split(w, '')"))
+
+  /** t29's SERVING half: apply a PERSISTED merge table (it, lhs, rhs) to
+    * a symbolized word table in learned order — what a tokenizer
+    * deployment runs (train once, persist the merges, encode every
+    * corpus from the store; the merge table is the broadcast-scale model
+    * artifact, exactly like IvfIndex's codebook). Spec proves encoding
+    * from the store equals inline training (BpeSpec).
+    */
+  private[graft] def bpeApply(merges: DataFrame, words: DataFrame,
+      iters: Int): DataFrame =
+    (1 to iters).foldLeft(words) { (seq, i) =>
+      seq.crossJoin(broadcast(
+          merges.filter(col("it") === i).select("lhs", "rhs")))
+        .withColumn("syms", expr(bpeMergeSpark))
+        .select("w", "cnt", "syms")
+    }
+
   /** Shared t29/t32 trainer: the BpeIters pair-merge loop over the word
     * histogram. Returns (per-iteration best-pair rows, final symbolized
     * word table); see t29 for the algorithm notes.
     */
   private def bpeTrain(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
-    val wf = Tables.documents(s, d)
-      .select(explode(expr("split(trim(text), ' ')")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cnt"))
-    var seq = wf.withColumn("syms", expr("split(w, '')")).localCheckpoint()
+    var seq = bpeWords(s, d).localCheckpoint()
     val merges = (1 to BpeIters).map { i =>
       val best = seq
         .select(col("cnt"), explode(expr(

@@ -659,6 +659,29 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("persisted BPE merges encode from the store, equal to inline training") {
+    // the serving-split family (IvfIndex / q36 / q39 / d31) applied to
+    // the tokenizer: train once, persist the merge table, encode reading
+    // ONLY the stored merges — result-identical to the inline-trained
+    // t32 vocab, and the serving plan scans the store
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode, sum}
+    val path = s"/tmp/graft_stores/bpe_spec_${System.nanoTime()}"
+    val q = graft.queries.TextQueries.queries
+    q("t29_bpe_merges")(spark, sfDir).write.mode("overwrite").parquet(path)
+    val enc = graft.queries.TextQueries.bpeApply(
+      spark.read.parquet(path),
+      graft.queries.TextQueries.bpeWords(spark, sfDir), 6)
+    val got = enc.select(col("cnt"), explode(col("syms")).as("symbol"))
+      .groupBy("symbol").agg(sum(col("cnt")).as("c"))
+      .as[(String, Long)].collect().toMap
+    val want = q("t32_bpe_vocab")(spark, sfDir)
+      .select("symbol", "corpus_count").as[(String, Long)].collect().toMap
+    assert(got == want, "store-served encoding must equal inline training")
+    assert(enc.queryExecution.executedPlan.toString.contains(path),
+      "the serving plan must scan the persisted merge table")
+  }
+
   test("t32 vocab conserves corpus characters and carries merged symbols") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{expr, sum}
