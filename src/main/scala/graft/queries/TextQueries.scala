@@ -358,6 +358,34 @@ object TextQueries {
         .orderBy("lang")
     },
 
+    "t33_dataset_card" -> { (s, d) =>
+      // The dataset CARD (Datasheets-for-Datasets / release-notes
+      // rollup — the one-page summary a corpus ships with): doc count,
+      // language count, byte/char mass, token totals, vocabulary size,
+      // exact-duplicate mass (d01's normalized keys), and mean document
+      // length, as one (metric, value) verdict table of exact BIGINTs.
+      // Two corpus passes (doc-level aggregate + token explode), both
+      // map-side combined; the token pass's distinct rides the same
+      // shuffle as its count.
+      val docs = Tables.documents(s, d).localCheckpoint()
+      val docAgg = docs.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_chars")).as("total_chars"),
+        countDistinct(expr(graft.operators.Dedup.normKeySql)).as("n_uniq"))
+      val tokAgg = docs
+        .select(explode(expr("split(trim(text), ' ')")).as("tok"))
+        .agg(count(lit(1)).as("total_tokens"),
+          countDistinct(col("tok")).as("vocab_size"))
+      docAgg.crossJoin(tokAgg).selectExpr(
+        "stack(7, 'n_docs', n_docs, 'n_langs', n_langs, " +
+          "'total_chars', total_chars, 'total_tokens', total_tokens, " +
+          "'vocab_size', vocab_size, " +
+          "'exact_dup_docs', n_docs - n_uniq, " +
+          "'mean_doc_chars', total_chars div n_docs) AS (metric, value)")
+        .orderBy("metric")
+    },
+
     "t16_pii_scrub" -> { (s, d) =>
       // PII redaction (training-data hygiene): count and replace emails /
       // phones / IPs with typed placeholder tokens. Pure per-row codegen'd
@@ -1180,6 +1208,25 @@ object TextQueries {
        |  FROM seq${i - 1}, b$i)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t33_dataset_card" ->
+      s"""WITH d AS (SELECT COUNT(*) AS n_docs,
+         |    COUNT(DISTINCT lang) AS n_langs,
+         |    CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |    COUNT(DISTINCT ${graft.operators.Dedup.normKeyOracleSql}) AS n_uniq
+         |  FROM documents),
+         |t AS (SELECT COUNT(*) AS total_tokens, COUNT(DISTINCT tok) AS vocab_size
+         |  FROM (SELECT unnest(string_split(trim(text), ' ')) AS tok
+         |        FROM documents))
+         |SELECT metric, value FROM (
+         |  SELECT 'n_docs' AS metric, n_docs AS value FROM d
+         |  UNION ALL SELECT 'n_langs', n_langs FROM d
+         |  UNION ALL SELECT 'total_chars', total_chars FROM d
+         |  UNION ALL SELECT 'total_tokens', total_tokens FROM t
+         |  UNION ALL SELECT 'vocab_size', vocab_size FROM t
+         |  UNION ALL SELECT 'exact_dup_docs', n_docs - n_uniq FROM d
+         |  UNION ALL SELECT 'mean_doc_chars', total_chars // n_docs FROM d)
+         |ORDER BY metric""".stripMargin,
+
     "t31_repeat_factor" ->
       """WITH b AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
