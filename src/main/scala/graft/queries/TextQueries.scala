@@ -365,9 +365,11 @@ object TextQueries {
       // exact-duplicate mass (d01's normalized keys), and mean document
       // length, as one (metric, value) verdict table of exact BIGINTs.
       // Two corpus passes (doc-level aggregate + token explode), both
-      // map-side combined; the token pass's distinct rides the same
-      // shuffle as its count.
-      val docs = Tables.documents(s, d).localCheckpoint()
+      // map-side combined — deliberately two SCANS, not a checkpoint:
+      // at 100 TB re-reading the store twice is the honest shape,
+      // materializing the corpus is not (the checkpoint doctrine is for
+      // small/mid shared subtrees).
+      val docs = Tables.documents(s, d)
       val docAgg = docs.agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("lang")).as("n_langs"),
