@@ -252,27 +252,39 @@ object DedupQueries {
       // sorted-merge walk; estimate arithmetic is pure integers
       // (matches·10000 div K), exact ratio is int/int IEEE division —
       // both engine-portable.
-      graft.plans.GraftFunctions.register(s)
-      val docs = Tables.documents(s, d)
-      val pairs = Dedup.minHashLshPairs(docs, K, Bands)
-      val sig = Dedup.minHashSignatures(docs, K)
-      val sh = docs.select(col("doc_id"),
-        expr("graft_shingles3(text)").as("sh"))
-      val est = (0 until K)
-        .map(i => s"(CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
-      pairs
-        .join(sig.as("xa"), col("a") === col("xa.doc_id"))
-        .join(sig.as("xb"), col("b") === col("xb.doc_id"))
-        .withColumn("est_e4", expr(s"CAST(($est) * 10000 div $K AS BIGINT)"))
-        .join(sh.as("sa"), col("a") === col("sa.doc_id"))
-        .join(sh.as("sb"), col("b") === col("sb.doc_id"))
-        .withColumn("inter", expr("graft_isect_sorted_i64(sa.sh, sb.sh)"))
-        .withColumn("j4_e4", expr("CAST(round(inter * 10000.0 / " +
-          "(size(sa.sh) + size(sb.sh) - inter)) AS BIGINT)"))
+      calibPairs(s, d)
         .select(col("a"), col("b"), col("est_e4"), col("j4_e4"),
           expr("abs(est_e4 - j4_e4)").as("err_e4"))
         .orderBy("a", "b")
+    },
+
+    "d33_threshold_sweep" -> { (s, d) =>
+      // The LSH threshold OPERATING-CHARACTERISTIC curve in one query
+      // (how a pipeline actually picks its dedup threshold — the dedup
+      // twin of d30's nprobe sweep): d18's per-candidate (estimate,
+      // exact) table, swept over 4 thresholds, each arm reporting kept /
+      // true / true-positive counts and integer precision/recall of the
+      // ESTIMATOR as a keep-decision against the exact Jaccard ground
+      // truth restricted to candidates. The pair table computes ONCE;
+      // each pair explodes only to the 4 threshold arms (broadcast);
+      // guard rows with no kept/true pairs emit -1 — no 0/0.
+      val tdf = s.createDataFrame(
+        Seq(5000L, 7000L, 8000L, 9000L).map(Tuple1(_))).toDF("t_e4")
+      calibPairs(s, d)
+        .crossJoin(broadcast(tdf))
+        .groupBy("t_e4")
+        .agg(count(lit(1)).as("n_cand"),
+          sum(when(col("est_e4") >= col("t_e4"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("j4_e4") >= col("t_e4"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("est_e4") >= col("t_e4") && col("j4_e4") >= col("t_e4"),
+            1L).otherwise(0L)).as("n_tp"))
+        .withColumn("precision_e4", expr(
+          "CASE WHEN n_kept = 0 THEN CAST(-1 AS BIGINT) " +
+            "ELSE n_tp * 10000 div n_kept END"))
+        .withColumn("recall_e4", expr(
+          "CASE WHEN n_true = 0 THEN CAST(-1 AS BIGINT) " +
+            "ELSE n_tp * 10000 div n_true END"))
+        .orderBy("t_e4")
     },
 
     "d04_simhash" -> { (s, d) =>
@@ -331,6 +343,61 @@ object DedupQueries {
        |  ON x.band = y.band AND x.sig = y.sig AND x.doc_id < y.doc_id)""".stripMargin
 
   private lazy val lshPairsCtes: String = lshPairsCtesFor("documents")
+
+  /** d18/d33's shared pairtab CTE chain (appended after [[lshPairsCtes]],
+    * whose `mh`/`sh` tables it reads): every candidate pair with its
+    * MinHash estimate and exact shingle Jaccard.
+    */
+  private lazy val calibPairCtes: String = {
+    val est = (0 until K)
+      .map(i => s"(CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""est AS (SELECT p.a, p.b,
+       |    CAST(($est) * 10000 // $K AS BIGINT) AS est_e4
+       |  FROM lsh_pairs p JOIN mh xa ON xa.doc_id = p.a
+       |  JOIN mh xb ON xb.doc_id = p.b),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT p.a, p.b, COUNT(*) AS inter
+       |  FROM lsh_pairs p
+       |  JOIN sh s1 ON s1.doc_id = p.a
+       |  JOIN sh s2 ON s2.doc_id = p.b AND s2.code = s1.code
+       |  GROUP BY p.a, p.b),
+       |ex AS (SELECT p.a, p.b,
+       |    CAST(round(COALESCE(i.inter, 0) * 10000.0 /
+       |      (na.n + nb.n - COALESCE(i.inter, 0))) AS BIGINT) AS j4_e4
+       |  FROM lsh_pairs p
+       |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+       |  JOIN sizes na ON na.doc_id = p.a
+       |  JOIN sizes nb ON nb.doc_id = p.b),
+       |pairtab AS (SELECT e.a, e.b, est_e4, j4_e4
+       |  FROM est e JOIN ex ON ex.a = e.a AND ex.b = e.b)""".stripMargin
+  }
+
+  /** d18/d33's shared per-candidate table (a, b, est_e4, j4_e4): every
+    * d03 candidate pair with its MinHash Jaccard estimate and exact
+    * shingle Jaccard (codegen sorted-merge intersect, candidates only).
+    */
+  private def calibPairs(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val pairs = Dedup.minHashLshPairs(docs, K, Bands)
+    val sig = Dedup.minHashSignatures(docs, K)
+    val sh = docs.select(col("doc_id"),
+      expr("graft_shingles3(text)").as("sh"))
+    val est = (0 until K)
+      .map(i => s"(CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    pairs
+      .join(sig.as("xa"), col("a") === col("xa.doc_id"))
+      .join(sig.as("xb"), col("b") === col("xb.doc_id"))
+      .withColumn("est_e4", expr(s"CAST(($est) * 10000 div $K AS BIGINT)"))
+      .join(sh.as("sa"), col("a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("b") === col("sb.doc_id"))
+      .withColumn("inter", expr("graft_isect_sorted_i64(sa.sh, sb.sh)"))
+      .withColumn("j4_e4", expr("CAST(round(inter * 10000.0 / " +
+        "(size(sa.sh) + size(sb.sh) - inter)) AS BIGINT)"))
+      .select(col("a"), col("b"), col("est_e4"), col("j4_e4"))
+  }
 
   private val simhashSums: String = (0 until 32)
     .map(b => s"SUM(CASE WHEN ${hashSql(b, "code")} % 2 = 1 THEN 1 ELSE -1 END) AS s$b")
@@ -502,32 +569,30 @@ object DedupQueries {
          |  cluster_size
          |FROM rk WHERE rn = 1 ORDER BY rep_id""".stripMargin,
 
-    "d18_minhash_calibration" -> {
-      val est = (0 until K)
-        .map(i => s"(CASE WHEN xa.h$i = xb.h$i THEN 1 ELSE 0 END)")
-        .mkString(" + ")
+    "d18_minhash_calibration" ->
       s"""WITH $lshPairsCtes,
-         |est AS (SELECT p.a, p.b,
-         |    CAST(($est) * 10000 // $K AS BIGINT) AS est_e4
-         |  FROM lsh_pairs p JOIN mh xa ON xa.doc_id = p.a
-         |  JOIN mh xb ON xb.doc_id = p.b),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
-         |inter AS (SELECT p.a, p.b, COUNT(*) AS inter
-         |  FROM lsh_pairs p
-         |  JOIN sh s1 ON s1.doc_id = p.a
-         |  JOIN sh s2 ON s2.doc_id = p.b AND s2.code = s1.code
-         |  GROUP BY p.a, p.b),
-         |ex AS (SELECT p.a, p.b,
-         |    CAST(round(COALESCE(i.inter, 0) * 10000.0 /
-         |      (na.n + nb.n - COALESCE(i.inter, 0))) AS BIGINT) AS j4_e4
-         |  FROM lsh_pairs p
-         |  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
-         |  JOIN sizes na ON na.doc_id = p.a
-         |  JOIN sizes nb ON nb.doc_id = p.b)
-         |SELECT e.a, e.b, est_e4, j4_e4, abs(est_e4 - j4_e4) AS err_e4
-         |FROM est e JOIN ex ON ex.a = e.a AND ex.b = e.b
-         |ORDER BY e.a, e.b""".stripMargin
-    },
+         |$calibPairCtes
+         |SELECT a, b, est_e4, j4_e4, abs(est_e4 - j4_e4) AS err_e4
+         |FROM pairtab ORDER BY a, b""".stripMargin,
+
+    "d33_threshold_sweep" ->
+      s"""WITH $lshPairsCtes,
+         |$calibPairCtes,
+         |th AS (SELECT CAST(unnest([5000, 7000, 8000, 9000]) AS BIGINT) AS t_e4),
+         |agg AS (SELECT t_e4, COUNT(*) AS n_cand,
+         |    CAST(SUM(CASE WHEN est_e4 >= t_e4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_kept,
+         |    CAST(SUM(CASE WHEN j4_e4 >= t_e4 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_true,
+         |    CAST(SUM(CASE WHEN est_e4 >= t_e4 AND j4_e4 >= t_e4
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_tp
+         |  FROM pairtab, th GROUP BY t_e4)
+         |SELECT t_e4, n_cand, n_kept, n_true, n_tp,
+         |  CASE WHEN n_kept = 0 THEN CAST(-1 AS BIGINT)
+         |       ELSE n_tp * 10000 // n_kept END AS precision_e4,
+         |  CASE WHEN n_true = 0 THEN CAST(-1 AS BIGINT)
+         |       ELSE n_tp * 10000 // n_true END AS recall_e4
+         |FROM agg ORDER BY t_e4""".stripMargin,
 
     "d04_simhash" ->
       s"""WITH tok AS (SELECT doc_id, n_chars,
