@@ -145,6 +145,33 @@ object SimilaritySearch {
       .select(col("query_id"), col("cand_id"), col("dot"), col("rn"))
   }
 
+  /** [[ivfTopK]] served from PRE-ASSIGNED postings (cent_id, cand_id, q)
+    * — the candidate-assignment pass already ran at index build/append
+    * time (d34's persisted store), so serving is probe selection +
+    * per-list scoring + top-k only: the corpus-sized argmin never
+    * re-runs per query batch.
+    */
+  def ivfTopKAssigned(queries: DataFrame, postings: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    graft.plans.GraftFunctions.register(queries.sparkSession)
+    val cents = broadcast(centroids.select(
+      col("vec_id").as("cent_id"), col("q").as("cq"),
+      expr(dotSql("q", "q")).as("cn")))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("dist").asc, col("cent_id").asc)
+    val probes = queries.crossJoin(cents)
+      .withColumn("dist",
+        expr(dotSql("q", "q")) + col("cn") - lit(2L) * expr(dotSql("q", "cq")))
+      .withColumn("pr", row_number().over(w))
+      .filter(col("pr") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cent_id"))
+    val scored = postings.join(broadcast(probes), "cent_id")
+      .withColumn("dot", expr(dotSql("qq", "q")))
+      .select(col("query_id"), col("cand_id"), col("dot"))
+    TopK.perKey(scored, Seq("query_id"), "dot", "cand_id", k)
+      .select(col("query_id"), col("cand_id"), col("dot"), col("rn"))
+  }
+
   /** Brute-force exact top-k: every query row scored against every
     * candidate row (queries broadcast), ranked per query.
     * Inputs need columns (vec_id, q: array<bigint>).

@@ -263,6 +263,38 @@ object JaneQueries {
         .orderBy("group_id", "version")
     },
 
+    "j37_time_travel" -> { (s, d) =>
+      // Point-in-time snapshot + changelog diff — "what did the index
+      // look like at T, and what changed between T1 and T2" (Jane's
+      // versioned store read at a past instant; the question every
+      // incremental downstream consumer asks). Version slots are derived
+      // sparse (8 slots per group, ~1/3 survive by hash — re-uploads are
+      // irregular), version order IS ingest order, so snapshot-at-T =
+      // latest-wins over `version <= T`. Scale shape: the T cutoff is a
+      // SCAN predicate (partition pruning in a day-partitioned store —
+      // time travel reads history <= T, never the full store), and BOTH
+      // snapshots plus the diff ride ONE map-side-combinable max_by
+      // aggregate (FILTER clauses) — one shuffle, no windows, no
+      // self-join of two snapshot subplans.
+      Tables.documents(s, d)
+        .filter(expr("((doc_id * 2654435761) % 1000000007) % 3 = 0"))
+        .select(col("doc_id"), expr("doc_id div 8").as("group_id"),
+          expr("doc_id % 8").as("version"))
+        .groupBy("group_id")
+        .agg(
+          expr("max_by(doc_id, version) FILTER (WHERE version <= 3)")
+            .as("doc_t1"),
+          expr("max(version) FILTER (WHERE version <= 3)").as("v_t1"),
+          expr("max_by(doc_id, version)").as("doc_t2"),
+          expr("max(version)").as("v_t2"))
+        .withColumn("change", expr(
+          "CASE WHEN v_t1 IS NULL THEN 'created' " +
+            "WHEN v_t1 = v_t2 THEN 'same' ELSE 'updated' END"))
+        .select(col("group_id"), col("doc_t1"), col("v_t1"), col("doc_t2"),
+          col("v_t2"), col("change"))
+        .orderBy("group_id")
+    },
+
     "j09_pagination" -> { (s, d) =>
       DocumentStore.page(Tables.documents(s, d),
         Seq(col("n_chars").desc, col("doc_id").asc), offset = 20, limit = 10)
@@ -696,6 +728,23 @@ object JaneQueries {
         |                           ORDER BY doc_id % 5 DESC) AS rn
         |      FROM documents)
         |WHERE rn = 1 ORDER BY group_id""".stripMargin,
+
+    "j37_time_travel" ->
+      """WITH v AS (SELECT doc_id, doc_id // 8 AS group_id,
+        |    doc_id % 8 AS version
+        |  FROM documents
+        |  WHERE ((doc_id * 2654435761) % 1000000007) % 3 = 0)
+        |SELECT group_id,
+        |  arg_max(doc_id, version) FILTER (WHERE version <= 3) AS doc_t1,
+        |  max(version) FILTER (WHERE version <= 3) AS v_t1,
+        |  arg_max(doc_id, version) AS doc_t2,
+        |  max(version) AS v_t2,
+        |  CASE WHEN max(version) FILTER (WHERE version <= 3) IS NULL
+        |         THEN 'created'
+        |       WHEN max(version) FILTER (WHERE version <= 3) = max(version)
+        |         THEN 'same'
+        |       ELSE 'updated' END AS change
+        |FROM v GROUP BY group_id ORDER BY group_id""".stripMargin,
 
     "j36_version_history" ->
       """SELECT group_id, doc_id, version,

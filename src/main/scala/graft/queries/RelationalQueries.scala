@@ -146,6 +146,29 @@ object RelationalQueries {
       .select(col("user_id"), col("est"))
   }
 
+  /** q41's mergeable MV partials: per (month, status) count + revenue
+    * cents — sufficient stats closed under +, so any date-slice of orders
+    * aggregates independently and merges by sum.
+    */
+  private[graft] def mvPartials(orders: DataFrame): DataFrame =
+    orders
+      .withColumn("mon", expr("CAST(date_trunc('MONTH', o_orderdate) AS DATE)"))
+      .groupBy("mon", "o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(cents(col("o_totalprice"))).as("rev_cents"))
+
+  /** q41's refresh: stored MV partials + delta partials, merged by sum —
+    * O(store + delta), no history scan (spec-asserted).
+    */
+  private[graft] def mvRefresh(s: SparkSession, storePath: String,
+      delta: DataFrame): DataFrame =
+    s.read.parquet(storePath)
+      .unionByName(mvPartials(delta))
+      .groupBy("mon", "o_orderstatus")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev_cents")).as("rev_cents"))
+      .withColumn("avg_cents", expr("rev_cents div n_orders"))
+
   val queries: Map[String, Q] = Map(
     "q01_pricing_summary" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -486,6 +509,30 @@ object RelationalQueries {
       skewJoinAgg(s, d, salted = false)
     },
 
+    "q41_mv_refresh" -> { (s, d) =>
+      // Incremental materialized-view maintenance — the aggregate twin of
+      // the serving-split family (CMS q36 / HLL q39 / bands d31): a
+      // monthly revenue rollup is built ONCE over closed history
+      // (o_orderdate < 2001-01-15), persisted as the ~240-row MV store,
+      // and the nightly refresh aggregates ONLY the open delta partition
+      // and merges partials by + — count/sum are mergeable sufficient
+      // stats (q40's doctrine), so refresh cost is O(delta), never a
+      // history rescan. The cutoff deliberately lands MID-month so the
+      // 2001-01 groups exist on BOTH sides and the hash check proves the
+      // merge itself, not just disjoint concatenation. Both filters are
+      // scan predicates (partition pruning in a date-partitioned store);
+      // the merged MV equals the full recompute — exactly what the
+      // DuckDB oracle computes. PlanShapeSpec asserts the refresh
+      // subplan reads the store + the pushed-filter delta only.
+      val path = s"/tmp/graft_stores/mv_${new java.io.File(d).getName}"
+      mvPartials(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2001-01-15")))
+        .write.mode("overwrite").parquet(path)
+      mvRefresh(s, path,
+        Tables.orders(s, d).filter(col("o_orderdate") >= lit("2001-01-15")))
+        .orderBy("mon", "o_orderstatus")
+    },
+
     "q36_cms_serve" -> { (s, d) =>
       // CMS SERVING split (r6 verdict item): q32/q33 build counters and
       // audit them against the exact per-key scan in one query — the EVAL
@@ -810,6 +857,16 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q41_mv_refresh" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS rev_cents,
+        |  CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    // COUNT(*) AS avg_cents
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY mon, o_orderstatus""".stripMargin,
+
     "q40_extended_stats" ->
       """WITH q AS (SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
         |    CAST(round(l_extendedprice) AS BIGINT) AS price_d,

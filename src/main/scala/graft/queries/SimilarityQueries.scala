@@ -670,6 +670,45 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // IVF index DELTA APPEND — the index-maintenance op every serving
+    // deployment runs between retrains: the codebook trained on CLOSED
+    // history is persisted once (IvfIndex.save), each day's new vectors
+    // are assigned against the LOADED codebook (one broadcast argmin
+    // pass over the delta only — no Lloyd job anywhere after the build)
+    // and appended to the postings store, and queries probe the merged
+    // postings through ivfTopKAssigned, which skips the corpus
+    // assignment stage entirely. Assignment is per-vector deterministic,
+    // so append-then-serve equals assign-everything-then-serve — exactly
+    // the identity the oracle (d10's CTEs with history-only training +
+    // full assignment) hash-checks; KMeansSpec asserts the operator
+    // identity and that the serving plan runs no training.
+    "d34_ivf_append" -> { (s, d) =>
+      val sfName = new java.io.File(d).getName
+      val cbPath = s"/tmp/graft_stores/ivfapp_cb_$sfName"
+      val postPath = s"/tmp/graft_stores/ivfapp_post_$sfName"
+      val e = quantized(s, d)
+      val hist = e.filter(col("vec_id") >= 20 && expr("vec_id % 10 <> 9"))
+      val delta = e.filter(col("vec_id") >= 20 && expr("vec_id % 10 = 9"))
+      // nightly build: train on history, persist codebook + postings
+      val codebook = graft.operators.KMeans
+        .fitQuantizedSampled(hist, TargetClusterSize, SamplePct, IvfIters)
+      graft.operators.IvfIndex.save(codebook, cbPath)
+      graft.operators.KMeans.assignQuantized(hist, codebook)
+        .select(col("cent_id"), col("vec_id").as("cand_id"), col("q"))
+        .write.mode("overwrite").parquet(postPath)
+      // serving: load the store, assign ONLY the delta, append, probe
+      val cb = graft.operators.IvfIndex.load(s, cbPath)
+      val deltaPost = graft.operators.KMeans.assignQuantized(delta, cb)
+        .select(col("cent_id"), col("vec_id").as("cand_id"), col("q"))
+      val posts = s.read.parquet(postPath).unionByName(deltaPost)
+      SimilaritySearch.ivfTopKAssigned(
+        queries = e.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+        postings = posts,
+        centroids = cb.select(col("cent_id").as("vec_id"), col("cq").as("q")),
+        nprobe = 2, k = K)
+        .orderBy("query_id", "rn")
+    },
+
     // Chunk-embedding mean pooling: consecutive chunk vectors (groups of
     // 4 by vec_id) pool to one document vector — the standard reduce step
     // between chunk-level encoding and document-level retrieval. Shape:
@@ -1269,6 +1308,33 @@ object SimilarityQueries {
          |      row_number() OVER (PARTITION BY c.vec_id
          |        ORDER BY ${distDuck("c.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
          |    FROM cand c CROSS JOIN cents ct) WHERE pr = 1),
+         |qs AS (SELECT vec_id, q FROM e WHERE vec_id >= 10 AND vec_id < 20),
+         |qp AS (SELECT query_id, qq, cent_id FROM (
+         |    SELECT s.vec_id AS query_id, s.q AS qq, ct.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${distDuck("s.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ct) WHERE pr <= 2),
+         |scored AS (SELECT qp.query_id, ca.cand_id, ${dotDuck("qp.qq", "ca.q")} AS dot
+         |  FROM ca JOIN qp USING (cent_id)),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
+         |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
+         |ORDER BY query_id, rn""".stripMargin
+    },
+
+    // d10's CTEs with history-only training + FULL assignment: the
+    // append-then-serve == assign-everything identity in one SQL
+    "d34_ivf_append" -> {
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |cand AS (SELECT vec_id, q FROM e
+         |  WHERE vec_id >= 20 AND vec_id % 10 <> 9),
+         |$trainedCentsCtes,
+         |allc AS (SELECT vec_id, q FROM e WHERE vec_id >= 20),
+         |ca AS (SELECT cand_id, q, cent_id FROM (
+         |    SELECT c.vec_id AS cand_id, c.q, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuck("c.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM allc c CROSS JOIN cents ct) WHERE pr = 1),
          |qs AS (SELECT vec_id, q FROM e WHERE vec_id >= 10 AND vec_id < 20),
          |qp AS (SELECT query_id, qq, cent_id FROM (
          |    SELECT s.vec_id AS query_id, s.q AS qq, ct.cent_id,

@@ -277,6 +277,32 @@ object TextQueries {
         .orderBy(col("corpus_count").desc, col("symbol").asc)
     },
 
+    "t35_tokenizer_fertility" -> { (s, d) =>
+      // Tokenizer FERTILITY per language — the eval that decides vocab
+      // allocation in multilingual training (a language whose words
+      // fragment into many symbols pays more context budget per word;
+      // fertility = symbols/word, compression = chars/symbol). Encoding
+      // rides the t29/t32 split: the trained segmentation lives on the
+      // O(|vocab|) word histogram, so per-lang accounting is one corpus
+      // word pass joined to the broadcast word→n_syms table — never a
+      // per-document re-fold.
+      val enc = bpeTrain(s, d)._2
+        .select(col("w"), expr("CAST(size(syms) AS BIGINT)").as("n_syms"))
+        .localCheckpoint() // O(|vocab|) rows
+      Tables.documents(s, d)
+        .select(col("lang"), explode(expr("split(trim(text), ' ')")).as("w"))
+        .join(broadcast(enc), "w")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_syms")).as("total_syms"),
+          sum(length(col("w")).cast("long")).as("total_chars"))
+        .withColumn("fertility_e4", expr(
+          "CAST(round(total_syms * 10000.0 / n_words) AS BIGINT)"))
+        .withColumn("compression_e4", expr(
+          "CAST(round(total_chars * 10000.0 / total_syms) AS BIGINT)"))
+        .orderBy("lang")
+    },
+
     "t30_weighted_sample" -> { (s, d) =>
       // Systematic weighted sampling (importance sampling for data
       // mixing): every document gets probability proportional to its
@@ -386,6 +412,48 @@ object TextQueries {
           "'exact_dup_docs', n_docs - n_uniq, " +
           "'mean_doc_chars', total_chars div n_docs) AS (metric, value)")
         .orderBy("metric")
+    },
+
+    "t34_dsir_select" -> { (s, d) =>
+      // DSIR data selection (Xie et al. 2023): importance-weight every
+      // document by how much its hashed n-gram features look like a
+      // TARGET distribution vs the RAW corpus — the published method for
+      // steering a 100 TB crawl toward a quality domain without a neural
+      // scorer. Features are unigram Horner codes folded into 256
+      // buckets (the q33 token-code discipline); target = the 'en'
+      // slice. Per-bucket log-likelihood ratios (+1 smoothing) are
+      // computed once on the 256-row table and quantized to e6 BEFORE
+      // the per-doc sum (t20's order-independent integer-SUM doctrine).
+      // Shape: ONE corpus token pass builds raw and target counts
+      // together (FILTER aggregate — not two scans), the 256-row llr
+      // table broadcasts back, one doc-keyed map-side-combined sum; at
+      // scale this is two token passes and zero wide shuffles.
+      val P = 2147483647L
+      val codeSql = "aggregate(transform(split(tok, ''), " +
+        "c -> CAST(ascii(c) AS BIGINT)), CAST(0 AS BIGINT), " +
+        s"(acc, c) -> (c + 31 * acc) % $P)"
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("split(trim(text), ' ')")).as("tok"))
+        .withColumn("b", expr(s"($codeSql) % 256"))
+      val freq = toks.groupBy("b").agg(
+        count(lit(1)).as("r_f"),
+        expr("count(1) FILTER (WHERE lang = 'en')").as("t_f"))
+      val tot = freq.agg(sum(col("r_f")).as("r_tot"),
+        sum(col("t_f")).as("t_tot"))
+      val llr = freq.crossJoin(broadcast(tot))
+        .withColumn("llr_e6", expr(
+          "CAST(round((ln((t_f + 1.0) / (t_tot + 256.0)) - " +
+            "ln((r_f + 1.0) / (r_tot + 256.0))) * 1000000) AS BIGINT)"))
+        .select("b", "llr_e6")
+        .localCheckpoint() // ≤256 rows; stops the token-pass re-execution
+      toks.join(broadcast(llr), "b")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tok"), sum(col("llr_e6")).as("score_e6"))
+        .withColumn("avg_llr_e4", expr(
+          "CAST(round(score_e6 / (n_tok * 100.0)) AS BIGINT)"))
+        .withColumn("keep", col("score_e6") > 0)
+        .orderBy("doc_id")
     },
 
     "t16_pii_scrub" -> { (s, d) =>
@@ -1229,6 +1297,26 @@ object TextQueries {
          |  UNION ALL SELECT 'mean_doc_chars', total_chars // n_docs FROM d)
          |ORDER BY metric""".stripMargin,
 
+    "t35_tokenizer_fertility" ->
+      s"""WITH toks AS (SELECT unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents),
+         |wf AS (SELECT w, COUNT(*) AS cnt FROM toks GROUP BY w),
+         |seq0 AS (SELECT w, cnt, string_split(w, '') AS syms FROM wf),
+         |${(1 to BpeIters).map(bpeIterCtes).mkString(",\n")},
+         |enc AS (SELECT w, CAST(len(syms) AS BIGINT) AS n_syms
+         |  FROM seq$BpeIters),
+         |cw AS (SELECT lang, unnest(string_split(trim(text), ' ')) AS w
+         |  FROM documents)
+         |SELECT lang, COUNT(*) AS n_words,
+         |  CAST(SUM(n_syms) AS BIGINT) AS total_syms,
+         |  CAST(SUM(length(w)) AS BIGINT) AS total_chars,
+         |  CAST(round(CAST(SUM(n_syms) AS BIGINT) * 10000.0 / COUNT(*))
+         |    AS BIGINT) AS fertility_e4,
+         |  CAST(round(CAST(SUM(length(w)) AS BIGINT) * 10000.0 /
+         |    CAST(SUM(n_syms) AS BIGINT)) AS BIGINT) AS compression_e4
+         |FROM cw JOIN enc USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+
     "t31_repeat_factor" ->
       """WITH b AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
         |t AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
@@ -1283,6 +1371,32 @@ object TextQueries {
          |FROM (SELECT unnest(syms) AS symbol, cnt FROM seq$BpeIters)
          |GROUP BY symbol
          |ORDER BY corpus_count DESC, symbol ASC""".stripMargin,
+    "t34_dsir_select" -> {
+      val codeDuck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+        "(a, b) -> (b + 31 * a) % 2147483647)"
+      s"""WITH t0 AS (SELECT doc_id, lang,
+         |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         |toks AS (SELECT doc_id, lang, ($codeDuck) % 256 AS b FROM t0),
+         |freq AS (SELECT b, COUNT(*) AS r_f,
+         |    COUNT(*) FILTER (WHERE lang = 'en') AS t_f
+         |  FROM toks GROUP BY b),
+         |tot AS (SELECT CAST(SUM(r_f) AS BIGINT) AS r_tot,
+         |    CAST(SUM(t_f) AS BIGINT) AS t_tot FROM freq),
+         |llr AS (SELECT b,
+         |    CAST(round((ln((t_f + 1.0) / (t_tot + 256.0)) -
+         |      ln((r_f + 1.0) / (r_tot + 256.0))) * 1000000) AS BIGINT)
+         |      AS llr_e6
+         |  FROM freq, tot)
+         |SELECT doc_id, lang, COUNT(*) AS n_tok,
+         |  CAST(SUM(llr_e6) AS BIGINT) AS score_e6,
+         |  CAST(round(CAST(SUM(llr_e6) AS BIGINT) / (COUNT(*) * 100.0))
+         |    AS BIGINT) AS avg_llr_e4,
+         |  CAST(SUM(llr_e6) AS BIGINT) > 0 AS keep
+         |FROM toks JOIN llr USING (b)
+         |GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin
+    },
+
     "t16_pii_scrub" ->
       s"""WITH p AS (SELECT doc_id, $piiDuckSql AS pii FROM documents)
          |SELECT doc_id,

@@ -272,6 +272,51 @@ object EventStreams {
       }
       .start()
 
+  /** Streaming materialized-view maintenance — q41's refresh as a
+    * continuous sink: every micro-batch is reduced to mergeable partials
+    * by `partials` (count/sum sufficient stats — any slice aggregates
+    * independently) and merged into the persisted MV by summing every
+    * non-key column, so refresh cost is O(|MV| + batch) with no history
+    * rescan and NO per-key streaming state (the MV itself is the state).
+    * Durability follows [[upsertSink]] exactly: explicit existence check
+    * (read errors fail the batch and retry via checkpoint), rename-aside
+    * swap with start-of-batch healing — a replayed batch re-merges
+    * against the pre-swap store, so the publish is all-or-nothing.
+    */
+  def mvRefreshSink(spark: SparkSession, stream: DataFrame, path: String,
+      checkpoint: String, partials: DataFrame => DataFrame,
+      mergeKeys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val p = new org.apache.hadoop.fs.Path(path)
+        val tmp = new org.apache.hadoop.fs.Path(s"$path.tmp")
+        val old = new org.apache.hadoop.fs.Path(s"$path.old")
+        if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
+          throw new java.io.IOException(s"mvRefreshSink: cannot heal $old -> $p")
+        val delta = partials(batch)
+        val merged =
+          if (fs.exists(p)) {
+            val existing = spark.read.parquet(path)
+            val valueCols = delta.columns.filterNot(mergeKeys.contains)
+            existing.unionByName(delta)
+              .groupBy(mergeKeys.map(col): _*)
+              .agg(sum(col(valueCols.head)).as(valueCols.head),
+                valueCols.tail.map(c => sum(col(c)).as(c)): _*)
+          } else delta
+        merged.write.mode("overwrite").parquet(s"$path.tmp")
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(p) && !fs.rename(p, old))
+          throw new java.io.IOException(s"mvRefreshSink: cannot move $path aside")
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"mvRefreshSink: cannot publish $tmp")
+        fs.delete(old, true)
+        ()
+      }
+      .start()
+
   /** Custom keyed state via mapGroupsWithState: running per-user event and
     * value totals that survive across micro-batches (Jane: per-station
     * ingest counters). State is one tiny struct per user — bounded by key

@@ -117,6 +117,46 @@ class KMeansSpec extends SparkSpec {
     assert(rows(servedTop) == rows(IvfIndex.topK(qs, cand, codebook, 2, 3)))
   }
 
+  test("delta append: stored postings + assigned delta serve equal to full assignment, training-free") {
+    // d34's identity: assignment is per-vector deterministic, so
+    // append-then-serve == assign-everything-then-serve, and the serving
+    // plan runs no training job (no hash-sample filter) and reads the
+    // postings STORE rather than re-assigning history.
+    import graft.operators.IvfIndex
+    val all = Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(SimilaritySearch.quantizeSql("embedding")))
+      .select(col("vec_id"), col("q"))
+    val hist = all.filter(col("vec_id") >= 20 && expr("vec_id % 10 <> 9"))
+    val delta = all.filter(col("vec_id") >= 20 && expr("vec_id % 10 = 9"))
+    val qs = all.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+    val codebook = KMeans.fitQuantizedSampled(hist, 16, 40, 2)
+    val cbPath = s"/tmp/graft_stores/ivfapp_cb_spec_${System.nanoTime()}"
+    val postPath = s"/tmp/graft_stores/ivfapp_post_spec_${System.nanoTime()}"
+    IvfIndex.save(codebook, cbPath)
+    KMeans.assignQuantized(hist, codebook)
+      .select(col("cent_id"), col("vec_id").as("cand_id"), col("q"))
+      .write.mode("overwrite").parquet(postPath)
+
+    val cb = IvfIndex.load(spark, cbPath)
+    val posts = spark.read.parquet(postPath).unionByName(
+      KMeans.assignQuantized(delta, cb)
+        .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")))
+    val served = SimilaritySearch.ivfTopKAssigned(qs, posts,
+      cb.select(col("cent_id").as("vec_id"), col("cq").as("q")),
+      nprobe = 2, k = 3)
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains(postPath), s"serving must read the postings store:\n$plan")
+    assert(!plan.contains("% 100"),
+      s"no training sample filter may appear in a serving plan:\n$plan")
+
+    val full = SimilaritySearch.ivfTopK(qs, hist.unionByName(delta),
+      codebook.select(col("cent_id").as("vec_id"), col("cq").as("q")),
+      nprobe = 2, k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("query_id", "rn").collect().toSeq
+    assert(rows(served) == rows(full))
+  }
+
   test("every vector is assigned to exactly one of k centroids") {
     val codebook = KMeans.fit(spark, vecs, k = 4, iters = 2)
     val assigned = KMeans.assign(vecs, codebook)

@@ -441,6 +441,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(serve.count() == 24)
   }
 
+  test("q41 MV refresh reads the store plus the pushed-filter delta, never history") {
+    // incremental-view maintenance's claim: refresh cost is
+    // O(store + delta) — the plan scans the persisted MV exactly once,
+    // scans orders exactly once (the delta slice, with the date filter
+    // pushed to parquet), and the merged result equals full recompute.
+    import org.apache.spark.sql.functions.{col, expr, lit}
+    val path = s"/tmp/graft_stores/mv_spec_${System.nanoTime()}"
+    val orders = Tables.orders(spark, sfDir)
+    graft.queries.RelationalQueries.mvPartials(
+        orders.filter(col("o_orderdate") < lit("2001-01-15")))
+      .write.mode("overwrite").parquet(path)
+    val refresh = graft.queries.RelationalQueries.mvRefresh(spark, path,
+      orders.filter(col("o_orderdate") >= lit("2001-01-15")))
+    val plan = refresh.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"refresh must scan the MV store:\n$plan")
+    assert("orders\\.parquet".r.findAllMatchIn(plan).size == 1,
+      s"refresh must scan orders exactly once (the delta):\n$plan")
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"),
+      s"the delta date filter must reach the parquet scan:\n$plan")
+    val full = graft.queries.RelationalQueries.mvPartials(orders)
+      .withColumn("avg_cents", expr("rev_cents div n_orders"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("mon", "o_orderstatus").collect().toSeq
+    assert(rows(refresh) == rows(full))
+  }
+
   test("q39/d31 serving plans read only their persisted stores") {
     // the serving-split family's claim, spec-backed for the other two
     // stores (q36's counter spec above; IvfIndex in KMeansSpec): HLL

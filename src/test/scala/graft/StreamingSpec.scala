@@ -390,6 +390,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mvRefreshSink merges mergeable partials across micro-batches into the persisted MV") {
+    // q41's streaming twin: each micro-batch reduces to count/sum
+    // partials and merges into the stored MV by + — the final store must
+    // equal the batch recompute over everything fed, including a month
+    // whose rows arrived in DIFFERENT batches (the merge, not just
+    // appends).
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    val orders = mem.toDF().toDF("o_orderdate", "o_orderstatus", "o_totalprice")
+    val path = s"/tmp/graft_stores/mv_stream_spec_${System.nanoTime()}"
+    val q = EventStreams.mvRefreshSink(spark, orders, path, s"$path.ckpt",
+      graft.queries.RelationalQueries.mvPartials, Seq("mon", "o_orderstatus"))
+    try {
+      mem.addData((Timestamp.valueOf("2001-01-03 00:00:00"), "O", 10.50),
+        (Timestamp.valueOf("2001-01-20 00:00:00"), "F", 2.25))
+      q.processAllAvailable()
+      mem.addData((Timestamp.valueOf("2001-01-28 00:00:00"), "O", 1.00),
+        (Timestamp.valueOf("2001-02-02 00:00:00"), "O", 5.00))
+      q.processAllAvailable()
+      val got = spark.read.parquet(path)
+        .orderBy("mon", "o_orderstatus")
+        .select("mon", "o_orderstatus", "n_orders", "rev_cents")
+        .as[(java.sql.Date, String, Long, Long)].collect().toSeq
+      assert(got == Seq(
+        (java.sql.Date.valueOf("2001-01-01"), "F", 1L, 225L),
+        (java.sql.Date.valueOf("2001-01-01"), "O", 2L, 1150L),
+        (java.sql.Date.valueOf("2001-02-01"), "O", 1L, 500L)), s"got $got")
+    } finally q.stop()
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
