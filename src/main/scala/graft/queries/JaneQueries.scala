@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -53,6 +54,48 @@ object JaneQueries {
 
   private def ev(s: SparkSession, d: String): DataFrame =
     EventIndex.attach(Tables.events(s, d))
+
+  /** j31/j38's shared candidate machinery: (event ≥ 5.5) × station pairs
+    * within 3000 km as a covering-cell EQUI-join + exact haversine
+    * post-filter — see j31's candidate-cell superset proof. Distance is
+    * integer 10-m units (cents doctrine): a DOUBLE output column over
+    * this many distinct operand pairs would carry j02's last-ulp
+    * rounding exposure × the output size.
+    */
+  private def stationCoveragePairs(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).filter(col("magnitude") >= 5.5)
+      .select(col("event_id"), col("latitude").as("elat"),
+        col("longitude").as("elon"))
+    val sinHalf = math.sin(3000.0 / (2 * graft.functions.GeoFunctions.EarthRadiusKm))
+    val cand = e
+      .withColumn("cl", explode(expr(
+        "sequence(greatest(-9, CAST(floor((elat - 27.5) / 10) AS INT)), " +
+          "least(8, CAST(floor((elat + 27.5) / 10) AS INT)))")))
+      .withColumn("denom", expr(
+        "cos(radians(elat)) * cos(radians(least(greatest(abs(cl * 10.0), " +
+          "abs(cl * 10.0 + 10.0)), 90.0)))"))
+      .withColumn("wl", expr(
+        s"CASE WHEN denom <= 1e-12 THEN 180.0 ELSE " +
+          s"least(180.0, degrees(2 * asin(least(1.0, $sinHalf / sqrt(denom))))) END"))
+      .withColumn("cg", explode(expr(
+        "array_distinct(transform(" +
+          "sequence(CAST(floor((elon - wl) / 10) AS INT), " +
+          "CAST(floor((elon + wl) / 10) AS INT)), " +
+          "x -> ((x + 18) % 36 + 36) % 36 - 18))")))
+      .select(col("event_id"), col("elat"), col("elon"), col("cl"), col("cg"))
+    val st = ChannelIndex.build(Tables.events(s, d))
+      .select(col("network"), col("station"), col("latitude").as("slat"),
+        col("longitude").as("slon"))
+      .distinct()
+      .withColumn("scl", expr("CAST(floor(slat / 10) AS INT)"))
+      .withColumn("scg", expr("CAST(floor(slon / 10) AS INT)"))
+    val distSql = graft.functions.GeoFunctions
+      .haversineKmSql("elat", "elon", "slat", "slon")
+    cand.join(st, col("cl") === col("scl") && col("cg") === col("scg"))
+      .filter(abs(col("slat") - col("elat")) <= 27.5 && expr(distSql) <= 3000.0)
+      .select(col("event_id"), col("network"), col("station"),
+        expr(s"CAST(round($distSql * 100) AS BIGINT)").as("dist_e2"))
+  }
 
   val queries: Map[String, Q] = Map(
     "j01_geo_bbox" -> { (s, d) =>
@@ -543,42 +586,30 @@ object JaneQueries {
       //    mod 360 and deduped. Fan-out per event is O(1) (≤ 7×36 worst
       //    case, ~4×8 typical), so the join shuffles candidate pairs
       //    only — work ∝ matches, never events×stations.
-      val e = ev(s, d).filter(col("magnitude") >= 5.5)
-        .select(col("event_id"), col("latitude").as("elat"),
-          col("longitude").as("elon"))
-      val sinHalf = math.sin(3000.0 / (2 * graft.functions.GeoFunctions.EarthRadiusKm))
-      val cand = e
-        .withColumn("cl", explode(expr(
-          "sequence(greatest(-9, CAST(floor((elat - 27.5) / 10) AS INT)), " +
-            "least(8, CAST(floor((elat + 27.5) / 10) AS INT)))")))
-        .withColumn("denom", expr(
-          "cos(radians(elat)) * cos(radians(least(greatest(abs(cl * 10.0), " +
-            "abs(cl * 10.0 + 10.0)), 90.0)))"))
-        .withColumn("wl", expr(
-          s"CASE WHEN denom <= 1e-12 THEN 180.0 ELSE " +
-            s"least(180.0, degrees(2 * asin(least(1.0, $sinHalf / sqrt(denom))))) END"))
-        .withColumn("cg", explode(expr(
-          "array_distinct(transform(" +
-            "sequence(CAST(floor((elon - wl) / 10) AS INT), " +
-            "CAST(floor((elon + wl) / 10) AS INT)), " +
-            "x -> ((x + 18) % 36 + 36) % 36 - 18))")))
-        .select(col("event_id"), col("elat"), col("elon"), col("cl"), col("cg"))
-      val st = ChannelIndex.build(Tables.events(s, d))
-        .select(col("network"), col("station"), col("latitude").as("slat"),
-          col("longitude").as("slon"))
-        .distinct()
-        .withColumn("scl", expr("CAST(floor(slat / 10) AS INT)"))
-        .withColumn("scg", expr("CAST(floor(slon / 10) AS INT)"))
-      val distSql = graft.functions.GeoFunctions
-        .haversineKmSql("elat", "elon", "slat", "slon")
-      // distance emitted in integer 10-m units (cents doctrine): a DOUBLE
-      // output column over this many distinct operand pairs would carry
-      // j02's last-ulp rounding exposure × the output size
-      cand.join(st, col("cl") === col("scl") && col("cg") === col("scg"))
-        .filter(abs(col("slat") - col("elat")) <= 27.5 && expr(distSql) <= 3000.0)
-        .select(col("event_id"), col("network"), col("station"),
-          expr(s"CAST(round($distSql * 100) AS BIGINT)").as("dist_e2"))
+      stationCoveragePairs(s, d)
         .orderBy("event_id", "network", "station")
+    },
+
+    "j38_station_knn" -> { (s, d) =>
+      // Spatial kNN JOIN: each significant event's 3 NEAREST stations
+      // (within the 3000 km coverage ball) — the "closest recording
+      // stations" selection behind phase association and travel-time
+      // work, and the per-row top-k twin of j31's full coverage join.
+      // Same covering-cell equi-join candidate machinery (work ∝
+      // candidate pairs, never events×stations); ranking runs on the
+      // QUANTIZED 10-m distance with (network, station) tie-break so
+      // both engines order identically, and Spark 4's WindowGroupLimit
+      // prunes each partition to its top-3 BEFORE the rank exchange —
+      // no corpus-wide sort. Oracle: the declarative all-pairs form +
+      // rank window (the candidate superset proof is j31's).
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("dist_e2").asc, col("network").asc, col("station").asc)
+      stationCoveragePairs(s, d)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("event_id"), col("rn"), col("network"), col("station"),
+          col("dist_e2"))
+        .orderBy("event_id", "rn")
     },
 
     "j32_event_xml" -> { (s, d) =>
@@ -1017,6 +1048,25 @@ object JaneQueries {
          |FROM e, st
          |WHERE abs(slat - elat) <= 27.5 AND $distSql <= 3000.0
          |ORDER BY event_id, network, station""".stripMargin
+    },
+
+    "j38_station_knn" -> {
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("elat", "elon", "slat", "slon")
+      s"""WITH ev AS ($evCte),
+         |e AS (SELECT event_id, latitude AS elat, longitude AS elon
+         |      FROM ev WHERE magnitude >= 5.5),
+         |ch AS (${ChannelIndex.oracleCte}),
+         |st AS (SELECT DISTINCT network, station, latitude AS slat,
+         |         longitude AS slon FROM ch),
+         |p AS (SELECT event_id, network, station,
+         |    CAST(round($distSql * 100) AS BIGINT) AS dist_e2
+         |  FROM e, st
+         |  WHERE abs(slat - elat) <= 27.5 AND $distSql <= 3000.0),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+         |    ORDER BY dist_e2 ASC, network ASC, station ASC) AS rn FROM p)
+         |SELECT event_id, rn, network, station, dist_e2
+         |FROM r WHERE rn <= 3 ORDER BY event_id, rn""".stripMargin
     },
 
     "j32_event_xml" ->

@@ -703,6 +703,27 @@ object RelationalQueries {
           col("est_lc"), col("est_used"), col("n_exact"))
     },
 
+    "q42_cohort_retention" -> { (s, d) =>
+      // Cohort retention matrix — the product-analytics classic next to
+      // the funnels (q30/q35): users grouped by first-active day, counted
+      // on each later active day as an offset from their cohort. Shape:
+      // distinct (user, day) first (the raw stream collapses before any
+      // join), per-user MIN day map-side combined, join back on user_id
+      // (both sides already hash-partitioned by the distinct/agg — at
+      // scale this is one co-partitioned join, no extra exchange), then
+      // an O(days²) rollup. Day arithmetic is DATE-typed on both engines
+      // (§4: never raw ns/µs timestamps).
+      val days = Tables.events(s, d)
+        .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"))
+        .distinct()
+      val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      days.join(cohorts, "user_id")
+        .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+        .groupBy("cohort_day", "day_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    },
+
     "q35_funnel_latency" -> { (s, d) =>
       // Time-to-convert distribution for q30's funnel completers: per
       // user the strict-order anchors (earliest view, first later click,
@@ -857,6 +878,16 @@ object RelationalQueries {
     // NOTE (round-2 fix): DuckDB SUM(BIGINT) returns HUGEINT (int128) while
     // Spark writes BIGINT; the driver's hash-compare is type-sensitive, so
     // every integer-SUM OUTPUT column is wrapped CAST(SUM(...) AS BIGINT).
+    "q42_cohort_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, MIN(day) AS cohort_day FROM days
+        |  GROUP BY user_id)
+        |SELECT cohort_day, date_diff('day', cohort_day, day) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM days JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin,
+
     "q41_mv_refresh" ->
       """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
         |  o_orderstatus, COUNT(*) AS n_orders,

@@ -414,6 +414,31 @@ object TextQueries {
         .orderBy("metric")
     },
 
+    "t36_quality_classifier" -> { (s, d) =>
+      // Model-based quality filtering (the FineWeb-Edu / fasttext-style
+      // gate next to t02's rule scores and t34's DSIR weights): a linear
+      // classifier whose weights were trained OFFLINE (stub constants
+      // here — swap in the real model's) scores interpretable integer
+      // features (stopword ratio, short-token ratio, mean token length,
+      // all fixed-point) and keeps docs with non-negative logit.
+      // Inference is a pure per-row codegen projection — no shuffle, no
+      // broadcast, scan speed at 100 TB; the features are integer ratios
+      // so the verdict is exact on both engines.
+      Tables.documents(s, d)
+        .withColumn("n_tok", expr(wsTokensSpark))
+        .withColumn("n_stop", expr(scoreSpark(langMarkers.head._2)))
+        .withColumn("n_short", expr(shortTokensSpark))
+        .withColumn("stop_ratio_e4", expr("n_stop * 10000 div (n_tok + 1)"))
+        .withColumn("short_ratio_e4", expr("n_short * 10000 div (n_tok + 1)"))
+        .withColumn("mean_len_e2", expr("n_chars * 100 div (n_tok + 1)"))
+        .withColumn("logit_e4", expr(
+          "2 * stop_ratio_e4 - 3 * short_ratio_e4 + 10 * mean_len_e2 - 5600"))
+        .withColumn("keep", col("logit_e4") >= 0)
+        .select("doc_id", "n_tok", "stop_ratio_e4", "short_ratio_e4",
+          "mean_len_e2", "logit_e4", "keep")
+        .orderBy("doc_id")
+    },
+
     "t34_dsir_select" -> { (s, d) =>
       // DSIR data selection (Xie et al. 2023): importance-weight every
       // document by how much its hashed n-gram features look like a
@@ -1371,6 +1396,22 @@ object TextQueries {
          |FROM (SELECT unnest(syms) AS symbol, cnt FROM seq$BpeIters)
          |GROUP BY symbol
          |ORDER BY corpus_count DESC, symbol ASC""".stripMargin,
+    "t36_quality_classifier" ->
+      s"""WITH f AS (SELECT doc_id, $wsTokensDuck AS n_tok,
+         |    ${scoreDuck(langMarkers.head._2)} AS n_stop,
+         |    $shortTokensDuck AS n_short, n_chars FROM documents),
+         |g AS (SELECT doc_id, n_tok,
+         |    CAST(n_stop AS BIGINT) * 10000 // (n_tok + 1) AS stop_ratio_e4,
+         |    CAST(n_short AS BIGINT) * 10000 // (n_tok + 1) AS short_ratio_e4,
+         |    CAST(n_chars AS BIGINT) * 100 // (n_tok + 1) AS mean_len_e2
+         |  FROM f)
+         |SELECT doc_id, n_tok, stop_ratio_e4, short_ratio_e4, mean_len_e2,
+         |  2 * stop_ratio_e4 - 3 * short_ratio_e4 + 10 * mean_len_e2 - 5600
+         |    AS logit_e4,
+         |  2 * stop_ratio_e4 - 3 * short_ratio_e4 + 10 * mean_len_e2 - 5600
+         |    >= 0 AS keep
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "t34_dsir_select" -> {
       val codeDuck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
         "list_transform(string_split(tok, ''), c -> CAST(ascii(c) AS BIGINT))), " +

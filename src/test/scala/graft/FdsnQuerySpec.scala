@@ -163,6 +163,27 @@ class FdsnQuerySpec extends SparkSpec {
     assert(j31.count() > 0)
   }
 
+  test("station kNN join rides the cell equi-join and prunes via WindowGroupLimit") {
+    // j38 shares j31's covering-cell candidate machinery (so no BNLJ /
+    // cartesian can appear) and must rank with Spark 4's WindowGroupLimit
+    // partial pruning: each partition keeps only its local top-3 BEFORE
+    // the rank exchange — never a corpus-wide sort of all candidate pairs.
+    val j38 = graft.queries.JaneQueries.queries("j38_station_knn")(spark, sfDir)
+    val plan = j38.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"BNLJ must not appear in:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian must not appear in:\n$plan")
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank pruning must plan as WindowGroupLimit in:\n$plan")
+    // ≤3 rows per event, ranks dense from 1
+    import spark.implicits._
+    val byEvent = j38.groupBy("event_id")
+      .agg(count(lit(1)).as("n"), max(col("rn")).as("mx"))
+    assert(byEvent.filter(col("n") > 3 || col("n") =!= col("mx")).count() == 0)
+    assert(j38.count() > 0)
+  }
+
   test("station-coverage cell candidates cover the 3000 km ball exactly") {
     // The candidate-cell superset math (lat band + haversine-inequality
     // lon width) must lose no pair: the equi-join form row-equals the
