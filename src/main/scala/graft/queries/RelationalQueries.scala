@@ -707,17 +707,23 @@ object RelationalQueries {
       // Cohort retention matrix — the product-analytics classic next to
       // the funnels (q30/q35): users grouped by first-active day, counted
       // on each later active day as an offset from their cohort. Shape:
-      // distinct (user, day) first (the raw stream collapses before any
-      // join), per-user MIN day map-side combined, join back on user_id
-      // (both sides already hash-partitioned by the distinct/agg — at
-      // scale this is one co-partitioned join, no extra exchange), then
-      // an O(days²) rollup. Day arithmetic is DATE-typed on both engines
-      // (§4: never raw ns/µs timestamps).
-      val days = Tables.events(s, d)
+      // ONE user-keyed exchange total — collect_set(day) per user
+      // (map-side set-merge dedups (user, day) in-scan, so shuffle
+      // volume = distinct pairs, same as an explicit distinct), cohort
+      // = array_min, offsets re-derived by explode AFTER the shuffle.
+      // The alternatives cost strictly more: distinct + min-join-back
+      // scans events twice (shared scan-rooted subtrees re-execute) and
+      // can't broadcast its |users|-row side at 100 TB; distinct + MIN
+      // OVER user re-exchanges every pair a second time for the window
+      // sort. No join, no window, one data shuffle (plan-asserted). Per-
+      // user state is bounded by the day range, not activity volume.
+      // Day arithmetic is DATE-typed on both engines (§4: never raw
+      // ns/µs timestamps).
+      Tables.events(s, d)
         .select(col("user_id"), expr("CAST(ts AS DATE)").as("day"))
-        .distinct()
-      val cohorts = days.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
-      days.join(cohorts, "user_id")
+        .groupBy("user_id").agg(collect_set(col("day")).as("days"))
+        .select(explode(col("days")).as("day"),
+          array_min(col("days")).as("cohort_day"))
         .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
         .groupBy("cohort_day", "day_offset")
         .agg(count(lit(1)).as("n_users"))

@@ -425,6 +425,19 @@ class PlanShapeSpec extends SparkSpec {
     assert(nHeap >= 2, s"expected both arms' heap stages in:\n$plan")
   }
 
+  test("q42 cohort matrix is one scan and one user-keyed shuffle — no join, no window") {
+    // the cohort join-back and the MIN-OVER-user window both cost a
+    // second pass over the distinct (user, day) pairs (or a second
+    // events scan); the collect_set form does it in one data exchange
+    val q42 = SparkEntry.queries("q42_cohort_retention")(spark, sfDir)
+    val plan = q42.queryExecution.executedPlan.toString
+    assert("events\\.parquet".r.findAllMatchIn(plan).size == 1,
+      s"events must be scanned exactly once:\n$plan")
+    assert(!plan.contains("Join"), s"no join may appear in:\n$plan")
+    assert(!plan.contains("Window"), s"no window may appear in:\n$plan")
+    assert(q42.count() > 0)
+  }
+
   test("q36 CMS serving plan reads only the persisted counter store") {
     // the serving split's claim: point estimates come from the stored
     // ≤1024-row counter table with NO events scan anywhere in the plan
