@@ -116,16 +116,22 @@ object KMeans {
     // materializing at this size; at 100 TB persist it explicitly before
     // calling this if the input scan is expensive
     val sample = vectors.filter(expr(sampleSql(samplePct)))
-    // k and the init rows come out of ONE global window over the sample
-    // (small by contract, and this runs once): rn plus the sample count,
-    // so no separate count job / scalar broadcast is needed
+    // k from a 1-row count aggregate (an O(1) driver scalar — the same
+    // class as cost's spec helper, not data movement), then init rows via
+    // orderBy+limit = TakeOrderedAndProject (per-partition heaps). The r6
+    // verdict fix: the old single global window sorted the ENTIRE sample
+    // (~1% of the corpus — ~1 TB at 100 TB) through one task per codebook
+    // build. The rank window below sits on the already-limit(kk) input,
+    // exactly the fitQuantized shape. Values are unchanged — first kk
+    // rows by vec_id, cent_id = rank-1 — so every trained query stays
+    // oracle-hash-identical.
+    val n = sample.agg(count(lit(1))).head().getLong(0)
+    val kk = math.max(2L, n / targetClusterSize)
+    require(kk <= Int.MaxValue, s"k=$kk exceeds supported codebook size")
     val wId = Window.orderBy(col("vec_id").asc)
-    var codebook = sample
-      .withColumn("rn", row_number().over(wId).cast("long"))
-      .withColumn("kk", expr(
-        s"greatest(CAST(2 AS BIGINT), count(1) OVER () div $targetClusterSize)"))
-      .filter(col("rn") <= col("kk"))
-      .select((col("rn") - 1).as("cent_id"), col("q").as("cq"))
+    var codebook = sample.orderBy("vec_id").limit(kk.toInt)
+      .withColumn("cent_id", row_number().over(wId).cast("long") - 1)
+      .select(col("cent_id"), col("q").as("cq"))
       .localCheckpoint()
     (0 until iters).foreach { _ =>
       codebook = lloydStep(sample, codebook).localCheckpoint()

@@ -587,10 +587,15 @@ object RelationalQueries {
       }
         .withColumn("est", expr(
           hashes.map { case (i, _) => s"n$i" }.mkString("least(", ", ", ")")))
+      // top-20 FIRST via TakeOrderedAndProject (per-partition heaps, no
+      // global sort), THEN rank the <=20 survivors — the r6 verdict's
+      // scale fix: the old partition-less rank window sorted the FULL
+      // vocab estimate table through one task. Hash-identical: the same
+      // total order picks the same 20 rows and the same rn.
       est
+        .orderBy(col("est").desc, col("tok").asc).limit(20)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("est").desc, col("tok").asc)))
-        .filter(col("rn") <= 20)
         .select(col("tok"), col("est"), col("exact"),
           (col("est") - col("exact")).as("overcount"), col("rn"))
         .orderBy("rn")
@@ -626,10 +631,14 @@ object RelationalQueries {
       }
         .withColumn("est", expr(
           hashes.map { case (i, _) => s"n$i" }.mkString("least(", ", ", ")")))
+      // top-20 FIRST (TakeOrderedAndProject — per-partition heaps over the
+      // distinct-user table), THEN rank the <=20 survivors. The old
+      // partition-less rank window moved ALL distinct users through one
+      // task — billions of rows at production cardinality (r6 verdict).
       est
+        .orderBy(col("est").desc, col("user_id").asc).limit(20)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("est").desc, col("user_id").asc)))
-        .filter(col("rn") <= 20)
         .select(col("user_id"), col("est"), col("exact"),
           (col("est") - col("exact")).as("overcount"), col("rn"))
         .orderBy("rn")

@@ -725,7 +725,11 @@ object SimilarityQueries {
         .select(col("grp"), posexplode(col("q")).as(Seq("dim", "x")))
       e.groupBy("grp", "dim")
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-        .withColumn("m", expr("CAST(floor(CAST(sx AS DOUBLE) / n) AS BIGINT)"))
+        // floor(sx/n) in PURE integers (r6 verdict: no DOUBLE in the
+        // path): subtract the non-negative remainder so the numerator is
+        // exactly divisible — then truncating (Spark div) and flooring
+        // division agree, negative sums included.
+        .withColumn("m", expr("(sx - ((sx % n + n) % n)) div n"))
         .groupBy("grp")
         .agg(count(lit(1)).as("dims"),
           max(col("n")).as("n_chunks"),
@@ -1291,7 +1295,8 @@ object SimilarityQueries {
          |e AS (SELECT vec_id // 4 AS grp, unnest(q) AS x,
          |    unnest(range(0, len(q))) AS dim FROM q),
          |agg AS (SELECT grp, dim,
-         |    CAST(floor(CAST(SUM(x) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m,
+         |    CAST((SUM(x) - ((SUM(x) % COUNT(*) + COUNT(*)) % COUNT(*)))
+         |      // COUNT(*) AS BIGINT) AS m,
          |    COUNT(*) AS n
          |  FROM e GROUP BY grp, dim)
          |SELECT grp, COUNT(*) AS dims, MAX(n) AS n_chunks,

@@ -720,12 +720,16 @@ object TextQueries {
       val qt = dfT.orderBy(col("df").desc, col("tok").asc).limit(QTerms)
       val tf = t.join(broadcast(qt), "tok")
         .groupBy("doc_id", "tok", "df").agg(count(lit(1)).as("tf"))
+      // top-20 FIRST via TakeOrderedAndProject, THEN rank the 20 rows:
+      // the old partition-less rank window pushed EVERY candidate doc
+      // matching a query term (corpus-scale for common terms) through one
+      // task (r6 verdict). Same total order => same rows, same rn.
       tf.join(dl, "doc_id").crossJoin(broadcast(stats))
         .withColumn("s_e6", expr(s"CAST(round($bm25TermSql) AS BIGINT)"))
         .groupBy("doc_id").agg(sum(col("s_e6")).as("score_e6"))
+        .orderBy(col("score_e6").desc, col("doc_id").asc).limit(20)
         .withColumn("rn", row_number().over(
           Window.orderBy(col("score_e6").desc, col("doc_id").asc)))
-        .filter(col("rn") <= 20)
         .select(col("doc_id"), col("score_e6"), col("rn"))
         .orderBy("rn")
     },

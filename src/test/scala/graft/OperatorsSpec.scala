@@ -520,6 +520,40 @@ class PlanShapeSpec extends SparkSpec {
     assert(nDocScans == 1, s"expected 1 documents scan, got $nDocScans:\n$plan")
   }
 
+  test("no registered query ranks via a partition-less window over unbounded input") {
+    // the r6 verdict's scale-killer class: row_number().over(Window.orderBy)
+    // with no partitionBy moves its ENTIRE input through one task. Sweep
+    // every registered query: a partition-less logical Window must sit on a
+    // bounded subtree — one that contains a Limit (the
+    // take-top-k-then-rank idiom collapses to TakeOrderedAndProject) or
+    // reads no table at all. t30's window is the documented exception: it
+    // sits on the checkpointed 64-row per-shard aggregate (its own spec
+    // asserts that shape, which this sweep can't see through the
+    // checkpoint's LogicalRDD leaf).
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Window => LWindow, GlobalLimit, LocalLimit}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    import org.apache.spark.sql.execution.LogicalRDD
+    val exceptions = Set("t30_weighted_sample")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exceptions.contains)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: LWindow if w.partitionSpec.isEmpty &&
+            w.child.collectFirst {
+              case _: GlobalLimit => (); case _: LocalLimit => () }.isEmpty &&
+            w.child.collectFirst {
+              case r: LogicalRelation => r
+              case r: LogicalRDD => r }.nonEmpty => w
+        }
+        if (bad.isEmpty) None else Some(s"$name: ${bad.head.simpleString(3)}")
+      }
+    assert(offenders.isEmpty,
+      s"partition-less windows over unbounded input in:\n${offenders.mkString("\n")}")
+  }
+
   test("q31/q32 sketch builds are single-scan map-side aggregations") {
     for (name <- Seq("q31_hll_distinct", "q32_cms_heavy_hitters")) {
       val plan = SparkEntry.queries(name)(spark, sfDir)
