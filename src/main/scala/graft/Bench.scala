@@ -79,10 +79,19 @@ object Bench {
       .map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"slowest10":$slowest10}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
       s""""errors":$errs,"spread":${fmtMap(_._2._2)},"queries":${fmtMap(_._2._1)},""" +
-      s""""tail":$tail}""")
+      s""""tail":$tail}"""
+    println(line)
+    // The driver keeps only a ~2000-char tail of stdout, losing most of
+    // the per-query dict each round (r6 verdict ask): also write the
+    // COMPLETE line to a repo file for cross-round comparison. Full runs
+    // only — a selective iteration run must not clobber the round record.
+    if (args.isEmpty)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"BENCH WRITE: $e") }
     spark.stop()
   }
 }

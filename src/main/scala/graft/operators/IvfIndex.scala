@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** Persist a trained (cent_id, cq) codebook — the train-once step. */
+  /** Persist a trained (cent_id, cq) codebook — the train-once step.
+    * Rename-installed so a concurrent server never reads a partial store.
+    */
   def save(codebook: DataFrame, path: String): Unit =
-    codebook.write.mode("overwrite").parquet(path)
+    graft.sources.ParquetStore.installOverwrite(codebook, path)
 
   /** Load a persisted codebook for serving. */
   def load(spark: SparkSession, path: String): DataFrame =

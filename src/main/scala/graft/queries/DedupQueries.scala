@@ -153,9 +153,9 @@ object DedupQueries {
       val docs = Tables.documents(s, d)
       val isNew = col("doc_id") % 10 === 7
       val path = s"/tmp/graft_stores/bands_${new java.io.File(d).getName}"
-      Dedup.bandSignatures(docs.filter(!isNew), K, Bands)
-        .select(col("doc_id").as("dup_of"), col("band"), col("sig"))
-        .write.mode("overwrite").parquet(path)
+      graft.sources.ParquetStore.installOverwrite(
+        Dedup.bandSignatures(docs.filter(!isNew), K, Bands)
+          .select(col("doc_id").as("dup_of"), col("band"), col("sig")), path)
       bandServe(s, path, docs.filter(isNew))
         .orderBy("new_id", "dup_of")
     },

@@ -87,8 +87,13 @@ object JaneQueries {
       .select(col("network"), col("station"), col("latitude").as("slat"),
         col("longitude").as("slon"))
       .distinct()
-      .withColumn("scl", expr("CAST(floor(slat / 10) AS INT)"))
-      .withColumn("scg", expr("CAST(floor(slon / 10) AS INT)"))
+      // normalize the station cell EXACTLY like the candidate cells
+      // (r6 ADVICE): lat 90 clamps into cell 8, lon 180 wraps into
+      // [-18,17] — otherwise a boundary station never matches any
+      // candidate cell and is silently dropped vs the all-pairs oracle
+      .withColumn("scl", expr("least(8, CAST(floor(slat / 10) AS INT))"))
+      .withColumn("scg", expr(
+        "((CAST(floor(slon / 10) AS INT) + 18) % 36 + 36) % 36 - 18"))
     val distSql = graft.functions.GeoFunctions
       .haversineKmSql("elat", "elon", "slat", "slon")
     cand.join(st, col("cl") === col("scl") && col("cg") === col("scg"))

@@ -525,9 +525,9 @@ object RelationalQueries {
       // DuckDB oracle computes. PlanShapeSpec asserts the refresh
       // subplan reads the store + the pushed-filter delta only.
       val path = s"/tmp/graft_stores/mv_${new java.io.File(d).getName}"
-      mvPartials(Tables.orders(s, d)
-          .filter(col("o_orderdate") < lit("2001-01-15")))
-        .write.mode("overwrite").parquet(path)
+      graft.sources.ParquetStore.installOverwrite(
+        mvPartials(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("2001-01-15"))), path)
       mvRefresh(s, path,
         Tables.orders(s, d).filter(col("o_orderdate") >= lit("2001-01-15")))
         .orderBy("mon", "o_orderstatus")
@@ -547,7 +547,7 @@ object RelationalQueries {
       // build + estimates in one SQL — the persistence round-trip is
       // exactly the identity the hash check proves.
       val path = s"/tmp/graft_stores/cms_${new java.io.File(d).getName}"
-      cmsCounterTable(s, d).write.mode("overwrite").parquet(path)
+      graft.sources.ParquetStore.installOverwrite(cmsCounterTable(s, d), path)
       cmsServe(s, path, s.range(0, 24).toDF("user_id"))
         .orderBy("user_id")
     },
@@ -656,15 +656,14 @@ object RelationalQueries {
       // arithmetic as q31, so the oracle replays build + estimate; the
       // persistence round-trip is the identity the hash proves.
       val path = s"/tmp/graft_stores/hll_${new java.io.File(d).getName}"
-      Tables.events(s, d)
+      graft.sources.ParquetStore.installOverwrite(Tables.events(s, d)
         .select(expr("(user_id * 2654435761) % 2147483647").as("h1"))
         .select(expr("((h1 ^ (h1 div 65536)) * 40503) % 2147483647").as("h"))
         .select(expr("h % 64").as("reg"), expr("h div 64").as("rest"))
         .select(col("reg"), expr(
           "CASE WHEN rest = 0 THEN 26 ELSE bit_count((rest & -rest) - 1) + 1 END")
           .as("rho"))
-        .groupBy("reg").agg(max(col("rho")).as("rho_max"))
-        .write.mode("overwrite").parquet(path)
+        .groupBy("reg").agg(max(col("rho")).as("rho_max")), path)
       hllServe(s, path)
     },
 

@@ -693,9 +693,10 @@ object SimilarityQueries {
       val codebook = graft.operators.KMeans
         .fitQuantizedSampled(hist, TargetClusterSize, SamplePct, IvfIters)
       graft.operators.IvfIndex.save(codebook, cbPath)
-      graft.operators.KMeans.assignQuantized(hist, codebook)
-        .select(col("cent_id"), col("vec_id").as("cand_id"), col("q"))
-        .write.mode("overwrite").parquet(postPath)
+      graft.sources.ParquetStore.installOverwrite(
+        graft.operators.KMeans.assignQuantized(hist, codebook)
+          .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
+        postPath)
       // serving: load the store, assign ONLY the delta, append, probe
       val cb = graft.operators.IvfIndex.load(s, cbPath)
       val deltaPost = graft.operators.KMeans.assignQuantized(delta, cb)

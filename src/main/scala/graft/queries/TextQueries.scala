@@ -338,8 +338,12 @@ object TextQueries {
         .join(broadcast(offsets), "shard")
         .crossJoin(broadcast(tot))
         .withColumn("cw", expr("off + cw_local"))
+        // greatest(1, ·) guards total_w < WsTicks (step would be 0 and
+        // the div fails) — no-op at every shipped SF, mirrored in the
+        // oracle (r6 ADVICE)
         .withColumn("n_ticks", expr(
-          s"cw div (total_w div $WsTicks) - (cw - w) div (total_w div $WsTicks)"))
+          s"cw div greatest(1, total_w div $WsTicks) " +
+            s"- (cw - w) div greatest(1, total_w div $WsTicks)"))
         .filter(col("n_ticks") > 0)
         .select("doc_id", "shard", "w", "cw", "n_ticks")
         .orderBy("cw", "doc_id")
@@ -1372,8 +1376,8 @@ object TextQueries {
          |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw FROM o),
          |t AS (SELECT CAST(SUM(w) AS BIGINT) AS total_w FROM o),
          |s AS (SELECT doc_id, shard, w, cw,
-         |    CAST(cw // (total_w // $WsTicks)
-         |      - (cw - w) // (total_w // $WsTicks) AS BIGINT) AS n_ticks
+         |    CAST(cw // greatest(1, total_w // $WsTicks)
+         |      - (cw - w) // greatest(1, total_w // $WsTicks) AS BIGINT) AS n_ticks
          |  FROM c, t)
          |SELECT doc_id, shard, w, cw, n_ticks FROM s
          |WHERE n_ticks > 0 ORDER BY cw, doc_id""".stripMargin,

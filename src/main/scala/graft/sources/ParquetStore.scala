@@ -84,6 +84,33 @@ object ParquetStore {
     n
   }
 
+  /** Overwrite-install `df` at `path` without ever exposing a partial
+    * store: write to a UNIQUE sibling temp dir, then publish with the
+    * compact/upsertSink rename-aside swap. SaveMode.Overwrite deletes the
+    * target first and then writes file by file — a concurrent reader of
+    * the same fixed store path (the r6 ADVICE race: Verify and Bench on
+    * one SF) can plan against part files that vanish mid-write. Here the
+    * new store becomes visible in one rename, the unique temp name keeps
+    * two concurrent builders from trampling each other's scratch, and an
+    * interrupted swap leaves `path` or `path.old` holding a complete
+    * store (healed by [[compact]]'s rule).
+    */
+  def installOverwrite(df: DataFrame, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path.install-${java.util.UUID.randomUUID().toString.take(8)}")
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"install: cannot move $path aside")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"install: cannot install $tmp at $path")
+    fs.delete(old, true)
+  }
+
   /** Write a table bucketed (and sorted) on its join key. Two tables
     * bucketed the same way join with NO shuffle on either side — at 100 TB
     * the lineitem⋈orders join becomes a per-bucket sort-merge with zero

@@ -280,15 +280,33 @@ object EventStreams {
     * rescan and NO per-key streaming state (the MV itself is the state).
     * Durability follows [[upsertSink]] exactly: explicit existence check
     * (read errors fail the batch and retry via checkpoint), rename-aside
-    * swap with start-of-batch healing — a replayed batch re-merges
-    * against the pre-swap store, so the publish is all-or-nothing.
+    * swap with start-of-batch healing.
+    *
+    * Idempotence (r6 ADVICE): foreachBatch is at-least-once — a crash
+    * after the publish rename but before the checkpoint commit replays
+    * the batch, and a sum-merge applied twice double-counts (unlike
+    * upsertSink's latest-wins merge, which is naturally idempotent). The
+    * last applied batchId therefore travels INSIDE the store as a
+    * `_graft_last_batch` sidecar (underscore-prefixed, so parquet scans
+    * ignore it, and it rides the same atomic rename as the data): a
+    * batch whose id already matches the published store is a no-op.
     */
   def mvRefreshSink(spark: SparkSession, stream: DataFrame, path: String,
       checkpoint: String, partials: DataFrame => DataFrame,
       mergeKeys: Seq[String]): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        mvRefreshBatch(spark, batch, batchId, path, partials, mergeKeys)
+      }
+      .start()
+
+  /** One mvRefreshSink micro-batch — factored out so the replay spec can
+    * invoke the exact production code path with an explicit batchId.
+    */
+  def mvRefreshBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      path: String, partials: DataFrame => DataFrame,
+      mergeKeys: Seq[String]): Unit = {
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val p = new org.apache.hadoop.fs.Path(path)
@@ -296,6 +314,8 @@ object EventStreams {
         val old = new org.apache.hadoop.fs.Path(s"$path.old")
         if (!fs.exists(p) && fs.exists(old) && !fs.rename(old, p))
           throw new java.io.IOException(s"mvRefreshSink: cannot heal $old -> $p")
+        // replay after a successful publish: already applied, no-op
+        if (fs.exists(p) && readBatchMeta(fs, p).contains(batchId)) return
         val delta = partials(batch)
         val merged =
           if (fs.exists(p)) {
@@ -307,6 +327,7 @@ object EventStreams {
                 valueCols.tail.map(c => sum(col(c)).as(c)): _*)
           } else delta
         merged.write.mode("overwrite").parquet(s"$path.tmp")
+        writeBatchMeta(fs, tmp, batchId)
         if (fs.exists(old)) fs.delete(old, true)
         if (fs.exists(p) && !fs.rename(p, old))
           throw new java.io.IOException(s"mvRefreshSink: cannot move $path aside")
@@ -314,8 +335,25 @@ object EventStreams {
           throw new java.io.IOException(s"mvRefreshSink: cannot publish $tmp")
         fs.delete(old, true)
         ()
-      }
-      .start()
+  }
+
+  private def readBatchMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path): Option[Long] = {
+    val m = new org.apache.hadoop.fs.Path(dir, "_graft_last_batch")
+    if (!fs.exists(m)) None
+    else {
+      val in = fs.open(m)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+  }
+
+  private def writeBatchMeta(fs: org.apache.hadoop.fs.FileSystem,
+      dir: org.apache.hadoop.fs.Path, id: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_last_batch"), true)
+    try out.write(s"$id\n".getBytes("UTF-8")) finally out.close()
+  }
 
   /** Custom keyed state via mapGroupsWithState: running per-user event and
     * value totals that survive across micro-batches (Jane: per-station

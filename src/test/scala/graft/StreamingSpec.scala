@@ -421,6 +421,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("mvRefreshBatch replayed after a successful publish is a no-op (at-least-once idempotence)") {
+    // the r6 ADVICE failure: driver dies after the publish rename but
+    // before the checkpoint commit, foreachBatch re-runs the SAME batchId
+    // — a second sum-merge must not double-count. Drive the factored-out
+    // batch body directly with explicit batchIds: apply batch 0, replay
+    // batch 0 (same id — must no-op), then batch 1 (new id — must merge).
+    import spark.implicits._
+    val path = s"/tmp/graft_stores/mv_replay_spec_${System.nanoTime()}"
+    val rows = Seq((Timestamp.valueOf("2001-01-03 00:00:00"), "O", 10.50))
+      .toDF("o_orderdate", "o_orderstatus", "o_totalprice")
+    def store() = spark.read.parquet(path)
+      .select("mon", "o_orderstatus", "n_orders", "rev_cents")
+      .as[(java.sql.Date, String, Long, Long)].collect().toSeq.sorted
+    EventStreams.mvRefreshBatch(spark, rows, 0L, path,
+      graft.queries.RelationalQueries.mvPartials, Seq("mon", "o_orderstatus"))
+    val after0 = store()
+    EventStreams.mvRefreshBatch(spark, rows, 0L, path,
+      graft.queries.RelationalQueries.mvPartials, Seq("mon", "o_orderstatus"))
+    assert(store() == after0,
+      s"replayed batch 0 double-counted: ${store()} vs $after0")
+    EventStreams.mvRefreshBatch(spark, rows, 1L, path,
+      graft.queries.RelationalQueries.mvPartials, Seq("mon", "o_orderstatus"))
+    assert(store() == Seq(
+      (java.sql.Date.valueOf("2001-01-01"), "O", 2L, 2100L)),
+      s"batch 1 must merge: ${store()}")
+  }
+
   test("dedupeStream drops duplicate ids within the watermark") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
