@@ -321,21 +321,41 @@ object SimilarityQueries {
       // ensemble (ExplainSpec asserts the plan has no unbounded Window
       // sort on the arm subtrees).
       graft.plans.GraftFunctions.register(s)
-      // tokenized table feeds five consumers — materialize once (at
-      // 100 TB this is the persisted tokenization stage)
-      val t = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr("split(trim(text), ' ')")).as("tok"))
-        .localCheckpoint()
-      val qt = t.filter(col("doc_id") < NQueries)
-        .select(col("doc_id").as("query_id"), col("tok")).distinct()
-      val ct = t.filter(col("doc_id") >= NQueries)
-      val dl = ct.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
-      val dft = ct.select("doc_id", "tok").distinct()
-        .groupBy("tok").agg(count(lit(1)).as("df"))
-      val tf = ct.join(qt, "tok")
-        .groupBy("query_id", "doc_id", "tok").agg(count(lit(1)).as("tf"))
-      val lexScores = tf.join(dft, "tok").join(dl, "doc_id")
+      // r7 profile fix (the r6 +58% regression was the FULL exploded
+      // token table localCheckpointed for 5 consumers): the corpus is
+      // now exploded exactly ONCE (the tf build), per-doc lengths are a
+      // no-shuffle size(split()) projection (no explode+groupBy at all),
+      // and df comes from the already-small checkpointed tf — corpus
+      // docs containing tok ∈ query tokens — instead of a corpus-wide
+      // distinct. df values for the tokens actually scored are
+      // identical, so the result is hash-equal by construction.
+      val docs = Tables.documents(s, d)
+      val qt = docs.filter(col("doc_id") < NQueries)
+        .select(col("doc_id").as("query_id"),
+          explode(expr("split(trim(text), ' ')")).as("tok"))
+        .distinct()
+      // corpus-wide length stats in ONE no-explode aggregate scan
+      val stats = docs.filter(col("doc_id") >= NQueries)
+        .agg(count(lit(1)).as("n_docs"),
+          sum(expr("CAST(size(split(trim(text), ' ')) AS BIGINT)"))
+            .as("total_len"))
+      // term frequency is a per-(doc, tok) fact — aggregate BEFORE
+      // replicating per query_id (tokens shared by several query docs
+      // would otherwise multiply the groupBy input ~NQueries-fold), and
+      // carry the per-doc length through the same aggregation so no
+      // separate dl table or dl join exists at all
+      val tfd = docs.filter(col("doc_id") >= NQueries)
+        .select(col("doc_id"), expr("split(trim(text), ' ')").as("toks"))
+        .select(col("doc_id"),
+          expr("CAST(size(toks) AS BIGINT)").as("dl"),
+          explode(col("toks")).as("tok"))
+        .join(broadcast(qt.select("tok").distinct()), "tok")
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+        .localCheckpoint() // feeds df + the per-query replication
+      val tf = tfd.join(broadcast(qt), "tok")
+        .select("query_id", "doc_id", "tok", "tf", "dl")
+      val dft = tfd.groupBy("tok").agg(count(lit(1)).as("df"))
+      val lexScores = tf.join(dft, "tok")
         .crossJoin(broadcast(stats))
         .withColumn("s_e6", expr(s"CAST(round(${TextQueries.bm25TermSql}) AS BIGINT)"))
         .groupBy("query_id", "doc_id").agg(sum(col("s_e6")).as("lex_score"))
