@@ -80,6 +80,73 @@ object SimilarityQueries {
     s"list_transform(range(0, $Dims), " +
       s"i -> ${sq8RecSql(c => s"$c[CAST(i + 1 AS INT)]", "//")})"
 
+  /** d27/d35's shared LEXICAL arm: BM25 over the query docs' tokens,
+    * truncated to the deterministic per-query top-RrfN via map-side
+    * heaps. r7 profile shape (the r6 +58% regression was the full
+    * exploded token table localCheckpointed for 5 consumers): the corpus
+    * is exploded exactly ONCE (the tf build), per-doc lengths are a
+    * no-shuffle size(split()) projection carried through the tf
+    * aggregation (no dl table or dl join), term frequencies aggregate
+    * per (doc, tok) BEFORE the broadcast join replicates rows per
+    * query_id, df derives from the small checkpointed tf table, and
+    * corpus length stats are one no-explode aggregate scan. df values
+    * for the tokens actually scored are identical to a corpus-wide df,
+    * so results are hash-equal to the naive formulation.
+    */
+  private def bm25ArmTopN(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val docs = Tables.documents(s, d)
+    val qt = docs.filter(col("doc_id") < NQueries)
+      .select(col("doc_id").as("query_id"),
+        explode(expr("split(trim(text), ' ')")).as("tok"))
+      .distinct()
+    val stats = docs.filter(col("doc_id") >= NQueries)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("CAST(size(split(trim(text), ' ')) AS BIGINT)"))
+          .as("total_len"))
+    val tfd = docs.filter(col("doc_id") >= NQueries)
+      .select(col("doc_id"), expr("split(trim(text), ' ')").as("toks"))
+      .select(col("doc_id"),
+        expr("CAST(size(toks) AS BIGINT)").as("dl"),
+        explode(col("toks")).as("tok"))
+      .join(broadcast(qt.select("tok").distinct()), "tok")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      .localCheckpoint() // feeds df + the per-query replication
+    val tf = tfd.join(broadcast(qt), "tok")
+      .select("query_id", "doc_id", "tok", "tf", "dl")
+    val dft = tfd.groupBy("tok").agg(count(lit(1)).as("df"))
+    val lexScores = tf.join(dft, "tok")
+      .crossJoin(broadcast(stats))
+      .withColumn("s_e6", expr(s"CAST(round(${TextQueries.bm25TermSql}) AS BIGINT)"))
+      .groupBy("query_id", "doc_id").agg(sum(col("s_e6")).as("lex_score"))
+    TopK.perKey(lexScores, Seq("query_id"), "lex_score", "doc_id", RrfN)
+      .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
+  }
+
+  /** Integer reciprocal-rank fusion of two truncated arm lists (d27's
+    * shape): full-outer on (query, candidate), contribution
+    * 1000000 div (60 + rank) per arm (0 outside an arm's list), top-10
+    * per query with candidate-id tie-break.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val wRrf = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("rrf_e6").desc, col("cand_id").asc)
+    lex.join(sem,
+      col("query_id") === col("qid") && col("doc_id") === col("cand"), "full_outer")
+      .select(coalesce(col("query_id"), col("qid")).as("query_id"),
+        coalesce(col("doc_id"), col("cand")).as("cand_id"),
+        coalesce(expr("1000000 div (60 + lex_rn)"), lit(0L)).as("lex_c"),
+        coalesce(expr("1000000 div (60 + sem_rn)"), lit(0L)).as("sem_c"),
+        coalesce(col("lex_rn"), lit(-1L)).as("lex_rn"),
+        coalesce(col("sem_rn"), lit(-1L)).as("sem_rn"))
+      .withColumn("rrf_e6", col("lex_c") + col("sem_c"))
+      .withColumn("rn", row_number().over(wRrf).cast("long"))
+      .filter(col("rn") <= 10)
+      .select(col("query_id"), col("cand_id"), col("rrf_e6"),
+        col("lex_rn"), col("sem_rn"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).withColumn("q", expr(quantizeSql("embedding")))
       .select(col("vec_id"), col("q"))
@@ -303,15 +370,15 @@ object SimilarityQueries {
     },
 
     "d27_hybrid_rrf" -> { (s, d) =>
-      // Hybrid retrieval with reciprocal-rank fusion — the PRODUCTION
-      // serving shape: for each query document (doc 0..9), each arm
-      // contributes only its deterministic top-RrfN candidates (rank
-      // truncation BEFORE fusion — classic RRF fuses per-arm top-N result
-      // lists, never corpus-wide ranks; a doc outside an arm's top-N
-      // contributes 0 from that arm via the full-outer join, and ranks
-      // within a truncated arm equal the global ranks for its members
-      // because the ordering is total). Arms: LEXICAL BM25 over the query
-      // doc's tokens (t27's shared formula text, per-term 1e-6
+      // Hybrid retrieval with reciprocal-rank fusion — the EVAL twin
+      // (d35 is the serving twin): for each query document (doc 0..9),
+      // each arm contributes only its deterministic top-RrfN candidates
+      // (rank truncation BEFORE fusion — classic RRF fuses per-arm top-N
+      // result lists, never corpus-wide ranks; a doc outside an arm's
+      // top-N contributes 0 from that arm via the full-outer join, and
+      // ranks within a truncated arm equal the global ranks for its
+      // members because the ordering is total). Arms: LEXICAL BM25 over
+      // the query doc's tokens (t27's shared formula text, per-term 1e-6
       // quantization before the sum) and SEMANTIC d05 exact integer dot;
       // fusion = classic k=60 RRF, contribution = 1000000 div (60+rank) —
       // PURE INTEGER, so the whole ensemble is hash-checked. Top-10 per
@@ -320,69 +387,50 @@ object SimilarityQueries {
       // partition) reach an exchange — the d05 discipline applied to the
       // ensemble (ExplainSpec asserts the plan has no unbounded Window
       // sort on the arm subtrees).
-      graft.plans.GraftFunctions.register(s)
-      // r7 profile fix (the r6 +58% regression was the FULL exploded
-      // token table localCheckpointed for 5 consumers): the corpus is
-      // now exploded exactly ONCE (the tf build), per-doc lengths are a
-      // no-shuffle size(split()) projection (no explode+groupBy at all),
-      // and df comes from the already-small checkpointed tf — corpus
-      // docs containing tok ∈ query tokens — instead of a corpus-wide
-      // distinct. df values for the tokens actually scored are
-      // identical, so the result is hash-equal by construction.
-      val docs = Tables.documents(s, d)
-      val qt = docs.filter(col("doc_id") < NQueries)
-        .select(col("doc_id").as("query_id"),
-          explode(expr("split(trim(text), ' ')")).as("tok"))
-        .distinct()
-      // corpus-wide length stats in ONE no-explode aggregate scan
-      val stats = docs.filter(col("doc_id") >= NQueries)
-        .agg(count(lit(1)).as("n_docs"),
-          sum(expr("CAST(size(split(trim(text), ' ')) AS BIGINT)"))
-            .as("total_len"))
-      // term frequency is a per-(doc, tok) fact — aggregate BEFORE
-      // replicating per query_id (tokens shared by several query docs
-      // would otherwise multiply the groupBy input ~NQueries-fold), and
-      // carry the per-doc length through the same aggregation so no
-      // separate dl table or dl join exists at all
-      val tfd = docs.filter(col("doc_id") >= NQueries)
-        .select(col("doc_id"), expr("split(trim(text), ' ')").as("toks"))
-        .select(col("doc_id"),
-          expr("CAST(size(toks) AS BIGINT)").as("dl"),
-          explode(col("toks")).as("tok"))
-        .join(broadcast(qt.select("tok").distinct()), "tok")
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
-        .localCheckpoint() // feeds df + the per-query replication
-      val tf = tfd.join(broadcast(qt), "tok")
-        .select("query_id", "doc_id", "tok", "tf", "dl")
-      val dft = tfd.groupBy("tok").agg(count(lit(1)).as("df"))
-      val lexScores = tf.join(dft, "tok")
-        .crossJoin(broadcast(stats))
-        .withColumn("s_e6", expr(s"CAST(round(${TextQueries.bm25TermSql}) AS BIGINT)"))
-        .groupBy("query_id", "doc_id").agg(sum(col("s_e6")).as("lex_score"))
-      val lex = TopK.perKey(lexScores, Seq("query_id"), "lex_score", "doc_id", RrfN)
-        .select(col("query_id"), col("doc_id"), col("rn").as("lex_rn"))
       val e = quantized(s, d)
       val sem = SimilaritySearch.bruteForceTopK(
           e.filter(col("vec_id") < NQueries),
           e.filter(col("vec_id") >= NQueries), RrfN)
         .select(col("query_id").as("qid"), col("cand_id").as("cand"),
           col("rn").as("sem_rn"))
-      val wRrf = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(col("rrf_e6").desc, col("cand_id").asc)
-      lex.join(sem,
-        col("query_id") === col("qid") && col("doc_id") === col("cand"), "full_outer")
-        .select(coalesce(col("query_id"), col("qid")).as("query_id"),
-          coalesce(col("doc_id"), col("cand")).as("cand_id"),
-          coalesce(expr("1000000 div (60 + lex_rn)"), lit(0L)).as("lex_c"),
-          coalesce(expr("1000000 div (60 + sem_rn)"), lit(0L)).as("sem_c"),
-          coalesce(col("lex_rn"), lit(-1L)).as("lex_rn"),
-          coalesce(col("sem_rn"), lit(-1L)).as("sem_rn"))
-        .withColumn("rrf_e6", col("lex_c") + col("sem_c"))
-        .withColumn("rn", row_number().over(wRrf).cast("long"))
-        .filter(col("rn") <= 10)
-        .select(col("query_id"), col("cand_id"), col("rrf_e6"),
-          col("lex_rn"), col("sem_rn"), col("rn"))
-        .orderBy("query_id", "rn")
+      rrfFuse(bm25ArmTopN(s, d), sem)
+    },
+
+    // HYBRID SERVING TWIN (r7 verdict item): d27 stays the eval twin —
+    // its semantic arm recomputes exact brute-force ranks so the oracle
+    // audits the ensemble against ground truth; THIS query serves the
+    // semantic arm from the PERSISTED IVF index (the d34 lifecycle:
+    // train-once codebook + pre-assigned postings stores), probed via
+    // ivfTopKAssigned — probe selection, per-list scoring, map-side-heap
+    // top-N, with no Lloyd job and no corpus argmin anywhere in the
+    // serving plan (PlanShapeSpec asserts store-only). Build runs here
+    // inline so the query is self-contained and the DuckDB oracle can
+    // replay training + assignment + probing in exact integers — the
+    // APPROXIMATE arm is itself hash-checked, not declared rows-only.
+    "d35_hybrid_rrf_served" -> { (s, d) =>
+      val sfName = new java.io.File(d).getName
+      val cbPath = s"/tmp/graft_stores/rrfivf_cb_$sfName"
+      val postPath = s"/tmp/graft_stores/rrfivf_post_$sfName"
+      val e = quantized(s, d)
+      val cands = e.filter(col("vec_id") >= NQueries)
+      // nightly build: train on the candidate corpus, persist both stores
+      val codebook = graft.operators.KMeans
+        .fitQuantizedSampled(cands, TargetClusterSize, SamplePct, IvfIters)
+      graft.operators.IvfIndex.save(codebook, cbPath)
+      graft.sources.ParquetStore.installOverwrite(
+        graft.operators.KMeans.assignQuantized(cands, codebook)
+          .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
+        postPath)
+      // serving: semantic arm reads ONLY the two stores
+      val cb = graft.operators.IvfIndex.load(s, cbPath)
+      val sem = SimilaritySearch.ivfTopKAssigned(
+          queries = e.filter(col("vec_id") < NQueries),
+          postings = s.read.parquet(postPath),
+          centroids = cb.select(col("cent_id").as("vec_id"), col("cq").as("q")),
+          nprobe = 2, k = RrfN)
+        .select(col("query_id").as("qid"), col("cand_id").as("cand"),
+          col("rn").as("sem_rn"))
+      rrfFuse(bm25ArmTopN(s, d), sem)
     },
 
     "d25_ann_recall_eval" -> { (s, d) =>
@@ -940,6 +988,46 @@ object SimilarityQueries {
        |${(0 until IvfIters).map(lloydIterCtes).mkString(",\n")},
        |cents AS (SELECT cent_id, cq FROM cb$IvfIters)""".stripMargin
 
+  /** d27/d35's shared lexical-arm CTEs, ending in `lex (query_id,
+    * doc_id, lex_rn)` — the BM25 top-RrfN replay of [[bm25ArmTopN]].
+    */
+  private def rrfLexCtes: String =
+    s"""t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+       |  FROM documents),
+       |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
+       |  WHERE doc_id < $NQueries),
+       |ct AS (SELECT doc_id, tok FROM t WHERE doc_id >= $NQueries),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ct GROUP BY doc_id),
+       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+       |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ct GROUP BY tok),
+       |tf AS (SELECT query_id, ct.doc_id, ct.tok, COUNT(*) AS tf
+       |  FROM ct JOIN qt USING (tok) GROUP BY query_id, ct.doc_id, ct.tok),
+       |sc AS (SELECT query_id, doc_id,
+       |    CAST(round(${graft.queries.TextQueries.bm25TermSql}) AS BIGINT) AS s_e6
+       |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
+       |lexs AS (SELECT query_id, doc_id, CAST(SUM(s_e6) AS BIGINT) AS lex_score
+       |  FROM sc GROUP BY query_id, doc_id),
+       |lex AS (SELECT * FROM (SELECT query_id, doc_id, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC) AS lex_rn
+       |  FROM lexs) WHERE lex_rn <= $RrfN)""".stripMargin
+
+  /** d27/d35's shared fusion tail over CTEs `lex` and `sem` — the exact
+    * SQL of [[rrfFuse]].
+    */
+  private def rrfFuseSql: String =
+    s"""fused AS (SELECT coalesce(query_id, qid) AS query_id,
+       |    coalesce(doc_id, cand) AS cand_id,
+       |    coalesce(1000000 // (60 + lex_rn), 0) +
+       |      coalesce(1000000 // (60 + sem_rn), 0) AS rrf_e6,
+       |    coalesce(lex_rn, -1) AS lex_rn, coalesce(sem_rn, -1) AS sem_rn
+       |  FROM lex FULL OUTER JOIN sem
+       |    ON lex.query_id = sem.qid AND lex.doc_id = sem.cand),
+       |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_e6 DESC, cand_id ASC) AS rn FROM fused)
+       |SELECT query_id, cand_id, rrf_e6, lex_rn, sem_rn, rn
+       |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin
+
   private def projDuck(c: String, plane: Int, planeOffset: Int): String = {
     val ws = (0 until Dims).map(planeWeight(planeOffset + plane, _)).mkString(", ")
     s"CAST(list_sum(list_transform(range(1, ${Dims + 1}), " +
@@ -1106,25 +1194,7 @@ object SimilarityQueries {
     },
 
     "d27_hybrid_rrf" ->
-      s"""WITH t AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
-         |  FROM documents),
-         |qt AS (SELECT DISTINCT doc_id AS query_id, tok FROM t
-         |  WHERE doc_id < $NQueries),
-         |ct AS (SELECT doc_id, tok FROM t WHERE doc_id >= $NQueries),
-         |dl AS (SELECT doc_id, COUNT(*) AS dl FROM ct GROUP BY doc_id),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         |    CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
-         |dft AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM ct GROUP BY tok),
-         |tf AS (SELECT query_id, ct.doc_id, ct.tok, COUNT(*) AS tf
-         |  FROM ct JOIN qt USING (tok) GROUP BY query_id, ct.doc_id, ct.tok),
-         |sc AS (SELECT query_id, doc_id,
-         |    CAST(round(${graft.queries.TextQueries.bm25TermSql}) AS BIGINT) AS s_e6
-         |  FROM tf JOIN dft USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats),
-         |lexs AS (SELECT query_id, doc_id, CAST(SUM(s_e6) AS BIGINT) AS lex_score
-         |  FROM sc GROUP BY query_id, doc_id),
-         |lex AS (SELECT * FROM (SELECT query_id, doc_id, row_number() OVER (
-         |    PARTITION BY query_id ORDER BY lex_score DESC, doc_id ASC) AS lex_rn
-         |  FROM lexs) WHERE lex_rn <= $RrfN),
+      s"""WITH $rrfLexCtes,
          |e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
          |qs AS (SELECT vec_id AS qid, q AS qq FROM e WHERE vec_id < $NQueries),
          |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
@@ -1132,17 +1202,35 @@ object SimilarityQueries {
          |    PARTITION BY qid ORDER BY dot DESC, cand ASC) AS sem_rn FROM
          |  (SELECT qid, cs.vec_id AS cand, ${dotDuck("qq", "q")} AS dot
          |   FROM cs CROSS JOIN qs)) WHERE sem_rn <= $RrfN),
-         |fused AS (SELECT coalesce(query_id, qid) AS query_id,
-         |    coalesce(doc_id, cand) AS cand_id,
-         |    coalesce(1000000 // (60 + lex_rn), 0) +
-         |      coalesce(1000000 // (60 + sem_rn), 0) AS rrf_e6,
-         |    coalesce(lex_rn, -1) AS lex_rn, coalesce(sem_rn, -1) AS sem_rn
-         |  FROM lex FULL OUTER JOIN sem
-         |    ON lex.query_id = sem.qid AND lex.doc_id = sem.cand),
-         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
-         |    ORDER BY rrf_e6 DESC, cand_id ASC) AS rn FROM fused)
-         |SELECT query_id, cand_id, rrf_e6, lex_rn, sem_rn, rn
-         |FROM ranked WHERE rn <= 10 ORDER BY query_id, rn""".stripMargin,
+         |$rrfFuseSql""".stripMargin,
+
+    // d27's lexical CTEs + the d34-style trained/assigned/probed IVF
+    // semantic arm, fused by the identical RRF tail — training included
+    // so the served approximate arm is hash-checked end to end
+    "d35_hybrid_rrf_served" ->
+      s"""WITH $rrfLexCtes,
+         |e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |cand AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |$trainedCentsCtes,
+         |ca AS (SELECT cand_id, q, cent_id FROM (
+         |    SELECT c.vec_id AS cand_id, c.q, ctr.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuck("c.q", "ctr.cq")} ASC, ctr.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ctr) WHERE pr = 1),
+         |qs AS (SELECT vec_id, q FROM e WHERE vec_id < $NQueries),
+         |qp AS (SELECT query_id, qq, cent_id FROM (
+         |    SELECT s.vec_id AS query_id, s.q AS qq, ctr.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY ${distDuck("s.q", "ctr.cq")} ASC, ctr.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ctr) WHERE pr <= 2),
+         |semsc AS (SELECT qp.query_id AS qid, ca.cand_id AS cand,
+         |    ${dotDuck("qp.qq", "ca.q")} AS dot
+         |  FROM ca JOIN qp USING (cent_id)),
+         |sem AS (SELECT qid, cand, sem_rn FROM (SELECT qid, cand,
+         |    row_number() OVER (PARTITION BY qid
+         |      ORDER BY dot DESC, cand ASC) AS sem_rn FROM semsc)
+         |  WHERE sem_rn <= $RrfN),
+         |$rrfFuseSql""".stripMargin,
 
     "d25_ann_recall_eval" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),

@@ -425,6 +425,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(nHeap >= 2, s"expected both arms' heap stages in:\n$plan")
   }
 
+  test("d35 semantic arm serves from the persisted IVF stores — no training in the serving plan") {
+    // the serving twin's claim: the semantic arm reads the codebook +
+    // postings stores; embeddings.parquet appears exactly ONCE (the
+    // query rows) — a corpus argmin or Lloyd retrain would need a second
+    // scan, and the training hash-sample filter (% 100) must not appear
+    val plan = SparkEntry.queries("d35_hybrid_rrf_served")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rrfivf_cb_"), s"must scan the codebook store:\n$plan")
+    assert(plan.contains("rrfivf_post_"), s"must scan the postings store:\n$plan")
+    assert("embeddings\\.parquet".r.findAllMatchIn(plan).size == 1,
+      s"embeddings must be scanned exactly once (the queries):\n$plan")
+    assert(!plan.contains("% 100"),
+      s"training sample filter leaked into the serving plan:\n$plan")
+  }
+
   test("q42 cohort matrix is one scan and one user-keyed shuffle — no join, no window") {
     // the cohort join-back and the MIN-OVER-user window both cost a
     // second pass over the distinct (user, day) pairs (or a second
