@@ -145,6 +145,131 @@ object TextQueries {
       .distinct()
   }
 
+  /** t25/t37's shared capped-rare fingerprint table: winnowing
+    * fingerprints joined against their corpus document frequency, with
+    * boilerplate fps (df > max(20, 1% of corpus)) dropped — the cap
+    * that bounds the candidate-pair join fan-out (t25's measured 79%
+    * pair mass on 216 fps). Materialization barrier: the table feeds
+    * both self-join sides (and t25's per-doc counts) — without it the
+    * winnow+df subtree executes once per consumer.
+    */
+  private[graft] def winnowRare(docs: DataFrame): DataFrame = {
+    val fpsAll = winnowFps(docs)
+    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+    val dfc = fpsAll.groupBy("fp").agg(count(lit(1)).as("dfc"))
+    fpsAll.join(dfc, "fp").crossJoin(broadcast(ndocs))
+      .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
+      .select("doc_id", "fp")
+      .localCheckpoint()
+  }
+
+  /** One detect→cut pass of t37's span removal over (doc_id, text):
+    * every span ≥ 20 chars shared between two docs is CUT from the
+    * higher doc_id (keep-lowest policy, applied per pair on the pass's
+    * INPUT texts, so a doc can simultaneously keep vs a higher partner
+    * and lose vs a lower one). Emits (doc_id, text_clean), one row per
+    * doc this pass CHANGED.
+    *
+    * Shape (the production reason detection and removal are split):
+    * candidate pairs come from the winnowing evidence at threshold ≥ 1
+    * shared rare fingerprint — the winnowing guarantee (any shared
+    * substring of length ≥ 13+8-1 = 20 selects a common fingerprint)
+    * makes this SUPERSET-complete for uncapped spans, while the df cap
+    * keeps the pair join linear (ubiquitous boilerplate phrasing is
+    * t23's domain, documented carve-out). Only evidenced docs are then
+    * gram-exploded (never the corpus), and the exact 20-gram equi-join
+    * on (keeper, gram) confirms real spans — fp-noise pairs (shared
+    * 13-char phrasing that never extends to 20) mark nothing and
+    * vanish. Cut = complement of the union of marked [p, p+19]
+    * intervals, assembled per doc with array HOFs (sorted fixed-width
+    * intervals: running cover end is last p + 19, so gap i is
+    * [ps[i-1]+20, ps[i]-1]).
+    */
+  private def spanPass(docs: DataFrame): DataFrame = {
+    val rare = winnowRare(docs)
+    val cand = rare.select(col("fp"), col("doc_id").as("a"))
+      .join(rare.select(col("fp").as("fp2"), col("doc_id").as("b")),
+        col("fp") === col("fp2") && col("a") < col("b"))
+      .select("a", "b").distinct()
+      .localCheckpoint() // feeds keeper ids, cut ids, and the mark join
+    def grams(ids: DataFrame): DataFrame = docs
+      .join(ids, "doc_id") // gram explode touches evidenced docs only
+      .filter(length(col("text")) >= 20) // sequence() would descend below
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, length(text) - 20), " +
+          "p -> named_struct('p', p, 'g', substring(text, p + 1, 20)))"))
+        .as("pg"))
+      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
+    val bg = grams(cand.select(col("b").as("doc_id")).distinct())
+      .select(col("doc_id").as("b"), col("p"), col("g"))
+    val ag = grams(cand.select(col("a").as("doc_id")).distinct())
+      .select(col("doc_id").as("a2"), col("g").as("g2")).distinct()
+    val marked = bg.join(broadcast(cand), "b")
+      .join(ag, col("a") === col("a2") && col("g") === col("g2"))
+      .select(col("b"), col("p")).distinct()
+    val ps = marked.groupBy("b")
+      .agg(sort_array(collect_set(col("p"))).as("ps"))
+    docs.join(ps, col("doc_id") === col("b"))
+      .withColumn("sg", expr(
+        "filter(transform(sequence(0, size(ps)), i -> named_struct(" +
+          "'gs', CASE WHEN i = 0 THEN 0 ELSE element_at(ps, i) + 20 END, " +
+          "'ge', CASE WHEN i = size(ps) THEN length(text) - 1 " +
+          "ELSE element_at(ps, i + 1) - 1 END)), x -> x.gs <= x.ge)"))
+      .withColumn("text_clean", expr(
+        "array_join(transform(sg, " +
+          "x -> substring(text, x.gs + 1, x.ge - x.gs + 1)), '')"))
+      .select(col("doc_id"), col("text_clean"))
+  }
+
+  /** t37's detect→REMOVE pipeline: [[spanPass]] iterated to the fixed
+    * point (early exit when a pass marks nothing, maxPasses cap on both
+    * engines so the DuckDB oracle can replay the unrolled passes).
+    *
+    * A single pass is NOT idempotent on real corpora — measured at
+    * sf0.001: changed docs 411 → 86 → 1 → 0 per pass (sf0.01:
+    * 409 → 65 → 7 → 0) — for two reasons: (1) cutting concatenates the
+    * surviving gap pieces, and the junction can re-create a ≥20-char
+    * span two cleaned docs share (template text with short varying
+    * infixes); (2) the rare-fp df cap is df-DEPENDENT — pass 1's cuts
+    * shrink boilerplate fingerprint frequencies below the cap,
+    * unlocking candidate pairs the first detection correctly skipped.
+    * The ~5–6× per-pass decay makes maxPasses=4 a fixed point at every
+    * tested SF (DedupSpec asserts one more pass marks nothing, and that
+    * no cleaned pair shares any evidenced ≥20-char span). Emits one row
+    * per doc changed vs the ORIGINAL corpus: (doc_id, removed_chars,
+    * text_clean). Each pass materializes the cleaned corpus
+    * (localCheckpoint) — at 100 TB these are the inter-stage tables a
+    * pipeline persists, and the early-exit count is the only
+    * driver-side value (the d26 PageRank loop discipline).
+    */
+  private[graft] def spanRemoval(docs0: DataFrame,
+      maxPasses: Int = SpanPasses): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text")).localCheckpoint()
+    var cur = docs
+    var pass = 0
+    var converged = false
+    while (pass < maxPasses && !converged) {
+      val out = spanPass(cur).localCheckpoint()
+      if (out.isEmpty) converged = true
+      else cur = cur.join(out, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("text_clean"), col("text")).as("text"))
+        .localCheckpoint()
+      pass += 1
+    }
+    docs.as("o").join(cur.as("n"), "doc_id")
+      .filter(length(col("n.text")) < length(col("o.text")))
+      .select(col("doc_id"),
+        (length(col("o.text")) - length(col("n.text")))
+          .cast("long").as("removed_chars"),
+        col("n.text").as("text_clean"))
+      .orderBy("doc_id")
+  }
+
+  /** Pass cap for [[spanRemoval]] — measured fixed point + 1 at all
+    * tested SFs; the oracle unrolls exactly this many passes. */
+  private[graft] val SpanPasses = 4
+
   private val modalityCase =
     "CASE WHEN doc_id % 10 < 6 THEN 'text' WHEN doc_id % 10 < 8 THEN 'image' " +
       "WHEN doc_id % 10 < 9 THEN 'audio' ELSE 'video' END"
@@ -673,19 +798,12 @@ object TextQueries {
       // content — it contributes O(df²) candidate pairs and ~0 evidence
       // (measured sf0.1: 216 such fps carried 79% of the 7.5M raw pairs).
       // Dropping them bounds per-fingerprint join fan-out by the cap.
-      val docs = Tables.documents(s, d)
-      val fpsAll = winnowFps(docs)
-      val ndocs = docs.agg(count(lit(1)).as("n_docs"))
-      val dfc = fpsAll.groupBy("fp").agg(count(lit(1)).as("dfc"))
-      // materialization barrier (the d11/KMeans pattern): the capped
-      // fingerprint table feeds BOTH self-join sides and the per-doc
-      // counts — without it the winnow+df subtree executes four times
-      // (verified via graft.Explain: zero ReusedExchange). At 100 TB this
-      // is the table a pipeline persists between stages.
-      val fps = fpsAll.join(dfc, "fp").crossJoin(broadcast(ndocs))
-        .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
-        .select("doc_id", "fp")
-        .localCheckpoint()
+      // capped-rare fp table factored as winnowRare (shared with t37's
+      // removal stage); the localCheckpoint barrier there is the
+      // d11/KMeans pattern — it feeds BOTH self-join sides and the
+      // per-doc counts (measured: the winnow+df subtree ran 4x without
+      // it). At 100 TB this is the table a pipeline persists.
+      val fps = winnowRare(Tables.documents(s, d))
       val cnt = fps.groupBy("doc_id").agg(count(lit(1)).as("nf"))
       val x = fps.join(cnt, "doc_id")
         .select(col("fp"), col("doc_id").as("a"), col("nf").as("na"))
@@ -700,6 +818,17 @@ object TextQueries {
           expr("CAST(round(n_shared * 10000.0 / least(na, nb)) AS BIGINT)"))
         .select(col("a"), col("b"), col("n_shared"), col("containment_e4"))
         .orderBy("a", "b")
+    },
+
+    "t37_span_removal" -> { (s, d) =>
+      // Exact substring-dedup REMOVAL (r7 verdict ask): t25 detects the
+      // ≥20-char cross-doc overlaps; this emits the cleaned corpus with
+      // the duplicated spans cut (keep-lowest-doc-id per pair) — the
+      // step a Lee-et-al.-style substring-dedup pipeline actually
+      // ships. All semantics + the scale argument live on
+      // [[spanRemoval]]; DedupSpec asserts the independent Scala replay
+      // (conservation) and idempotence (a second pass removes nothing).
+      spanRemoval(Tables.documents(s, d))
     },
 
     "t27_bm25" -> { (s, d) =>
@@ -1287,6 +1416,81 @@ object TextQueries {
   private val shingleHash13PosArrayDuck: String =
     s"list_transform(range(1, length(text) - 11), i -> $horner13Duck)"
 
+  /** t25/t37's shared detection CTE prefix — the DuckDB replay of
+    * [[winnowRare]] (via [[winnowFpsDeclarative]]'s windowed form) over
+    * source table `src` (doc_id, text), ending in `rare$x (doc_id,
+    * fp)`. All CTE names carry suffix `x` so t37 can unroll one block
+    * per pass; `d$x` stays in scope for the consumers' text lookups.
+    * Multi-consumer CTEs are MATERIALIZED: DuckDB otherwise inlines
+    * each reference, and t37's 4-pass chain (d referenced 5×/pass)
+    * re-expands the whole upstream pipeline per reference —
+    * exponentially many documents.parquet scans (measured: blows the
+    * 20k fd limit at sf0.01).
+    */
+  private def winnowRareCtes(src: String = "documents",
+      x: String = ""): String =
+    s"""d$x AS MATERIALIZED (SELECT doc_id, text,
+       |    list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
+       |  FROM $src),
+       |hs0$x AS (SELECT doc_id, $shingleHash13PosArrayDuck AS hl FROM d$x),
+       |h$x AS (SELECT doc_id, unnest(hl) AS hh,
+       |    unnest(range(1, len(hl) + 1)) AS pos FROM hs0$x),
+       |k$x AS (SELECT doc_id, pos,
+       |    (hh % $WinHMod) * $WinC + ($WinC - 1) - pos AS key,
+       |    COUNT(*) OVER (PARTITION BY doc_id) AS npos FROM h$x),
+       |w$x AS (SELECT doc_id, pos,
+       |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
+       |    npos FROM k$x),
+       |sel$x AS MATERIALIZED (SELECT DISTINCT doc_id, minkey // $WinC AS fp
+       |  FROM w$x WHERE pos <= npos - ${WinW - 1}),
+       |nd$x AS (SELECT COUNT(*) AS n_docs FROM d$x),
+       |dfc$x AS (SELECT fp, COUNT(*) AS dfc FROM sel$x GROUP BY fp),
+       |rare$x AS MATERIALIZED (
+       |  SELECT doc_id, s.fp FROM sel$x s JOIN dfc$x USING (fp), nd$x
+       |  WHERE dfc$x.dfc <= greatest(CAST(20 AS BIGINT), nd$x.n_docs // 100))""".stripMargin
+
+  /** One unrolled [[spanPass]] replay: detection prefix over `src`,
+    * candidate pairs at threshold >= 1 shared rare fp, exact 20-gram
+    * confirm join, interval-complement cut, ending in `nxt$x (doc_id,
+    * text)` — the pass's cleaned corpus. See spanRemoval for the
+    * engine-parity notes (coalesce: duckdb array_to_string([]) is NULL
+    * where spark array_join([]) is '').
+    */
+  private def spanPassCtes(src: String, x: String): String =
+    s"""${winnowRareCtes(src, x)},
+       |cand$x AS MATERIALIZED (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
+       |  FROM rare$x p JOIN rare$x q ON p.fp = q.fp AND p.doc_id < q.doc_id),
+       |bexp$x AS (SELECT d.doc_id AS b, d.text,
+       |    unnest(range(0, greatest(length(d.text) - 19, 0))) AS p
+       |  FROM d$x d JOIN (SELECT DISTINCT b FROM cand$x) cb ON d.doc_id = cb.b),
+       |bg$x AS (SELECT b, p, substr(text, CAST(p + 1 AS INT), 20) AS g
+       |  FROM bexp$x),
+       |aexp$x AS (SELECT d.doc_id AS a, d.text,
+       |    unnest(range(0, greatest(length(d.text) - 19, 0))) AS p
+       |  FROM d$x d JOIN (SELECT DISTINCT a FROM cand$x) ca ON d.doc_id = ca.a),
+       |ag$x AS (SELECT DISTINCT a, substr(text, CAST(p + 1 AS INT), 20) AS g
+       |  FROM aexp$x),
+       |marked$x AS (SELECT DISTINCT c.b, bg.p FROM cand$x c
+       |  JOIN bg$x bg ON bg.b = c.b JOIN ag$x ag ON ag.a = c.a AND ag.g = bg.g),
+       |mp$x AS (SELECT b, list_sort(array_agg(DISTINCT p)) AS ps
+       |  FROM marked$x GROUP BY b),
+       |cut$x AS (SELECT d.doc_id, d.text, list_filter(
+       |    list_transform(range(0, len(mp.ps) + 1), i -> {
+       |      'gs': CASE WHEN i = 0 THEN 0
+       |            ELSE mp.ps[CAST(i AS INT)] + 20 END,
+       |      'ge': CASE WHEN i = len(mp.ps) THEN length(d.text) - 1
+       |            ELSE mp.ps[CAST(i + 1 AS INT)] - 1 END}),
+       |    x -> x.gs <= x.ge) AS sg
+       |  FROM d$x d JOIN mp$x mp ON d.doc_id = mp.b),
+       |fin$x AS (SELECT doc_id,
+       |  coalesce(array_to_string(list_transform(sg,
+       |    x -> substr(text, CAST(x.gs + 1 AS INT),
+       |      CAST(x.ge - x.gs + 1 AS INT))), ''), '') AS text_clean FROM cut$x),
+       |nxt$x AS MATERIALIZED (
+       |  SELECT d.doc_id, coalesce(f.text_clean, d.text) AS text
+       |  FROM d$x d LEFT JOIN fin$x f ON d.doc_id = f.doc_id)""".stripMargin
+
   private val shingleHash13ArrayDuck: String =
     s"list_distinct($shingleHash13PosArrayDuck)"
 
@@ -1519,26 +1723,22 @@ object TextQueries {
          |SELECT doc_id, score_e6, rn FROM ranked WHERE rn <= 20
          |ORDER BY rn""".stripMargin,
 
+    // spanRemoval unrolled: SpanPasses detect→cut blocks, each reading
+    // the previous pass's cleaned corpus (nxt_i), then the final diff
+    // against the original texts — see spanPassCtes/spanRemoval
+    "t37_span_removal" ->
+      s"""WITH ${(1 to SpanPasses).map(i =>
+             spanPassCtes(if (i == 1) "documents" else s"nxt_${i - 1}", s"_$i"))
+             .mkString(",\n")}
+         |SELECT o.doc_id,
+         |  CAST(length(o.text) - length(n.text) AS BIGINT) AS removed_chars,
+         |  n.text AS text_clean
+         |FROM d_1 o JOIN nxt_$SpanPasses n ON o.doc_id = n.doc_id
+         |WHERE length(n.text) < length(o.text)
+         |ORDER BY o.doc_id""".stripMargin,
+
     "t25_winnow_overlap" ->
-      s"""WITH d AS (SELECT doc_id, text,
-         |    list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
-         |  FROM documents),
-         |hs0 AS (SELECT doc_id, $shingleHash13PosArrayDuck AS hl FROM d),
-         |h AS (SELECT doc_id, unnest(hl) AS hh,
-         |    unnest(range(1, len(hl) + 1)) AS pos FROM hs0),
-         |k AS (SELECT doc_id, pos,
-         |    (hh % $WinHMod) * $WinC + ($WinC - 1) - pos AS key,
-         |    COUNT(*) OVER (PARTITION BY doc_id) AS npos FROM h),
-         |w AS (SELECT doc_id, pos,
-         |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
-         |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
-         |    npos FROM k),
-         |sel AS (SELECT DISTINCT doc_id, minkey // $WinC AS fp
-         |  FROM w WHERE pos <= npos - ${WinW - 1}),
-         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
-         |dfc AS (SELECT fp, COUNT(*) AS dfc FROM sel GROUP BY fp),
-         |rare AS (SELECT doc_id, s.fp FROM sel s JOIN dfc USING (fp), nd
-         |  WHERE dfc.dfc <= greatest(CAST(20 AS BIGINT), nd.n_docs // 100)),
+      s"""WITH ${winnowRareCtes()},
          |cnt AS (SELECT doc_id, COUNT(*) AS nf FROM rare GROUP BY doc_id),
          |pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_shared
          |  FROM rare x JOIN rare y ON x.fp = y.fp AND x.doc_id < y.doc_id

@@ -222,6 +222,78 @@ class DedupSpec extends SparkSpec {
     assert(got.size == 10)
   }
 
+  test("span removal equals a brute-force all-pairs replay on planted spans") {
+    import spark.implicits._
+    // independent Scala oracle for t37: mark every position p in doc b
+    // whose 20-gram occurs in ANY lower-id doc, cut the union of
+    // [p, p+19] intervals. Equivalent to the fp-evidenced operator by
+    // the winnowing theorem (a shared 20-gram IS a >=20-char shared
+    // span => the pair is a candidate) as long as no fp hits the df cap
+    // (distinct fillers keep df tiny here).
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
+    def txt(len: Int) = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+    val s20 = txt(20) // theorem-minimum span
+    val s50 = txt(50) // long span
+    val sT = txt(30) // triple-shared span: middle doc keeps AND loses
+    val sMid = txt(25) // span shared by 11/12 only, absent from 10
+    val full = txt(40) // doc 31 is ENTIRELY this span -> text_clean ''
+    val rows = Seq(
+      1L -> (txt(30) + s20 + txt(30)),
+      2L -> (txt(25) + s20 + txt(40)),
+      3L -> (s50 + txt(35)),
+      4L -> (txt(15) + s50), // overlapping marks: s50 spans 31 positions
+      10L -> (txt(20) + sT + txt(20)),
+      11L -> (sT + txt(10) + sMid),
+      12L -> (sMid + txt(22) + sT),
+      30L -> (txt(12) + full + txt(12)),
+      31L -> full, // fully covered survivor -> empty text_clean
+      40L -> txt(90) // untouched -> absent from output
+    )
+    val got = graft.queries.TextQueries.spanRemoval(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = rows.flatMap { case (b, tb) =>
+      val lowGrams = rows.filter(_._1 < b).flatMap { case (_, ta) =>
+        (0 to ta.length - 20).map(p => ta.substring(p, p + 20))
+      }.toSet
+      val covered = Array.fill(tb.length)(false)
+      (0 to tb.length - 20)
+        .filter(p => lowGrams.contains(tb.substring(p, p + 20)))
+        .foreach(p => (p until p + 20).foreach(covered(_) = true))
+      val clean = tb.indices.collect { case i if !covered(i) => tb(i) }.mkString
+      if (clean.length == tb.length) None
+      else Some(b -> (((tb.length - clean.length).toLong, clean)))
+    }.toMap
+    assert(got == want)
+    assert(got(31L)._2 == "" && got.contains(11L) && got.contains(12L) &&
+      !got.contains(1L) && !got.contains(40L),
+      "planted shapes: full cover, chain middle, keeper-lowest")
+    // survivor property: no >=20-char span is shared across the cleaned
+    // corpus (keep-lowest => doc a's surviving grams were cut from b)
+    val cleaned = rows.map { case (id, t) => id -> got.get(id).fold(t)(_._2) }
+    for ((a, ta) <- cleaned; (b, tb) <- cleaned if a < b) {
+      val ga = (0 to ta.length - 20).map(p => ta.substring(p, p + 20)).toSet
+      val shared = (0 to tb.length - 20)
+        .exists(p => ga.contains(tb.substring(p, p + 20)))
+      assert(!shared, s"cleaned pair ($a,$b) still shares a 20-gram")
+    }
+  }
+
+  test("span removal is idempotent: a second pass removes nothing") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val first = graft.queries.TextQueries.spanRemoval(docs)
+    assert(first.count() > 0, "sf corpus must contain >=20-char overlaps")
+    val cleanedCorpus = docs.join(
+        first.select(col("doc_id"), col("text_clean")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text_clean"), col("text")).as("text"))
+      .localCheckpoint()
+    val second = graft.queries.TextQueries.spanRemoval(cleanedCorpus)
+    assert(second.count() == 0,
+      "second pass over the cleaned corpus must mark nothing")
+  }
+
   test("jaccard verify: bucketed sort-merge path equals the broadcast path") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfDir)
