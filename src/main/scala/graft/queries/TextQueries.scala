@@ -270,6 +270,108 @@ object TextQueries {
     * tested SFs; the oracle unrolls exactly this many passes. */
   private[graft] val SpanPasses = 4
 
+  // --- t36/t38 quality classifier: trained weights (r7 verdict ask) -----
+  // The FineWeb-Edu shape end to end: an expensive rule cascade (t22's
+  // gopher stack) plays the TEACHER; a 4-weight linear STUDENT over t36's
+  // cheap fixed-point features is trained to mimic it, then serving is a
+  // pure per-row projection at scan speed. Training is a BATCH integer
+  // perceptron — fixed TrainEpochs epochs, no early exit, no RNG — so
+  // every iteration is deterministic exact-BIGINT arithmetic the DuckDB
+  // oracle replays as chained CTEs (the d10 Lloyd discipline).
+  private[graft] val TrainEpochs = 8
+  private val BiasX = 100L // bias feature value: lets wb move under div-n lr
+
+  /** Feature+teacher table for t36/t38: t36's three fixed-point features
+    * (stop/short ratio e4, mean token length e2, all integer div) plus the
+    * t22 gopher verdict as the ±1 label. One documents scan; callers
+    * localCheckpoint it (it feeds every training epoch AND serving).
+    */
+  private[graft] def classifierFeatures(docs: DataFrame): DataFrame = docs
+    .withColumn("n_tok", expr(wsTokensSpark))
+    .withColumn("n_stop", expr(scoreSpark(langMarkers.head._2)))
+    .withColumn("n_short", expr(shortTokensSpark))
+    .withColumn("stop_ratio_e4", expr("n_stop * 10000 div (n_tok + 1)"))
+    .withColumn("short_ratio_e4", expr("n_short * 10000 div (n_tok + 1)"))
+    .withColumn("mean_len_e2", expr("n_chars * 100 div (n_tok + 1)"))
+    // teacher = t22's rule stack, replicated expression-for-expression
+    .withColumn("mwl_e2", expr(
+      "CAST(round((length(trim(text)) - (n_tok - 1)) * 100.0 / n_tok) AS BIGINT)"))
+    .withColumn("n_stopw", expr(stopwPresentSpark))
+    .withColumn("short_e4", expr(
+      "CAST(round(n_short * 10000.0 / n_tok) AS BIGINT)"))
+    .withColumn("y", expr(
+      "CASE WHEN n_tok < 30 OR n_tok > 100000 OR mwl_e2 < 300 " +
+        "OR mwl_e2 > 1000 OR n_stopw < 2 OR short_e4 > 4000 " +
+        "THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END"))
+    .select("doc_id", "n_tok", "stop_ratio_e4", "short_ratio_e4",
+      "mean_len_e2", "y")
+
+  private val misCondSql =
+    s"y * (w1 * stop_ratio_e4 + w2 * short_ratio_e4 + w3 * mean_len_e2 " +
+      s"+ wb * $BiasX) <= 0"
+  // floor(sx/n) in pure integers (the d12 convention): subtract the
+  // non-negative remainder so truncating and flooring division agree
+  private def floorDivSql(sx: String, n: String, div: String): String =
+    s"($sx - (($sx % $n + $n) % $n)) $div $n"
+
+  /** Batch perceptron over [[classifierFeatures]] output: w starts at 0;
+    * each epoch adds floor(Σ_misclassified y·x / n_docs) per weight (lr =
+    * 1/n keeps weights ~feature-scale; zero-init makes epoch 1's update
+    * the class-mean difference). Emits one row per epoch: (epoch, w_stop,
+    * w_short, w_mlen, w_bias, n_mis) where n_mis counts misclassifications
+    * ENTERING the epoch (epoch 1's n_mis = n_docs: y·0 ≤ 0 for all).
+    * Shape at 100 TB: each epoch is ONE map-side-combined aggregate over
+    * the persisted feature table; weights ride along as a broadcast 1-row
+    * table — no window, no driver-side values, lineage cut per epoch.
+    */
+  private[graft] def trainPerceptron(feat: DataFrame): DataFrame = {
+    def upd(sx: String) = floorDivSql(sx, "n", "div")
+    var w = feat.agg(count(lit(1)).cast("long").as("n"))
+      .select(lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"),
+        lit(0L).as("wb"), col("n"))
+      .localCheckpoint()
+    val epochs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (e <- 1 to TrainEpochs) {
+      val step = feat.crossJoin(broadcast(w))
+        .groupBy("w1", "w2", "w3", "wb", "n")
+        .agg(
+          sum(expr(s"CASE WHEN $misCondSql THEN y * stop_ratio_e4 " +
+            "ELSE CAST(0 AS BIGINT) END")).as("s1"),
+          sum(expr(s"CASE WHEN $misCondSql THEN y * short_ratio_e4 " +
+            "ELSE CAST(0 AS BIGINT) END")).as("s2"),
+          sum(expr(s"CASE WHEN $misCondSql THEN y * mean_len_e2 " +
+            "ELSE CAST(0 AS BIGINT) END")).as("s3"),
+          sum(expr(s"CASE WHEN $misCondSql THEN y * $BiasX " +
+            "ELSE CAST(0 AS BIGINT) END")).as("s0"),
+          count(expr(s"CASE WHEN $misCondSql THEN 1 END")).as("n_mis"))
+        .select(expr(s"w1 + ${upd("s1")}").as("w1"),
+          expr(s"w2 + ${upd("s2")}").as("w2"),
+          expr(s"w3 + ${upd("s3")}").as("w3"),
+          expr(s"wb + ${upd("s0")}").as("wb"),
+          col("n"), col("n_mis"))
+        .localCheckpoint()
+      epochs += step.select(lit(e.toLong).as("epoch"),
+        col("w1").as("w_stop"), col("w2").as("w_short"),
+        col("w3").as("w_mlen"), col("wb").as("w_bias"), col("n_mis"))
+      w = step.select("w1", "w2", "w3", "wb", "n")
+    }
+    epochs.reduce(_.unionByName(_))
+  }
+
+  /** Serve the trained classifier: score `feat` against a 1-row weight
+    * table (read back from the persisted store in t36) — broadcast cross
+    * join + pure projection, no aggregate, scan speed at 100 TB
+    * (PlanShapeSpec asserts no training appears in this subplan).
+    */
+  private[graft] def serveClassifier(feat: DataFrame, w: DataFrame): DataFrame = {
+    val logit = s"w_stop * stop_ratio_e4 + w_short * short_ratio_e4 " +
+      s"+ w_mlen * mean_len_e2 + w_bias * $BiasX"
+    feat.crossJoin(broadcast(w))
+      .select(col("doc_id"), col("n_tok"), col("stop_ratio_e4"),
+        col("short_ratio_e4"), col("mean_len_e2"),
+        expr(logit).as("logit"), expr(s"$logit >= 0").as("keep"))
+  }
+
   private val modalityCase =
     "CASE WHEN doc_id % 10 < 6 THEN 'text' WHEN doc_id % 10 < 8 THEN 'image' " +
       "WHEN doc_id % 10 < 9 THEN 'audio' ELSE 'video' END"
@@ -544,28 +646,38 @@ object TextQueries {
     },
 
     "t36_quality_classifier" -> { (s, d) =>
-      // Model-based quality filtering (the FineWeb-Edu / fasttext-style
-      // gate next to t02's rule scores and t34's DSIR weights): a linear
-      // classifier whose weights were trained OFFLINE (stub constants
-      // here — swap in the real model's) scores interpretable integer
-      // features (stopword ratio, short-token ratio, mean token length,
-      // all fixed-point) and keeps docs with non-negative logit.
-      // Inference is a pure per-row codegen projection — no shuffle, no
-      // broadcast, scan speed at 100 TB; the features are integer ratios
-      // so the verdict is exact on both engines.
-      Tables.documents(s, d)
-        .withColumn("n_tok", expr(wsTokensSpark))
-        .withColumn("n_stop", expr(scoreSpark(langMarkers.head._2)))
-        .withColumn("n_short", expr(shortTokensSpark))
-        .withColumn("stop_ratio_e4", expr("n_stop * 10000 div (n_tok + 1)"))
-        .withColumn("short_ratio_e4", expr("n_short * 10000 div (n_tok + 1)"))
-        .withColumn("mean_len_e2", expr("n_chars * 100 div (n_tok + 1)"))
-        .withColumn("logit_e4", expr(
-          "2 * stop_ratio_e4 - 3 * short_ratio_e4 + 10 * mean_len_e2 - 5600"))
-        .withColumn("keep", col("logit_e4") >= 0)
-        .select("doc_id", "n_tok", "stop_ratio_e4", "short_ratio_e4",
-          "mean_len_e2", "logit_e4", "keep")
-        .orderBy("doc_id")
+      // Model-based quality filtering, now the full FineWeb-Edu story
+      // (r7 verdict ask — r6's offline-trained stub constants are gone):
+      // the t22 gopher rule stack teaches a 4-weight linear student over
+      // cheap fixed-point features (see classifierFeatures /
+      // trainPerceptron), the trained weights are installed to a
+      // persisted store (atomic rename — the q36/q39 serving-split
+      // pattern), and SERVING reads the store back and scores the corpus
+      // as a broadcast-1-row projection: no training job, no aggregate in
+      // the serving subplan (PlanShapeSpec). Training runs inline here so
+      // the query stays self-contained and the oracle replays every
+      // epoch; production pays it once per refresh (t38 is the training
+      // query exposing the per-epoch trajectory).
+      val sfName = new java.io.File(d).getName
+      val path = s"/tmp/graft_stores/t36_weights_$sfName"
+      val feat = classifierFeatures(Tables.documents(s, d)).localCheckpoint()
+      val wFinal = trainPerceptron(feat)
+        .filter(col("epoch") === TrainEpochs.toLong)
+        .select("w_stop", "w_short", "w_mlen", "w_bias")
+      graft.sources.ParquetStore.installOverwrite(wFinal, path)
+      serveClassifier(feat, s.read.parquet(path)).orderBy("doc_id")
+    },
+
+    "t38_classifier_train" -> { (s, d) =>
+      // The training twin of t36: the batch-perceptron trajectory itself
+      // — one row per epoch with the weight vector and the misclassified
+      // count entering the epoch (vs the t22 teacher). Deterministic
+      // exact-BIGINT arithmetic end to end (zero init, floor-div 1/n
+      // learning rate, no RNG, fixed epoch count), so the oracle replays
+      // every epoch as a chained CTE — the training is hash-checked, not
+      // just the final weights (the d10 Lloyd discipline).
+      val feat = classifierFeatures(Tables.documents(s, d)).localCheckpoint()
+      trainPerceptron(feat).orderBy("epoch")
     },
 
     "t34_dsir_select" -> { (s, d) =>
@@ -1491,6 +1603,55 @@ object TextQueries {
        |  SELECT d.doc_id, coalesce(f.text_clean, d.text) AS text
        |  FROM d$x d LEFT JOIN fin$x f ON d.doc_id = f.doc_id)""".stripMargin
 
+  /** t36/t38's oracle training replay: feature+teacher table `pfeat`
+    * (MATERIALIZED — every epoch scans it) then one chained CTE pair
+    * (pu$e aggregate, pe$e update) per perceptron epoch — the exact
+    * integer twin of [[trainPerceptron]]. Epoch sums go HUGEINT in
+    * DuckDB, so each pe$e CASTs the updated weights back to BIGINT
+    * (check.py is type-sensitive). Ends in `pe{TrainEpochs}`.
+    */
+  private def perceptronCtes: String = {
+    val mis = s"f.y * (w.w1 * f.stop_ratio_e4 + w.w2 * f.short_ratio_e4 " +
+      s"+ w.w3 * f.mean_len_e2 + w.wb * $BiasX) <= 0"
+    def upd(pw: String, sx: String) =
+      s"CAST($pw + ${floorDivSql(sx, "n", "//")} AS BIGINT)"
+    val epochs = (1 to TrainEpochs).map { e =>
+      s"""pu$e AS (SELECT w.w1 AS pw1, w.w2 AS pw2, w.w3 AS pw3,
+         |    w.wb AS pwb, w.n AS n,
+         |    SUM(CASE WHEN $mis THEN f.y * f.stop_ratio_e4 ELSE 0 END) AS s1,
+         |    SUM(CASE WHEN $mis THEN f.y * f.short_ratio_e4 ELSE 0 END) AS s2,
+         |    SUM(CASE WHEN $mis THEN f.y * f.mean_len_e2 ELSE 0 END) AS s3,
+         |    SUM(CASE WHEN $mis THEN f.y * $BiasX ELSE 0 END) AS s0,
+         |    COUNT(*) FILTER (WHERE $mis) AS n_mis
+         |  FROM pfeat f, pe${e - 1} w GROUP BY w.w1, w.w2, w.w3, w.wb, w.n),
+         |pe$e AS (SELECT ${upd("pw1", "s1")} AS w1, ${upd("pw2", "s2")} AS w2,
+         |    ${upd("pw3", "s3")} AS w3, ${upd("pwb", "s0")} AS wb,
+         |    n, n_mis FROM pu$e)""".stripMargin
+    }.mkString(",\n")
+    s"""pf0 AS (SELECT doc_id, $wsTokensDuck AS n_tok,
+       |    ${scoreDuck(langMarkers.head._2)} AS n_stop,
+       |    $shortTokensDuck AS n_short, n_chars,
+       |    length(trim(text)) AS tchars, $stopwPresentDuck AS n_stopw
+       |  FROM documents),
+       |pf1 AS (SELECT doc_id, n_tok, n_stop, n_short, n_chars, n_stopw,
+       |    CAST(round((tchars - (n_tok - 1)) * 100.0 / n_tok) AS BIGINT)
+       |      AS mwl_e2,
+       |    CAST(round(n_short * 10000.0 / n_tok) AS BIGINT) AS short_e4
+       |  FROM pf0),
+       |pfeat AS MATERIALIZED (SELECT doc_id, n_tok,
+       |    CAST(n_stop AS BIGINT) * 10000 // (n_tok + 1) AS stop_ratio_e4,
+       |    CAST(n_short AS BIGINT) * 10000 // (n_tok + 1) AS short_ratio_e4,
+       |    CAST(n_chars AS BIGINT) * 100 // (n_tok + 1) AS mean_len_e2,
+       |    CASE WHEN n_tok < 30 OR n_tok > 100000 OR mwl_e2 < 300
+       |      OR mwl_e2 > 1000 OR n_stopw < 2 OR short_e4 > 4000
+       |      THEN CAST(-1 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS y
+       |  FROM pf1),
+       |pe0 AS (SELECT CAST(0 AS BIGINT) AS w1, CAST(0 AS BIGINT) AS w2,
+       |    CAST(0 AS BIGINT) AS w3, CAST(0 AS BIGINT) AS wb,
+       |    (SELECT COUNT(*) FROM pfeat) AS n),
+       |$epochs""".stripMargin
+  }
+
   private val shingleHash13ArrayDuck: String =
     s"list_distinct($shingleHash13PosArrayDuck)"
 
@@ -1608,21 +1769,26 @@ object TextQueries {
          |FROM (SELECT unnest(syms) AS symbol, cnt FROM seq$BpeIters)
          |GROUP BY symbol
          |ORDER BY corpus_count DESC, symbol ASC""".stripMargin,
-    "t36_quality_classifier" ->
-      s"""WITH f AS (SELECT doc_id, $wsTokensDuck AS n_tok,
-         |    ${scoreDuck(langMarkers.head._2)} AS n_stop,
-         |    $shortTokensDuck AS n_short, n_chars FROM documents),
-         |g AS (SELECT doc_id, n_tok,
-         |    CAST(n_stop AS BIGINT) * 10000 // (n_tok + 1) AS stop_ratio_e4,
-         |    CAST(n_short AS BIGINT) * 10000 // (n_tok + 1) AS short_ratio_e4,
-         |    CAST(n_chars AS BIGINT) * 100 // (n_tok + 1) AS mean_len_e2
-         |  FROM f)
-         |SELECT doc_id, n_tok, stop_ratio_e4, short_ratio_e4, mean_len_e2,
-         |  2 * stop_ratio_e4 - 3 * short_ratio_e4 + 10 * mean_len_e2 - 5600
-         |    AS logit_e4,
-         |  2 * stop_ratio_e4 - 3 * short_ratio_e4 + 10 * mean_len_e2 - 5600
-         |    >= 0 AS keep
-         |FROM g ORDER BY doc_id""".stripMargin,
+    // t36/t38 replay the perceptron training CTE chain; t36 then scores
+    // pfeat with pe{TrainEpochs}'s weights (Spark reads them back from
+    // the persisted store — same values by the training-replay identity)
+    "t36_quality_classifier" -> {
+      val logit = s"w.w1 * f.stop_ratio_e4 + w.w2 * f.short_ratio_e4 " +
+        s"+ w.w3 * f.mean_len_e2 + w.wb * $BiasX"
+      s"""WITH $perceptronCtes
+         |SELECT f.doc_id, f.n_tok, f.stop_ratio_e4, f.short_ratio_e4,
+         |  f.mean_len_e2, $logit AS logit, $logit >= 0 AS keep
+         |FROM pfeat f, pe$TrainEpochs w ORDER BY f.doc_id""".stripMargin
+    },
+
+    "t38_classifier_train" ->
+      s"""WITH $perceptronCtes
+         |SELECT * FROM (
+         |${(1 to TrainEpochs).map(e =>
+             s"  SELECT CAST($e AS BIGINT) AS epoch, w1 AS w_stop, " +
+               s"w2 AS w_short, w3 AS w_mlen, wb AS w_bias, n_mis FROM pe$e")
+             .mkString("\n  UNION ALL\n")}
+         |) ORDER BY epoch""".stripMargin,
 
     "t34_dsir_select" -> {
       val codeDuck = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +

@@ -436,6 +436,23 @@ class PipelineInvariantSpec extends SparkSpec {
     }
   }
 
+  test("t38 perceptron learns: all-misclassified at zero init, beats it by 2x trained") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfDir).count()
+    val traj = SparkEntry.queries("t38_classifier_train")(spark, sfDir)
+      .select("epoch", "n_mis").as[(Long, Long)].collect().sortBy(_._1)
+    assert(traj.length == graft.queries.TextQueries.TrainEpochs)
+    assert(traj.head._2 == docs,
+      "epoch 1 enters with zero weights: y*0 <= 0 misclassifies every doc")
+    assert(traj.last._2 * 2 < docs,
+      s"trained model must halve the zero-model error: ${traj.toSeq}")
+    // t36 serves the SAME final weights the trajectory ends at: its keep
+    // verdict must match sign(w_T · x) recomputed from the features
+    val t36 = SparkEntry.queries("t36_quality_classifier")(spark, sfDir)
+    assert(t36.filter("(logit >= 0) <> keep").count() == 0)
+    assert(t36.filter("keep").count() > 0, "non-degenerate verdict split")
+  }
+
   test("d30 tuning curve is monotone in nprobe (recall and cost)") {
     import spark.implicits._
     val c = SparkEntry.queries("d30_nprobe_sweep")(spark, sfDir)
@@ -539,6 +556,30 @@ class PlanShapeSpec extends SparkSpec {
       s"serving must not scan the raw events table:\n$plan")
     // and estimates are never below zero + present for every lookup
     assert(serve.count() == 24)
+  }
+
+  test("t36 serving plan scores from the weight store — no training, no aggregate") {
+    // the classifier serving split's claim: once weights are trained and
+    // installed, scoring is a broadcast-1-row pure projection over the
+    // feature table — no perceptron epochs, no aggregate, and the corpus
+    // parquet is not rescanned (features come from the checkpointed table)
+    import org.apache.spark.sql.functions.col
+    val path = s"/tmp/graft_stores/t36w_spec_${System.nanoTime()}"
+    val feat = graft.queries.TextQueries
+      .classifierFeatures(Tables.documents(spark, sfDir)).localCheckpoint()
+    graft.queries.TextQueries.trainPerceptron(feat)
+      .filter(col("epoch") === graft.queries.TextQueries.TrainEpochs.toLong)
+      .select("w_stop", "w_short", "w_mlen", "w_bias")
+      .write.mode("overwrite").parquet(path)
+    val serve = graft.queries.TextQueries
+      .serveClassifier(feat, spark.read.parquet(path))
+    val plan = serve.queryExecution.executedPlan.toString
+    assert(plan.contains(path), s"serving must scan the weight store:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"serving is a pure projection — no aggregate:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      s"serving must not rescan the corpus:\n$plan")
+    assert(serve.count() == feat.count(), "one verdict per document")
   }
 
   test("q41 MV refresh reads the store plus the pushed-filter delta, never history") {
