@@ -153,9 +153,15 @@ object TextQueries {
     * both self-join sides (and t25's per-doc counts) — without it the
     * winnow+df subtree executes once per consumer.
     */
-  private[graft] def winnowRare(docs: DataFrame): DataFrame = {
-    val fpsAll = winnowFps(docs)
-    val ndocs = docs.agg(count(lit(1)).as("n_docs"))
+  private[graft] def winnowRare(docs: DataFrame): DataFrame =
+    capRare(winnowFps(docs), docs.agg(count(lit(1)).as("n_docs")))
+
+  /** The df-cap half of [[winnowRare]], split out so t37's later passes
+    * can feed an INCREMENTALLY maintained raw-fp table instead of
+    * re-winnowing the whole corpus (fps are a deterministic function of
+    * text, so unchanged docs keep their pass-1 fps verbatim).
+    */
+  private def capRare(fpsAll: DataFrame, ndocs: DataFrame): DataFrame = {
     val dfc = fpsAll.groupBy("fp").agg(count(lit(1)).as("dfc"))
     fpsAll.join(dfc, "fp").crossJoin(broadcast(ndocs))
       .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
@@ -185,8 +191,7 @@ object TextQueries {
     * intervals: running cover end is last p + 19, so gap i is
     * [ps[i-1]+20, ps[i]-1]).
     */
-  private def spanPass(docs: DataFrame): DataFrame = {
-    val rare = winnowRare(docs)
+  private def spanPass(docs: DataFrame, rare: DataFrame): DataFrame = {
     val cand = rare.select(col("fp"), col("doc_id").as("a"))
       .join(rare.select(col("fp").as("fp2"), col("doc_id").as("b")),
         col("fp") === col("fp2") && col("a") < col("b"))
@@ -241,20 +246,35 @@ object TextQueries {
     * (localCheckpoint) — at 100 TB these are the inter-stage tables a
     * pipeline persists, and the early-exit count is the only
     * driver-side value (the d26 PageRank loop discipline).
+    *
+    * The raw fingerprint table is maintained INCREMENTALLY across
+    * passes: only pass 1 winnows the whole corpus; pass k+1 re-winnows
+    * just the docs pass k changed (~1% and decaying) and anti-joins out
+    * their stale fps — identical to a full re-winnow because fps are a
+    * deterministic per-doc function of text. Only the cheap df-cap
+    * groupBy reruns corpus-wide (the cap is global by design).
     */
   private[graft] def spanRemoval(docs0: DataFrame,
       maxPasses: Int = SpanPasses): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text")).localCheckpoint()
+    val ndocs = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint()
     var cur = docs
+    var fps = winnowFps(cur).localCheckpoint()
     var pass = 0
     var converged = false
     while (pass < maxPasses && !converged) {
-      val out = spanPass(cur).localCheckpoint()
+      val out = spanPass(cur, capRare(fps, ndocs)).localCheckpoint()
       if (out.isEmpty) converged = true
-      else cur = cur.join(out, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("text_clean"), col("text")).as("text"))
-        .localCheckpoint()
+      else {
+        val changed = out.select("doc_id")
+        cur = cur.join(out, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("text_clean"), col("text")).as("text"))
+          .localCheckpoint()
+        fps = fps.join(changed, Seq("doc_id"), "left_anti")
+          .unionByName(winnowFps(cur.join(changed, "doc_id")))
+          .localCheckpoint()
+      }
       pass += 1
     }
     docs.as("o").join(cur.as("n"), "doc_id")
