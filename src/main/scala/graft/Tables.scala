@@ -20,16 +20,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    * reader rejects; read it as a long (legacy conf) and convert to a µs
-    * TimestampType column. Second/day-granularity comparisons against
-    * ns-precision engines stay exact.
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) and timestamp[us]
+    * parquet across driver testdata generations, so the loader is
+    * schema-adaptive: it reads with the legacy nanos-as-long conf enabled
+    * (a no-op for non-nanos files) and branches on the type Spark actually
+    * resolved. Every branch normalizes to a µs-precision TimestampType
+    * column; second/day-granularity comparisons against the oracle stay
+    * exact either way (sessions pin spark.sql.session.timeZone=UTC, so the
+    * NTZ→TZ cast is value-preserving).
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType    => raw
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case other =>
+        throw new IllegalStateException(s"events.ts: unexpected parquet type $other")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
