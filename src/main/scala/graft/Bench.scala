@@ -49,24 +49,39 @@ object Bench {
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
-    val results: Map[String, (Double, Double)] = selected.map { case (name, fn) =>
-      try {
-        (0 until warmups).foreach(_ => once(fn))
-        System.gc()
-        val times = (0 until reps).map(_ => once(fn))
-        val spread = if (times.min > 0) (times.max - times.min) / times.min else 0.0
-        name -> (times.min, spread)
-      } catch {
-        // sentinel: a crashed query must not read as a fast query
-        case e: Throwable =>
-          System.err.println(s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
-          name -> (-1.0, 0.0)
+    // Long-tail cap (r7 verdict item): a query whose WARMUP run already
+    // exceeds capSec reports that single (cold) time with capped=true and
+    // skips the timed reps — one pathological query must not triple the
+    // wall clock and starve the driver's window. Everything under the cap
+    // keeps the warm-min protocol unchanged.
+    val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_S", "30").toDouble
+    val results: Map[String, (Double, Double, Boolean)] =
+      selected.map { case (name, fn) =>
+        try {
+          val warmTimes = (0 until warmups).map(_ => once(fn))
+          if (warmTimes.nonEmpty && warmTimes.min > capSec)
+            name -> (warmTimes.min, 0.0, true)
+          else {
+            System.gc()
+            val times = (0 until reps).map(_ => once(fn))
+            val spread =
+              if (times.min > 0) (times.max - times.min) / times.min else 0.0
+            name -> (times.min, spread, false)
+          }
+        } catch {
+          // sentinel: a crashed query must not read as a fast query
+          case e: Throwable =>
+            System.err.println(
+              s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+            name -> (-1.0, 0.0, false)
+        }
       }
-    }
-    def fmtMap(sel: ((String, (Double, Double))) => Double): String =
+    def fmtMap(sel: ((String, (Double, Double, Boolean))) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel((k, v)) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (v, _)) if v < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val capped = results.collect { case (k, (_, _, true)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val ok = results.values.filter(_._1 >= 0)
     val total = ok.map(_._1).sum
@@ -76,13 +91,13 @@ object Bench {
     // front-truncated tail of this line, so totals + the slowest-10 must
     // sit at the end to survive truncation for cross-round comparison.
     val slowest10 = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
-      .map { case (k, (v, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
-      s""""errors":$errs,"spread":${fmtMap(_._2._2)},"queries":${fmtMap(_._2._1)},""" +
-      s""""tail":$tail}"""
+      s""""errors":$errs,"capped":$capped,"spread":${fmtMap(_._2._2)},""" +
+      s""""queries":${fmtMap(_._2._1)},"tail":$tail}"""
     println(line)
     // The driver keeps only a ~2000-char tail of stdout, losing most of
     // the per-query dict each round (r6 verdict ask): also write the

@@ -131,6 +131,7 @@ object GraftFunctions {
   val sh13Info = new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingles13")
   val simh32Info = new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash32")
   val winnow13Info = new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow13")
+  val winnow13pInfo = new ExpressionInfo(classOf[WinnowFps].getName, "graft_winnow13p")
   val hplanesInfo = new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplanes")
   val bloomAggInfo = new ExpressionInfo(
     classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
@@ -175,6 +176,11 @@ object GraftFunctions {
     (FunctionIdentifier("graft_winnow13"), winnow13Info,
       (exprs: Seq[Expression]) => WinnowFps(exprs(0), Sh13Params._1,
         Sh13Params._2, Sh13Params._3, 8, 1L << 40, 1L << 20)),
+    // positional twin: distinct packed minkeys (fp*2^20 + (2^20-1-pos))
+    (FunctionIdentifier("graft_winnow13p"), winnow13pInfo,
+      (exprs: Seq[Expression]) => WinnowFps(exprs(0), Sh13Params._1,
+        Sh13Params._2, Sh13Params._3, 8, 1L << 40, 1L << 20,
+        keepPos = true)),
     (FunctionIdentifier("graft_hyperplanes"), hplanesInfo,
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs(0),
         literalInt(exprs, 1, "graft_hyperplanes", "tables"),

@@ -23,9 +23,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Window minima use the naive O(w) inner loop: w is 8; a monotonic deque
   * would only obscure the arithmetic the oracle must replay.
+  *
+  * `keepPos = true` (graft_winnow13p) emits the distinct PACKED minkeys
+  * instead of `minkey / c`: fp = key div c, selected 1-based gram
+  * position = (c-1) - key mod c. t37's position-bounded span confirm
+  * needs the selection positions — a shared >=20-char span selects a
+  * common fp at the same relative offset in both docs, so the exact
+  * 20-gram confirm join only has to look at the w positions behind each
+  * shared-fp occurrence instead of gram-exploding whole documents.
   */
 case class WinnowFps(child: Expression, n: Int, base: Long, mod: Long,
-    w: Int, hmod: Long, c: Long) extends UnaryExpression {
+    w: Int, hmod: Long, c: Long, keepPos: Boolean = false)
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = child.nullable
@@ -70,7 +79,7 @@ case class WinnowFps(child: Expression, n: Int, base: Long, mod: Long,
       var mn = k(s)
       var t = 1
       while (t < w) { if (k(s + t) < mn) mn = k(s + t); t += 1 }
-      f(s) = mn / c
+      f(s) = if (keepPos) mn else mn / c
       s += 1
     }
     java.util.Arrays.sort(f)
@@ -124,7 +133,7 @@ case class WinnowFps(child: Expression, n: Int, base: Long, mod: Long,
          |    for (int $t = 1; $t < $w; $t++) {
          |      if ($k[$s + $t] < $mn) $mn = $k[$s + $t];
          |    }
-         |    $f[$s] = $mn / ${c}L;
+         |    $f[$s] = ${if (keepPos) s"$mn" else s"$mn / ${c}L"};
          |  }
          |  java.util.Arrays.sort($f);
          |  int $m = 1;

@@ -403,24 +403,41 @@ object SimilarityQueries {
     // train-once codebook + pre-assigned postings stores), probed via
     // ivfTopKAssigned — probe selection, per-list scoring, map-side-heap
     // top-N, with no Lloyd job and no corpus argmin anywhere in the
-    // serving plan (PlanShapeSpec asserts store-only). Build runs here
-    // inline so the query is self-contained and the DuckDB oracle can
-    // replay training + assignment + probing in exact integers — the
-    // APPROXIMATE arm is itself hash-checked, not declared rows-only.
+    // serving plan (PlanShapeSpec asserts store-only). The nightly
+    // build runs here ONLY when the stores are missing or stale (a
+    // marker records recipe version + corpus size — the r7 verdict's
+    // "don't pay the trainer on every serve" ask): the build is
+    // RNG-free and deterministic in the corpus, so a valid store serves
+    // rows identical to a fresh build, and the DuckDB oracle replaying
+    // training + assignment + probing in exact integers still
+    // hash-agrees — the APPROXIMATE arm stays hash-checked end to end.
     "d35_hybrid_rrf_served" -> { (s, d) =>
       val sfName = new java.io.File(d).getName
-      val cbPath = s"/tmp/graft_stores/rrfivf_cb_$sfName"
-      val postPath = s"/tmp/graft_stores/rrfivf_post_$sfName"
+      val ver = 2 // bump to invalidate stores when the build recipe changes
+      val cbPath = s"/tmp/graft_stores/rrfivf${ver}_cb_$sfName"
+      val postPath = s"/tmp/graft_stores/rrfivf${ver}_post_$sfName"
+      val metaPath = java.nio.file.Paths
+        .get(s"/tmp/graft_stores/rrfivf${ver}_meta_$sfName.txt")
       val e = quantized(s, d)
-      val cands = e.filter(col("vec_id") >= NQueries)
-      // nightly build: train on the candidate corpus, persist both stores
-      val codebook = graft.operators.KMeans
-        .fitQuantizedSampled(cands, TargetClusterSize, SamplePct, IvfIters)
-      graft.operators.IvfIndex.save(codebook, cbPath)
-      graft.sources.ParquetStore.installOverwrite(
-        graft.operators.KMeans.assignQuantized(cands, codebook)
-          .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
-        postPath)
+      // metadata-only count (vec_id is dense [0, n)): no corpus scan
+      val want = s"n=${Tables.embeddings(s, d).count() - NQueries}"
+      val valid = java.nio.file.Files.exists(metaPath) &&
+        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8") == want &&
+        new java.io.File(cbPath).exists && new java.io.File(postPath).exists
+      if (!valid) {
+        // nightly build: train on the candidate corpus, persist both
+        // stores, then publish the marker (stores install atomically
+        // first, so a failed build never validates)
+        val cands = e.filter(col("vec_id") >= NQueries)
+        val codebook = graft.operators.KMeans
+          .fitQuantizedSampled(cands, TargetClusterSize, SamplePct, IvfIters)
+        graft.operators.IvfIndex.save(codebook, cbPath)
+        graft.sources.ParquetStore.installOverwrite(
+          graft.operators.KMeans.assignQuantized(cands, codebook)
+            .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
+          postPath)
+        java.nio.file.Files.write(metaPath, want.getBytes("UTF-8"))
+      }
       // serving: semantic arm reads ONLY the two stores
       val cb = graft.operators.IvfIndex.load(s, cbPath)
       val sem = SimilaritySearch.ivfTopKAssigned(

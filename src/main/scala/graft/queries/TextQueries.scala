@@ -145,6 +145,19 @@ object TextQueries {
       .distinct()
   }
 
+  /** Positional twin of [[winnowFps]]: (doc_id, fp, gpos) rows, where
+    * gpos is the 1-based gram position of the selected occurrence,
+    * recovered from the packed minkey (`fp = key div c`,
+    * `gpos = (c-1) - key mod c`). t37's position-bounded confirm join
+    * needs the selection positions; t25 keeps the fp-only form.
+    */
+  private[graft] def winnowFpsPos(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"), explode(expr("graft_winnow13p(text)")).as("key"))
+      .select(col("doc_id"), expr(s"key div $WinC").as("fp"),
+        expr(s"($WinC - 1) - (key % $WinC)").as("gpos"))
+  }
+
   /** t25/t37's shared capped-rare fingerprint table: winnowing
     * fingerprints joined against their corpus document frequency, with
     * boilerplate fps (df > max(20, 1% of corpus)) dropped — the cap
@@ -169,49 +182,102 @@ object TextQueries {
       .localCheckpoint()
   }
 
+  /** Positional [[capRare]]: same df cap (document frequency over
+    * DISTINCT (doc_id, fp) — a fp selected at several positions counts
+    * its doc once), but the surviving rows keep every selection
+    * position: (doc_id, fp, gpos).
+    */
+  private[graft] def capRarePos(fpsPos: DataFrame, ndocs: DataFrame): DataFrame = {
+    val dfc = fpsPos.select("doc_id", "fp").distinct()
+      .groupBy("fp").agg(count(lit(1)).as("dfc"))
+    fpsPos.join(dfc, "fp").crossJoin(broadcast(ndocs))
+      .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
+      .select("doc_id", "fp", "gpos")
+      .localCheckpoint()
+  }
+
   /** One detect→cut pass of t37's span removal over (doc_id, text):
-    * every span ≥ 20 chars shared between two docs is CUT from the
-    * higher doc_id (keep-lowest policy, applied per pair on the pass's
-    * INPUT texts, so a doc can simultaneously keep vs a higher partner
-    * and lose vs a lower one). Emits (doc_id, text_clean), one row per
-    * doc this pass CHANGED.
+    * every evidenced span ≥ 20 chars shared between two docs is CUT
+    * from the higher doc_id (keep-lowest policy, applied per pair on
+    * the pass's INPUT texts, so a doc can simultaneously keep vs a
+    * higher partner and lose vs a lower one). Emits (doc_id,
+    * text_clean), one row per doc this pass CHANGED.
     *
-    * Shape (the production reason detection and removal are split):
-    * candidate pairs come from the winnowing evidence at threshold ≥ 1
-    * shared rare fingerprint — the winnowing guarantee (any shared
-    * substring of length ≥ 13+8-1 = 20 selects a common fingerprint)
-    * makes this SUPERSET-complete for uncapped spans, while the df cap
-    * keeps the pair join linear (ubiquitous boilerplate phrasing is
-    * t23's domain, documented carve-out). Only evidenced docs are then
-    * gram-exploded (never the corpus), and the exact 20-gram equi-join
-    * on (keeper, gram) confirms real spans — fp-noise pairs (shared
-    * 13-char phrasing that never extends to 20) mark nothing and
-    * vanish. Cut = complement of the union of marked [p, p+19]
+    * Shape — confirm work is ∝ EVIDENCE OCCURRENCES, never ∝ document
+    * bytes or ∝ pairs × grams: the winnowing window argument says a
+    * shared 20-char span selects a COMMON fingerprint from the window
+    * of WinW=8 grams it contains, at the SAME relative offset δ in
+    * both docs. So a confirmed 20-gram behind evidence occurrence
+    * (fp at 1-based gram position ga in keeper a, gb in b) can only
+    * start at the ALIGNED char offsets (ga-k, gb-k) for k ∈ [1, WinW] —
+    * WinW aligned probes per evidence row, each comparing two 20-char
+    * slices. That replaces r7's whole-document gram explode joined
+    * against the ~10^6-pair candidate broadcast (grams × partners —
+    * the 208 s bench catastrophe on the self-similar corpus) with
+    * |evidence| × WinW narrow rows and two by-(doc, offset) equi-joins
+    * against bounded 20-char slice tables. Spans ALL of whose windows
+    * select df-capped boilerplate fps are t23's domain (documented
+    * carve-out; on cap-free corpora the aligned bounded confirm equals
+    * the all-pairs gram join exactly — OperatorsSpec replays that
+    * equivalence). Cut = complement of the union of marked [p, p+19]
     * intervals, assembled per doc with array HOFs (sorted fixed-width
     * intervals: running cover end is last p + 19, so gap i is
     * [ps[i-1]+20, ps[i]-1]).
     */
-  private def spanPass(docs: DataFrame, rare: DataFrame): DataFrame = {
-    val cand = rare.select(col("fp"), col("doc_id").as("a"))
-      .join(rare.select(col("fp").as("fp2"), col("doc_id").as("b")),
+  private def spanPass(docs: DataFrame, rarePos: DataFrame): DataFrame = {
+    // evidence occurrences: every (position of a) × (position of b) of
+    // every rare fp two docs share, keep-lowest orientation a < b
+    val ev = rarePos
+      .select(col("fp"), col("doc_id").as("a"), col("gpos").as("ga"))
+      .join(rarePos.select(col("fp").as("fp2"), col("doc_id").as("b"),
+          col("gpos").as("gb")),
         col("fp") === col("fp2") && col("a") < col("b"))
-      .select("a", "b").distinct()
-      .localCheckpoint() // feeds keeper ids, cut ids, and the mark join
-    def grams(ids: DataFrame): DataFrame = docs
-      .join(ids, "doc_id") // gram explode touches evidenced docs only
-      .filter(length(col("text")) >= 20) // sequence() would descend below
+      .select("a", "b", "ga", "gb")
+    // ONE 27-char context-slice table over every shareable occurrence
+    // (fp present in >= 2 docs — cheap min/max-doc stats; a (doc, gpos)
+    // determines its fp, so the rows are distinct by construction). The
+    // slice [max(gpos-WinW,0), gpos+18] covers all WinW aligned window
+    // starts behind gpos, so the probe below needs no ±WinW row
+    // explosion at all. ~|evidence positions| × 35 B: BROADCAST-sized
+    // relative to the probe (at cluster scale, dropping the hint lets
+    // Spark fall back to a shuffle join on (doc, gpos) — same plan
+    // shape, no semantic dependence on the broadcast).
+    val fpStats = rarePos.groupBy("fp")
+      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+    val s27 = rarePos.join(broadcast(fpStats), "fp")
+      .filter(col("mn") < col("mx"))
+      .groupBy("doc_id").agg(collect_set(col("gpos")).as("gps"))
+      .join(docs, "doc_id")
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, length(text) - 20), " +
-          "p -> named_struct('p', p, 'g', substring(text, p + 1, 20)))"))
-        .as("pg"))
-      .select(col("doc_id"), col("pg.p").as("p"), col("pg.g").as("g"))
-    val bg = grams(cand.select(col("b").as("doc_id")).distinct())
-      .select(col("doc_id").as("b"), col("p"), col("g"))
-    val ag = grams(cand.select(col("a").as("doc_id")).distinct())
-      .select(col("doc_id").as("a2"), col("g").as("g2")).distinct()
-    val marked = bg.join(broadcast(cand), "b")
-      .join(ag, col("a") === col("a2") && col("g") === col("g2"))
-      .select(col("b"), col("p")).distinct()
+        s"transform(gps, gp -> named_struct('gpos', gp, " +
+          s"'st', greatest(gp - $WinW, 0L), " +
+          s"'s', substring(text, CAST(greatest(gp - $WinW, 0L) + 1 AS INT), " +
+          s"CAST(gp + 19 - greatest(gp - $WinW, 0L) AS INT))))")).as("sl"))
+      .select(col("doc_id"), col("sl.gpos").as("gpos"),
+        col("sl.st").as("st"), col("sl.s").as("s"))
+      .localCheckpoint() // built once, probed on both sides below
+    // aligned probe: explode k in [1, WinW], then ONE codegen'd filter
+    // comparing the two 20-char cuts at aligned offsets (ra-k, rb-k),
+    // where ra = ga-sta, rb = gb-stb (= min(gpos, WinW)). Formulation
+    // measured at sf0.1: array-HOF lambda probe 12.5 s (lambdas run
+    // interpreted per element), 8 unrolled inline CASE branches 26 s
+    // (blows the per-function codegen budget and falls back), plain
+    // explode + scalar predicate 3.9 s — the join→explode→compare
+    // chain stays one WholeStageCodegen span.
+    val marked = ev
+      .join(broadcast(s27.select(col("doc_id").as("b"), col("gpos").as("gb"),
+        col("st").as("stb"), col("s").as("sb"))), Seq("b", "gb"))
+      .join(broadcast(s27.select(col("doc_id").as("a"), col("gpos").as("ga"),
+        col("st").as("sta"), col("s").as("sa"))), Seq("a", "ga"))
+      .select(col("b"), col("gb"), (col("gb") - col("stb")).as("rb"),
+        col("sb"), (col("ga") - col("sta")).as("ra"), col("sa"),
+        explode(expr(s"sequence(1, $WinW)")).as("k"))
+      .filter(expr("k <= rb AND k <= ra " +
+        "AND rb - k + 20 <= length(sb) AND ra - k + 20 <= length(sa) " +
+        "AND substring(sb, CAST(rb - k + 1 AS INT), 20) = " +
+        "substring(sa, CAST(ra - k + 1 AS INT), 20)"))
+      .select(col("b"), (col("gb") - col("k")).as("p"))
+      .distinct()
     val ps = marked.groupBy("b")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
     docs.join(ps, col("doc_id") === col("b"))
@@ -242,10 +308,12 @@ object TextQueries {
     * tested SF (DedupSpec asserts one more pass marks nothing, and that
     * no cleaned pair shares any evidenced ≥20-char span). Emits one row
     * per doc changed vs the ORIGINAL corpus: (doc_id, removed_chars,
-    * text_clean). Each pass materializes the cleaned corpus
-    * (localCheckpoint) — at 100 TB these are the inter-stage tables a
-    * pipeline persists, and the early-exit count is the only
-    * driver-side value (the d26 PageRank loop discipline).
+    * text_clean). Only the CHANGED-doc delta is materialized per pass
+    * (localCheckpoint; ~1% of docs and decaying) — the pass-k corpus is
+    * composed as base ∖ delta ∪ delta on demand. At 100 TB the delta is
+    * the only inter-stage table a pipeline persists, and the early-exit
+    * count is the only driver-side value (the d26 PageRank loop
+    * discipline).
     *
     * The raw fingerprint table is maintained INCREMENTALLY across
     * passes: only pass 1 winnows the whole corpus; pass k+1 re-winnows
@@ -258,26 +326,35 @@ object TextQueries {
       maxPasses: Int = SpanPasses): DataFrame = {
     val docs = docs0.select(col("doc_id"), col("text")).localCheckpoint()
     val ndocs = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint()
-    var cur = docs
-    var fps = winnowFps(cur).localCheckpoint()
+    // changed docs only, latest text — the pass-k corpus is the cheap
+    // composition base ⧹ delta-keys ∪ delta, so no pass re-materializes
+    // the full corpus (the r7 per-pass full localCheckpoint)
+    var delta: DataFrame = null
+    def cur: DataFrame =
+      if (delta == null) docs
+      else docs.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(delta)
+    var fps = winnowFpsPos(docs).localCheckpoint()
     var pass = 0
     var converged = false
     while (pass < maxPasses && !converged) {
-      val out = spanPass(cur, capRare(fps, ndocs)).localCheckpoint()
+      val out = spanPass(cur, capRarePos(fps, ndocs)).localCheckpoint()
       if (out.isEmpty) converged = true
       else {
         val changed = out.select("doc_id")
-        cur = cur.join(out, Seq("doc_id"), "left")
-          .select(col("doc_id"),
-            coalesce(col("text_clean"), col("text")).as("text"))
-          .localCheckpoint()
+        val newTexts = out.select(col("doc_id"), col("text_clean").as("text"))
+        delta = (if (delta == null) newTexts
+          else delta.join(changed, Seq("doc_id"), "left_anti")
+            .unionByName(newTexts)).localCheckpoint()
         fps = fps.join(changed, Seq("doc_id"), "left_anti")
-          .unionByName(winnowFps(cur.join(changed, "doc_id")))
+          .unionByName(winnowFpsPos(newTexts))
           .localCheckpoint()
       }
       pass += 1
     }
-    docs.as("o").join(cur.as("n"), "doc_id")
+    // only docs in delta can differ from the original corpus
+    val changedAll = if (delta == null) docs.limit(0) else delta
+    docs.as("o").join(changedAll.as("n"), "doc_id")
       .filter(length(col("n.text")) < length(col("o.text")))
       .select(col("doc_id"),
         (length(col("o.text")) - length(col("n.text")))
@@ -1560,7 +1637,11 @@ object TextQueries {
     * 20k fd limit at sf0.01).
     */
   private def winnowRareCtes(src: String = "documents",
-      x: String = ""): String =
+      x: String = "", withPos: Boolean = false): String = {
+    val posCtes = if (!withPos) "" else s""",
+       |rarep$x AS MATERIALIZED (
+       |  SELECT s.doc_id, s.fp, s.gpos FROM selp$x s JOIN dfc$x USING (fp), nd$x
+       |  WHERE dfc$x.dfc <= greatest(CAST(20 AS BIGINT), nd$x.n_docs // 100))"""
     s"""d$x AS MATERIALIZED (SELECT doc_id, text,
        |    list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
        |  FROM $src),
@@ -1574,37 +1655,54 @@ object TextQueries {
        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
        |      ROWS BETWEEN CURRENT ROW AND ${WinW - 1} FOLLOWING) AS minkey,
        |    npos FROM k$x),
-       |sel$x AS MATERIALIZED (SELECT DISTINCT doc_id, minkey // $WinC AS fp
+       |selp$x AS MATERIALIZED (SELECT DISTINCT doc_id, minkey // $WinC AS fp,
+       |    ($WinC - 1) - (minkey % $WinC) AS gpos
        |  FROM w$x WHERE pos <= npos - ${WinW - 1}),
+       |sel$x AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM selp$x),
        |nd$x AS (SELECT COUNT(*) AS n_docs FROM d$x),
        |dfc$x AS (SELECT fp, COUNT(*) AS dfc FROM sel$x GROUP BY fp),
        |rare$x AS MATERIALIZED (
        |  SELECT doc_id, s.fp FROM sel$x s JOIN dfc$x USING (fp), nd$x
-       |  WHERE dfc$x.dfc <= greatest(CAST(20 AS BIGINT), nd$x.n_docs // 100))""".stripMargin
+       |  WHERE dfc$x.dfc <= greatest(CAST(20 AS BIGINT), nd$x.n_docs // 100))$posCtes""".stripMargin
+  }
 
   /** One unrolled [[spanPass]] replay: detection prefix over `src`,
-    * candidate pairs at threshold >= 1 shared rare fp, exact 20-gram
-    * confirm join, interval-complement cut, ending in `nxt$x (doc_id,
-    * text)` — the pass's cleaned corpus. See spanRemoval for the
-    * engine-parity notes (coalesce: duckdb array_to_string([]) is NULL
-    * where spark array_join([]) is '').
+    * evidence occurrences at threshold >= 1 shared rare fp, ALIGNED
+    * position-bounded exact 20-gram confirm (only the WinW aligned
+    * window starts (ga-k, gb-k) behind each shared-fp occurrence — the
+    * winnowing window argument, see spanPass), interval-complement
+    * cut, ending in `nxt$x (doc_id, text)` — the pass's cleaned
+    * corpus. See spanRemoval for the engine-parity notes (coalesce:
+    * duckdb array_to_string([]) is NULL where spark array_join([])
+    * is '').
     */
   private def spanPassCtes(src: String, x: String): String =
-    s"""${winnowRareCtes(src, x)},
-       |cand$x AS MATERIALIZED (SELECT DISTINCT p.doc_id AS a, q.doc_id AS b
-       |  FROM rare$x p JOIN rare$x q ON p.fp = q.fp AND p.doc_id < q.doc_id),
-       |bexp$x AS (SELECT d.doc_id AS b, d.text,
-       |    unnest(range(0, greatest(length(d.text) - 19, 0))) AS p
-       |  FROM d$x d JOIN (SELECT DISTINCT b FROM cand$x) cb ON d.doc_id = cb.b),
-       |bg$x AS (SELECT b, p, substr(text, CAST(p + 1 AS INT), 20) AS g
-       |  FROM bexp$x),
-       |aexp$x AS (SELECT d.doc_id AS a, d.text,
-       |    unnest(range(0, greatest(length(d.text) - 19, 0))) AS p
-       |  FROM d$x d JOIN (SELECT DISTINCT a FROM cand$x) ca ON d.doc_id = ca.a),
-       |ag$x AS (SELECT DISTINCT a, substr(text, CAST(p + 1 AS INT), 20) AS g
-       |  FROM aexp$x),
-       |marked$x AS (SELECT DISTINCT c.b, bg.p FROM cand$x c
-       |  JOIN bg$x bg ON bg.b = c.b JOIN ag$x ag ON ag.a = c.a AND ag.g = bg.g),
+    s"""${winnowRareCtes(src, x, withPos = true)},
+       |ev$x AS (SELECT p.doc_id AS a, q.doc_id AS b,
+       |    p.gpos AS ga, q.gpos AS gb
+       |  FROM rarep$x p JOIN rarep$x q
+       |    ON p.fp = q.fp AND p.doc_id < q.doc_id),
+       |fs$x AS (SELECT fp, MIN(doc_id) AS mn, MAX(doc_id) AS mx
+       |  FROM rarep$x GROUP BY fp),
+       |s27$x AS MATERIALIZED (SELECT r.doc_id, r.gpos,
+       |    greatest(r.gpos - $WinW, 0) AS st,
+       |    substr(d.text, CAST(greatest(r.gpos - $WinW, 0) + 1 AS INT),
+       |      CAST(r.gpos + 19 - greatest(r.gpos - $WinW, 0) AS INT)) AS s
+       |  FROM rarep$x r JOIN fs$x f USING (fp)
+       |  JOIN d$x d ON d.doc_id = r.doc_id
+       |  WHERE f.mn < f.mx),
+       |mk$x AS (SELECT e.b, unnest(list_transform(list_filter(
+       |    range(1, ${WinW + 1}), k ->
+       |      e.gb - k >= 0 AND e.ga - k >= 0
+       |      AND e.gb - k - s2.st + 20 <= length(s2.s)
+       |      AND e.ga - k - s1.st + 20 <= length(s1.s)
+       |      AND substr(s2.s, CAST(e.gb - k - s2.st + 1 AS INT), 20)
+       |        = substr(s1.s, CAST(e.ga - k - s1.st + 1 AS INT), 20)),
+       |    k -> e.gb - k)) AS p
+       |  FROM ev$x e
+       |  JOIN s27$x s2 ON s2.doc_id = e.b AND s2.gpos = e.gb
+       |  JOIN s27$x s1 ON s1.doc_id = e.a AND s1.gpos = e.ga),
+       |marked$x AS (SELECT DISTINCT b, p FROM mk$x),
        |mp$x AS (SELECT b, list_sort(array_agg(DISTINCT p)) AS ps
        |  FROM marked$x GROUP BY b),
        |cut$x AS (SELECT d.doc_id, d.text, list_filter(

@@ -227,8 +227,11 @@ class DedupSpec extends SparkSpec {
     // independent Scala oracle for t37: mark every position p in doc b
     // whose 20-gram occurs in ANY lower-id doc, cut the union of
     // [p, p+19] intervals. Equivalent to the fp-evidenced operator by
-    // the winnowing theorem (a shared 20-gram IS a >=20-char shared
-    // span => the pair is a candidate) as long as no fp hits the df cap
+    // the winnowing window theorem: a shared 20-gram's window of WinW
+    // grams selects a COMMON fp at the same relative offset in both
+    // docs, so (1) the pair is a candidate and (2) the position-bounded
+    // confirm (p in [gpos-WinW, gpos-1] behind that fp's selection
+    // position) tests exactly this p — as long as no fp hits the df cap
     // (distinct fillers keep df tiny here).
     val rnd = new scala.util.Random(20260813L)
     val alpha = "abcdefghijklmnopqrstuvwxyz 0123456789"
@@ -521,8 +524,10 @@ class PlanShapeSpec extends SparkSpec {
     // scan, and the training hash-sample filter (% 100) must not appear
     val plan = SparkEntry.queries("d35_hybrid_rrf_served")(spark, sfDir)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("rrfivf_cb_"), s"must scan the codebook store:\n$plan")
-    assert(plan.contains("rrfivf_post_"), s"must scan the postings store:\n$plan")
+    assert("rrfivf\\d*_cb_".r.findFirstIn(plan).nonEmpty,
+      s"must scan the codebook store:\n$plan")
+    assert("rrfivf\\d*_post_".r.findFirstIn(plan).nonEmpty,
+      s"must scan the postings store:\n$plan")
     assert("embeddings\\.parquet".r.findAllMatchIn(plan).size == 1,
       s"embeddings must be scanned exactly once (the queries):\n$plan")
     assert(!plan.contains("% 100"),
