@@ -769,19 +769,32 @@ object SimilarityQueries {
     // identity and that the serving plan runs no training.
     "d34_ivf_append" -> { (s, d) =>
       val sfName = new java.io.File(d).getName
-      val cbPath = s"/tmp/graft_stores/ivfapp_cb_$sfName"
-      val postPath = s"/tmp/graft_stores/ivfapp_post_$sfName"
+      val ver = 2 // bump to invalidate stores when the build recipe changes
+      val cbPath = s"/tmp/graft_stores/ivfapp${ver}_cb_$sfName"
+      val postPath = s"/tmp/graft_stores/ivfapp${ver}_post_$sfName"
+      val metaPath = java.nio.file.Paths
+        .get(s"/tmp/graft_stores/ivfapp${ver}_meta_$sfName.txt")
       val e = quantized(s, d)
       val hist = e.filter(col("vec_id") >= 20 && expr("vec_id % 10 <> 9"))
       val delta = e.filter(col("vec_id") >= 20 && expr("vec_id % 10 = 9"))
-      // nightly build: train on history, persist codebook + postings
-      val codebook = graft.operators.KMeans
-        .fitQuantizedSampled(hist, TargetClusterSize, SamplePct, IvfIters)
-      graft.operators.IvfIndex.save(codebook, cbPath)
-      graft.sources.ParquetStore.installOverwrite(
-        graft.operators.KMeans.assignQuantized(hist, codebook)
-          .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
-        postPath)
+      // nightly build — runs only when the stores are missing or stale
+      // (d35's marker convention: recipe version + corpus size; the
+      // build is RNG-free, so a valid store serves rows identical to a
+      // fresh build and the oracle's full training replay hash-agrees)
+      val want = s"n=${Tables.embeddings(s, d).count()}"
+      val valid = java.nio.file.Files.exists(metaPath) &&
+        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8") == want &&
+        new java.io.File(cbPath).exists && new java.io.File(postPath).exists
+      if (!valid) {
+        val codebook = graft.operators.KMeans
+          .fitQuantizedSampled(hist, TargetClusterSize, SamplePct, IvfIters)
+        graft.operators.IvfIndex.save(codebook, cbPath)
+        graft.sources.ParquetStore.installOverwrite(
+          graft.operators.KMeans.assignQuantized(hist, codebook)
+            .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
+          postPath)
+        java.nio.file.Files.write(metaPath, want.getBytes("UTF-8"))
+      }
       // serving: load the store, assign ONLY the delta, append, probe
       val cb = graft.operators.IvfIndex.load(s, cbPath)
       val deltaPost = graft.operators.KMeans.assignQuantized(delta, cb)

@@ -296,17 +296,19 @@ object TextQueries {
     * point (early exit when a pass marks nothing, maxPasses cap on both
     * engines so the DuckDB oracle can replay the unrolled passes).
     *
-    * A single pass is NOT idempotent on real corpora — measured at
-    * sf0.001: changed docs 411 → 86 → 1 → 0 per pass (sf0.01:
-    * 409 → 65 → 7 → 0) — for two reasons: (1) cutting concatenates the
-    * surviving gap pieces, and the junction can re-create a ≥20-char
-    * span two cleaned docs share (template text with short varying
-    * infixes); (2) the rare-fp df cap is df-DEPENDENT — pass 1's cuts
-    * shrink boilerplate fingerprint frequencies below the cap,
-    * unlocking candidate pairs the first detection correctly skipped.
-    * The ~5–6× per-pass decay makes maxPasses=4 a fixed point at every
-    * tested SF (DedupSpec asserts one more pass marks nothing, and that
-    * no cleaned pair shares any evidenced ≥20-char span). Emits one row
+    * A single pass is NOT idempotent on real corpora — newly-changed
+    * docs measured per pass (aligned-probe semantics): sf0.001
+    * 409 → 10 → 1 → 0, sf0.01 408 → 10 → 0, sf0.1 4842 → 29 → 3 → 1
+    * with pass 5 marking nothing — for two reasons: (1) cutting
+    * concatenates the surviving gap pieces, and the junction can
+    * re-create a ≥20-char span two cleaned docs share (template text
+    * with short varying infixes); (2) the rare-fp df cap is
+    * df-DEPENDENT — pass 1's cuts shrink boilerplate fingerprint
+    * frequencies below the cap, unlocking candidate pairs the first
+    * detection correctly skipped. The steep per-pass decay makes
+    * maxPasses=4 a fixed point at every tested SF (DedupSpec asserts
+    * one more pass marks nothing, and that no cleaned pair shares any
+    * evidenced ≥20-char span). Emits one row
     * per doc changed vs the ORIGINAL corpus: (doc_id, removed_chars,
     * text_clean). Only the CHANGED-doc delta is materialized per pass
     * (localCheckpoint; ~1% of docs and decaying) — the pass-k corpus is
