@@ -158,6 +158,28 @@ object TextQueries {
         expr(s"($WinC - 1) - (key % $WinC)").as("gpos"))
   }
 
+  /** Positional declarative twin of [[winnowFpsPos]] (the form the
+    * DuckDB oracle's selp CTE replays): positional hashes -> packed
+    * keys -> per-doc windowed MIN -> distinct (fp, gpos) recovery from
+    * the packed minkey.
+    */
+  private[graft] def winnowFpsPosDeclarative(docs: DataFrame): DataFrame = {
+    val h = docs
+      .select(col("doc_id"), posexplode(expr(shingleHash13PosArraySpark))
+        .as(Seq("p0", "hh")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"),
+        expr(s"(hh % $WinHMod) * $WinC + ($WinC - 1) - (p0 + 1)").as("key"))
+    val wdoc = Window.partitionBy("doc_id")
+    val wseq = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, WinW - 1)
+    h.withColumn("npos", count(lit(1)).over(wdoc))
+      .withColumn("minkey", min("key").over(wseq))
+      .filter(col("pos") <= col("npos") - (WinW - 1)) // full windows only
+      .select(col("doc_id"), expr(s"minkey div $WinC").as("fp"),
+        expr(s"($WinC - 1) - (minkey % $WinC)").as("gpos"))
+      .distinct()
+  }
+
   /** t25/t37's shared capped-rare fingerprint table: winnowing
     * fingerprints joined against their corpus document frequency, with
     * boilerplate fps (df > max(20, 1% of corpus)) dropped — the cap

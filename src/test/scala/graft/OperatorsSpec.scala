@@ -161,6 +161,31 @@ class DedupSpec extends SparkSpec {
     assert(fused.nonEmpty)
   }
 
+  test("positional winnowing (graft_winnow13p) is bit-equal to its declarative twin") {
+    import spark.implicits._
+    // t37's confirm bound rests on the SELECTION POSITIONS the fused
+    // expression recovers from the packed minkey — assert them against
+    // the windowed declarative form on the corpus AND on a randomized
+    // tie-heavy corpus, and that dropping gpos reproduces winnowFps
+    val rnd = new scala.util.Random(20260813L)
+    val alpha = "abcde fgh"
+    val rand = (1L to 200L).map { i =>
+      val len = rnd.nextInt(260)
+      (i, Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString)
+    }.toDF("doc_id", "text")
+    for (docs <- Seq(Tables.documents(spark, sfDir).select("doc_id", "text"), rand)) {
+      val fused = graft.queries.TextQueries.winnowFpsPos(docs)
+        .as[(Long, Long, Long)].collect().toSet
+      val decl = graft.queries.TextQueries.winnowFpsPosDeclarative(docs)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(fused.nonEmpty && fused == decl)
+      val fpOnly = graft.queries.TextQueries.winnowFps(docs)
+        .as[(Long, Long)].collect().toSet
+      assert(fused.map(t => (t._1, t._2)) == fpOnly,
+        "positional selection must project onto the fp-only selection")
+    }
+  }
+
   test("randomized: the winnowing theorem holds for planted shared spans") {
     import spark.implicits._
     val rnd = new scala.util.Random(42L)
