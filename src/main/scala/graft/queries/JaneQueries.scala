@@ -696,6 +696,40 @@ object JaneQueries {
           unix_timestamp(col("time")).as("time_s"),
           col("latitude"), col("longitude"), col("depth"),
           cents(col("value")).as("value_c"))
+    },
+
+    "j39_gutenberg_richter" -> { (s, d) =>
+      // Gutenberg–Richter catalog statistics per reporting agency — the
+      // seismicity-rate readout every catalog QA pipeline runs (Aki 1965;
+      // Wiemer & Wyss 2000 maximum-curvature Mc): completeness magnitude
+      // Mc = the modal 0.1-mag bin (tie → lowest bin), then the b-value
+      // by the Aki–Utsu maximum-likelihood estimator over M >= Mc with
+      // the Δ/2 bin-center correction. All magnitude math in integer
+      // centimag (§4 cents doctrine); b_e4 is the single sanctioned
+      // double expression (one shared literal constant x n / d, both
+      // engines IEEE-identical, round x 1e4 collapses ulp — the bm25
+      // s_e6 precedent). Plan: one groupBy(agency, bin) histogram (7 x
+      // ~100 bins), a 7-row broadcast of (Mc, totals), one
+      // map-side-combined re-aggregate of M >= Mc — two shuffles total,
+      // both keyed by agency (no skew: agencies are uniform).
+      val m = ev(s, d)
+        .select(col("agency"), cents(col("magnitude")).as("mag_c"))
+      val bins = m.groupBy(col("agency"), expr("mag_c div 10").as("bin"))
+        .agg(count(lit(1)).as("nb"))
+      val mc = bins.groupBy("agency")
+        .agg(max_by(col("bin"), struct(col("nb"), col("bin") * -1))
+          .as("mc_bin"),
+          sum(col("nb")).as("n_events"))
+      m.join(broadcast(mc), "agency")
+        .filter(col("mag_c") >= col("mc_bin") * 10)
+        .groupBy(col("agency"), col("mc_bin"), col("n_events"))
+        .agg(count(lit(1)).as("n_above"), sum(col("mag_c")).as("sum_above_c"))
+        .select(col("agency"), col("n_events"),
+          (col("mc_bin") * 10).as("mc_c"), col("n_above"), col("sum_above_c"),
+          expr("CAST(round(434294.4819032518 * n_above / " +
+            "(sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT)")
+            .as("b_e4"))
+        .orderBy("agency")
     })
 
   private def evCte: String = EventIndex.oracleCte
@@ -1141,5 +1175,27 @@ object JaneQueries {
          |  CAST(floor(epoch(time)) AS BIGINT) AS time_s,
          |  latitude, longitude, depth,
          |  CAST(round(value * 100) AS BIGINT) AS value_c
-         |FROM ev WHERE event_id = 421""".stripMargin)
+         |FROM ev WHERE event_id = 421""".stripMargin,
+
+    "j39_gutenberg_richter" ->
+      s"""WITH ev AS ($evCte),
+         |m AS (SELECT agency, CAST(round(magnitude * 100) AS BIGINT) AS mag_c
+         |  FROM ev),
+         |bins AS (SELECT agency, mag_c // 10 AS bin, COUNT(*) AS nb
+         |  FROM m GROUP BY agency, bin),
+         |mc AS (SELECT agency, bin AS mc_bin,
+         |    CAST(n_events AS BIGINT) AS n_events FROM (
+         |    SELECT agency, bin, nb,
+         |      SUM(nb) OVER (PARTITION BY agency) AS n_events,
+         |      row_number() OVER (PARTITION BY agency
+         |        ORDER BY nb DESC, bin ASC) AS r
+         |    FROM bins) WHERE r = 1),
+         |ab AS (SELECT m.agency, mc_bin, n_events, COUNT(*) AS n_above,
+         |    CAST(SUM(mag_c) AS BIGINT) AS sum_above_c
+         |  FROM m JOIN mc USING (agency) WHERE mag_c >= mc_bin * 10
+         |  GROUP BY m.agency, mc_bin, n_events)
+         |SELECT agency, n_events, mc_bin * 10 AS mc_c, n_above, sum_above_c,
+         |  CAST(round(434294.4819032518 * n_above /
+         |    (sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
+         |FROM ab ORDER BY agency""".stripMargin)
 }

@@ -207,15 +207,30 @@ object TextQueries {
   /** Positional [[capRare]]: same df cap (document frequency over
     * DISTINCT (doc_id, fp) — a fp selected at several positions counts
     * its doc once), but the surviving rows keep every selection
-    * position: (doc_id, fp, gpos).
+    * position: (doc_id, fp, gpos). Also returns the CAPPED fp set
+    * (df > cap — the boilerplate tail, a few hundred fps at most):
+    * [[spanRemoval]]'s pass k+1 needs "which fps were capped at pass k"
+    * to find newly-uncapped evidence (see the skip proof there).
     */
-  private[graft] def capRarePos(fpsPos: DataFrame, ndocs: DataFrame): DataFrame = {
-    val dfc = fpsPos.select("doc_id", "fp").distinct()
+  private[graft] def capRarePos(fpsPos: DataFrame,
+      ndocs: DataFrame): (DataFrame, DataFrame) = {
+    // df ≤ cap ⇔ fp not in the capped set, and the capped set is the
+    // tiny boilerplate tail (a few hundred fps) — so rare is a
+    // broadcast ANTI-join against it, not a shuffled join against the
+    // full df table: one groupBy shuffle + one broadcast pass total.
+    val capped = fpsPos.select("doc_id", "fp").distinct()
       .groupBy("fp").agg(count(lit(1)).as("dfc"))
-    fpsPos.join(dfc, "fp").crossJoin(broadcast(ndocs))
-      .filter(col("dfc") <= expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
+      .crossJoin(broadcast(ndocs))
+      .filter(col("dfc") > expr("greatest(CAST(20 AS BIGINT), n_docs div 100)"))
+      .select("fp")
+      .localCheckpoint()
+    // rare IS checkpointed: it feeds 2-3 consumers per pass and each
+    // un-materialized consumer would rebuild the capped broadcast
+    // (measured +3 s/run when dropped).
+    val rare = fpsPos.join(broadcast(capped), Seq("fp"), "left_anti")
       .select("doc_id", "fp", "gpos")
       .localCheckpoint()
+    (rare, capped)
   }
 
   /** One detect→cut pass of t37's span removal over (doc_id, text):
@@ -225,80 +240,94 @@ object TextQueries {
     * higher partner and lose vs a lower one). Emits (doc_id,
     * text_clean), one row per doc this pass CHANGED.
     *
-    * Shape — confirm work is ∝ EVIDENCE OCCURRENCES, never ∝ document
-    * bytes or ∝ pairs × grams: the winnowing window argument says a
-    * shared 20-char span selects a COMMON fingerprint from the window
-    * of WinW=8 grams it contains, at the SAME relative offset δ in
-    * both docs. So a confirmed 20-gram behind evidence occurrence
-    * (fp at 1-based gram position ga in keeper a, gb in b) can only
-    * start at the ALIGNED char offsets (ga-k, gb-k) for k ∈ [1, WinW] —
-    * WinW aligned probes per evidence row, each comparing two 20-char
-    * slices. That replaces r7's whole-document gram explode joined
-    * against the ~10^6-pair candidate broadcast (grams × partners —
-    * the 208 s bench catastrophe on the self-similar corpus) with
-    * |evidence| × WinW narrow rows and two by-(doc, offset) equi-joins
-    * against bounded 20-char slice tables. Spans ALL of whose windows
-    * select df-capped boilerplate fps are t23's domain (documented
-    * carve-out; on cap-free corpora the aligned bounded confirm equals
-    * the all-pairs gram join exactly — OperatorsSpec replays that
+    * Shape — confirm work is LINEAR in evidence occurrences, never
+    * ∝ document bytes or ∝ pairs × grams: the winnowing window argument
+    * says a shared ≥20-char span selects a COMMON fingerprint from the
+    * window of WinW=8 grams it contains, at the SAME relative offset δ
+    * in both docs. So a confirmed 20-gram behind an evidence occurrence
+    * (fp at 1-based gram position g in its doc) can only start at the
+    * aligned char offsets g-k, k ∈ [1, WinW], and two docs confirm each
+    * other exactly when they contribute the SAME (fp, k, 20-gram) —
+    * which turns confirmation into ONE groupBy over |occurrences| ×
+    * WinW candidate rows: per (fp, k, gram) group, every occurrence
+    * above the group's min doc_id is a confirmed mark (keep-lowest; the
+    * min doc itself keeps). No pair self-join, no per-pair probes, no
+    * large broadcast — the r7 design gram-exploded whole documents per
+    * candidate PAIR (the 208 s catastrophe on the self-similar corpus),
+    * the first r8 rewrite still built the df-bounded pair cross-product
+    * (quadratic in df per fp); this is linear and its shuffle key
+    * (fp, k, gram) is skew-free by the df cap. Spans ALL of whose
+    * windows select df-capped boilerplate fps are t23's domain
+    * (documented carve-out; on cap-free corpora this equals the
+    * all-pairs gram join exactly — OperatorsSpec replays that
     * equivalence). Cut = complement of the union of marked [p, p+19]
     * intervals, assembled per doc with array HOFs (sorted fixed-width
     * intervals: running cover end is last p + 19, so gap i is
     * [ps[i-1]+20, ps[i]-1]).
     */
-  private def spanPass(docs: DataFrame, rarePos: DataFrame): DataFrame = {
-    // evidence occurrences: every (position of a) × (position of b) of
-    // every rare fp two docs share, keep-lowest orientation a < b
-    val ev = rarePos
-      .select(col("fp"), col("doc_id").as("a"), col("gpos").as("ga"))
-      .join(rarePos.select(col("fp").as("fp2"), col("doc_id").as("b"),
-          col("gpos").as("gb")),
-        col("fp") === col("fp2") && col("a") < col("b"))
-      .select("a", "b", "ga", "gb")
-    // ONE 27-char context-slice table over every shareable occurrence
-    // (fp present in >= 2 docs — cheap min/max-doc stats; a (doc, gpos)
-    // determines its fp, so the rows are distinct by construction). The
-    // slice [max(gpos-WinW,0), gpos+18] covers all WinW aligned window
-    // starts behind gpos, so the probe below needs no ±WinW row
-    // explosion at all. ~|evidence positions| × 35 B: BROADCAST-sized
-    // relative to the probe (at cluster scale, dropping the hint lets
-    // Spark fall back to a shuffle join on (doc, gpos) — same plan
-    // shape, no semantic dependence on the broadcast).
-    val fpStats = rarePos.groupBy("fp")
-      .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-    val s27 = rarePos.join(broadcast(fpStats), "fp")
-      .filter(col("mn") < col("mx"))
-      .groupBy("doc_id").agg(collect_set(col("gpos")).as("gps"))
+  private[graft] def spanPass(docs: DataFrame, rarePos: DataFrame,
+      evFilter: Option[(DataFrame, DataFrame)] = None): DataFrame = {
+    // Occurrences a pass must consider. Pass 1: every SHAREABLE
+    // occurrence (fp present in >= 2 docs — cheap min/max stats; a
+    // singleton fp cannot witness a cross-doc span). Pass k >= 2: only
+    // fps that can yield NEW marks — fps occurring in a doc changed
+    // last pass, or fps that just dropped under the df cap. Any other
+    // group consists of unchanged docs whose identical grams were
+    // grouped last pass — a mark then would have cut the doc (length
+    // strictly decreases), contradicting "unchanged" — so skipping the
+    // group is a proven no-op and pass work is ∝ change, not ∝ corpus.
+    // The filter is at fp granularity (coarser than per-group but
+    // sound: including a stale group is output-neutral, it just re-
+    // derives marks that already cut). Changed docs decay ~1% → 0 and
+    // capped fps are the boilerplate tail → both broadcast.
+    val occ = evFilter match {
+      case None =>
+        val fpStats = rarePos.groupBy("fp")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        rarePos.join(broadcast(fpStats), "fp")
+          .filter(col("mn") < col("mx")).select("doc_id", "fp", "gpos")
+      case Some((changed, prevCapped)) =>
+        val fset = rarePos
+          .join(broadcast(changed), Seq("doc_id"), "left_semi")
+          .select("fp").unionByName(prevCapped).distinct()
+        rarePos.join(broadcast(fset), Seq("fp"), "left_semi")
+    }
+    // ONE 27-char context slice per occurrence ([max(gpos-WinW,0),
+    // gpos+18] covers all WinW aligned window starts behind gpos), cut
+    // from each doc's text in a single pass over the docs, then the
+    // k-explode derives the WinW candidate 20-grams per occurrence
+    // INSIDE the slice — document bytes are touched exactly once.
+    val cand = occ
+      .groupBy("doc_id")
+      .agg(collect_set(struct(col("gpos"), col("fp"))).as("gps"))
       .join(docs, "doc_id")
       .select(col("doc_id"), explode(expr(
-        s"transform(gps, gp -> named_struct('gpos', gp, " +
-          s"'st', greatest(gp - $WinW, 0L), " +
-          s"'s', substring(text, CAST(greatest(gp - $WinW, 0L) + 1 AS INT), " +
-          s"CAST(gp + 19 - greatest(gp - $WinW, 0L) AS INT))))")).as("sl"))
-      .select(col("doc_id"), col("sl.gpos").as("gpos"),
-        col("sl.st").as("st"), col("sl.s").as("s"))
-      .localCheckpoint() // built once, probed on both sides below
-    // aligned probe: explode k in [1, WinW], then ONE codegen'd filter
-    // comparing the two 20-char cuts at aligned offsets (ra-k, rb-k),
-    // where ra = ga-sta, rb = gb-stb (= min(gpos, WinW)). Formulation
-    // measured at sf0.1: array-HOF lambda probe 12.5 s (lambdas run
-    // interpreted per element), 8 unrolled inline CASE branches 26 s
-    // (blows the per-function codegen budget and falls back), plain
-    // explode + scalar predicate 3.9 s — the join→explode→compare
-    // chain stays one WholeStageCodegen span.
-    val marked = ev
-      .join(broadcast(s27.select(col("doc_id").as("b"), col("gpos").as("gb"),
-        col("st").as("stb"), col("s").as("sb"))), Seq("b", "gb"))
-      .join(broadcast(s27.select(col("doc_id").as("a"), col("gpos").as("ga"),
-        col("st").as("sta"), col("s").as("sa"))), Seq("a", "ga"))
-      .select(col("b"), col("gb"), (col("gb") - col("stb")).as("rb"),
-        col("sb"), (col("ga") - col("sta")).as("ra"), col("sa"),
+        s"transform(gps, gp -> named_struct('gpos', gp.gpos, 'fp', gp.fp, " +
+          s"'st', greatest(gp.gpos - $WinW, 0L), " +
+          s"'s', substring(text, CAST(greatest(gp.gpos - $WinW, 0L) + 1 AS INT), " +
+          s"CAST(gp.gpos + 19 - greatest(gp.gpos - $WinW, 0L) AS INT))))")).as("sl"))
+      .select(col("doc_id"), col("sl.gpos").as("gpos"), col("sl.fp").as("fp"),
+        (col("sl.gpos") - col("sl.st")).as("r"), col("sl.s").as("s"),
         explode(expr(s"sequence(1, $WinW)")).as("k"))
-      .filter(expr("k <= rb AND k <= ra " +
-        "AND rb - k + 20 <= length(sb) AND ra - k + 20 <= length(sa) " +
-        "AND substring(sb, CAST(rb - k + 1 AS INT), 20) = " +
-        "substring(sa, CAST(ra - k + 1 AS INT), 20)"))
-      .select(col("b"), (col("gb") - col("k")).as("p"))
+      .filter(expr("k <= r AND r - k + 20 <= length(s)"))
+      .select(col("doc_id"), col("fp"), col("k"),
+        (col("gpos") - col("k")).as("p"),
+        expr("substring(s, CAST(r - k + 1 AS INT), 20)").as("g"))
+    // Aligned confirmation as ONE map-side-combinable aggregation: a
+    // group key (fp, k, gram) collects every doc offering that exact
+    // 20-gram at window offset k behind a selection of fp; keep-lowest
+    // marks every member above the group min. Group fan-out is bounded
+    // by the df cap × selection positions, so collect_list stays small
+    // and the shuffle is skew-free. (For k <= WinW-1 the gram CONTAINS
+    // the selected 13-shingle, so fp in the key is redundant but free —
+    // it keeps k = WinW exact too, where the shingle overhangs.)
+    val grp = cand.groupBy("fp", "k", "g")
+      .agg(min("doc_id").as("mn"),
+        collect_list(struct(col("doc_id").as("d"), col("p"))).as("os"))
+    val marked = grp
+      .select(col("mn"), explode(col("os")).as("o"))
+      .filter(col("o.d") > col("mn"))
+      .select(col("o.d").as("b"), col("o.p").as("p"))
       .distinct()
     val ps = marked.groupBy("b")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
@@ -319,18 +348,20 @@ object TextQueries {
     * engines so the DuckDB oracle can replay the unrolled passes).
     *
     * A single pass is NOT idempotent on real corpora — newly-changed
-    * docs measured per pass (aligned-probe semantics): sf0.001
-    * 409 → 10 → 1 → 0, sf0.01 408 → 10 → 0, sf0.1 4842 → 29 → 3 → 1
-    * with pass 5 marking nothing — for two reasons: (1) cutting
+    * docs measured per pass (aligned semantics, current driver
+    * testdata): sf0.001 409 → 109 → 7 → 0, sf0.01 408 → 91 → 14 → 1,
+    * sf0.1 4842 → 801 → 174 → 27 — for two reasons: (1) cutting
     * concatenates the surviving gap pieces, and the junction can
     * re-create a ≥20-char span two cleaned docs share (template text
     * with short varying infixes); (2) the rare-fp df cap is
     * df-DEPENDENT — pass 1's cuts shrink boilerplate fingerprint
     * frequencies below the cap, unlocking candidate pairs the first
-    * detection correctly skipped. The steep per-pass decay makes
-    * maxPasses=4 a fixed point at every tested SF (DedupSpec asserts
-    * one more pass marks nothing, and that no cleaned pair shares any
-    * evidenced ≥20-char span). Emits one row
+    * detection correctly skipped. maxPasses is a SEMANTIC cap, not a
+    * convergence guarantee: both engines replay exactly SpanPasses
+    * passes, so outputs hash-agree regardless, and the decay is
+    * geometric (~4-8x per pass) but reaches an empty pass within 4
+    * only at sf0.001 (DedupSpec asserts the fixed point and the
+    * no-shared-span survivor property there). Emits one row
     * per doc changed vs the ORIGINAL corpus: (doc_id, removed_chars,
     * text_clean). Only the CHANGED-doc delta is materialized per pass
     * (localCheckpoint; ~1% of docs and decaying) — the pass-k corpus is
@@ -344,7 +375,15 @@ object TextQueries {
     * just the docs pass k changed (~1% and decaying) and anti-joins out
     * their stale fps — identical to a full re-winnow because fps are a
     * deterministic per-doc function of text. Only the cheap df-cap
-    * groupBy reruns corpus-wide (the cap is global by design).
+    * groupBy reruns corpus-wide (the cap is global by design). Pass
+    * k >= 2 additionally SKIPS fps that provably cannot yield new
+    * marks (no occurrence in a changed doc, not newly under the df
+    * cap — see spanPass's filter proof), so only pass 1 pays the
+    * corpus-wide grouping; later passes cost ∝ last pass's change.
+    * Output-identical by the skip proof (ProfileT37d replays the
+    * unfiltered loop: byte-identical at all three SFs); gated by the
+    * planted all-pairs replay + idempotence specs and the sf hash
+    * oracle.
     */
   private[graft] def spanRemoval(docs0: DataFrame,
       maxPasses: Int = SpanPasses): DataFrame = {
@@ -361,8 +400,15 @@ object TextQueries {
     var fps = winnowFpsPos(docs).localCheckpoint()
     var pass = 0
     var converged = false
+    // pass-(k-1) state driving pass k's evidence filter (see spanPass):
+    // docs changed last pass + fps df-capped last pass
+    var changedPrev: DataFrame = null
+    var cappedPrev: DataFrame = null
     while (pass < maxPasses && !converged) {
-      val out = spanPass(cur, capRarePos(fps, ndocs)).localCheckpoint()
+      val (rare, capped) = capRarePos(fps, ndocs)
+      val filter = if (pass == 0) None else Some((changedPrev, cappedPrev))
+      val out = spanPass(cur, rare, filter).localCheckpoint()
+      cappedPrev = capped
       if (out.isEmpty) converged = true
       else {
         val changed = out.select("doc_id")
@@ -373,6 +419,7 @@ object TextQueries {
         fps = fps.join(changed, Seq("doc_id"), "left_anti")
           .unionByName(winnowFpsPos(newTexts))
           .localCheckpoint()
+        changedPrev = changed // projection of the checkpointed `out`
       }
       pass += 1
     }
