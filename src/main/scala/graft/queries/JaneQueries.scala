@@ -698,6 +698,76 @@ object JaneQueries {
           cents(col("value")).as("value_c"))
     },
 
+    "j40_declustering" -> { (s, d) =>
+      // Catalog DECLUSTERING by the single-pass window method (the
+      // Gardner & Knopoff 1974 shape): each M >= 4.0 mainshock claims a
+      // magnitude-dependent space-time window — (mag_c-300) div 100 days
+      // (1..6) and 500 km (the synthetic catalog is G-R-skewed: M>=4 is
+      // the ~2% tail) — and every STRICTLY SMALLER event inside it
+      // is its aftershock. Readout: per mainshock, aftershock count +
+      // largest aftershock (mainshocks with none are absent). The
+      // space-time join is an EQUI-join on (utc-day, 10-degree cell):
+      // each mainshock explodes to its <= 5 covered days x covered
+      // cells (j31's covering-cell superset machinery at D=500 km —
+      // |dlat| <= 500/111.19 = 4.497 < 4.5, lon half-width from the
+      // same haversine inequality), aftershock candidates key on their
+      // own (day, cell), and the exact time/magnitude/haversine
+      // predicates prune — work ∝ candidate pairs (~6 events per
+      // day-cell), never mainshocks x events. The oracle stays the
+      // declarative all-pairs band join (superset proof = j31's).
+      val e = ev(s, d).select(col("event_id"),
+        cents(col("magnitude")).as("mag_c"),
+        unix_timestamp(col("time")).as("sec"),
+        col("latitude"), col("longitude"))
+      val m = e.filter(col("mag_c") >= 400)
+        .select(col("event_id").as("mid"), col("mag_c").as("mmag"),
+          col("sec").as("msec"), col("latitude").as("elat"),
+          col("longitude").as("elon"))
+        .withColumn("tw", expr("86400L * ((mmag - 300) div 100)"))
+      val sinHalf = math.sin(
+        500.0 / (2 * graft.functions.GeoFunctions.EarthRadiusKm))
+      val cand = m
+        .withColumn("day",
+          explode(expr("sequence(msec div 86400, (msec + tw) div 86400)")))
+        .withColumn("cl", explode(expr(
+          "sequence(greatest(-9, CAST(floor((elat - 4.5) / 10) AS INT)), " +
+            "least(8, CAST(floor((elat + 4.5) / 10) AS INT)))")))
+        .withColumn("denom", expr(
+          "cos(radians(elat)) * cos(radians(least(greatest(abs(cl * 10.0), " +
+            "abs(cl * 10.0 + 10.0)), 90.0)))"))
+        .withColumn("wl", expr(
+          s"CASE WHEN denom <= 1e-12 THEN 180.0 ELSE " +
+            s"least(180.0, degrees(2 * asin(least(1.0, $sinHalf / sqrt(denom))))) END"))
+        .withColumn("cg", explode(expr(
+          "array_distinct(transform(" +
+            "sequence(CAST(floor((elon - wl) / 10) AS INT), " +
+            "CAST(floor((elon + wl) / 10) AS INT)), " +
+            "x -> ((x + 18) % 36 + 36) % 36 - 18))")))
+        .select("mid", "mmag", "msec", "tw", "elat", "elon", "day", "cl", "cg")
+      val a = e
+        .select(col("event_id").as("aid"), col("mag_c").as("amag"),
+          col("sec").as("asec"), col("latitude").as("alat"),
+          col("longitude").as("alon"))
+        .withColumn("aday", expr("asec div 86400"))
+        .withColumn("acl", expr("least(8, CAST(floor(alat / 10) AS INT))"))
+        .withColumn("acg", expr(
+          "((CAST(floor(alon / 10) AS INT) + 18) % 36 + 36) % 36 - 18"))
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("elat", "elon", "alat", "alon")
+      cand.join(a, col("day") === col("aday") && col("cl") === col("acl") &&
+          col("cg") === col("acg"))
+        .filter(col("asec") > col("msec") &&
+          col("asec") <= col("msec") + col("tw") &&
+          col("amag") < col("mmag") &&
+          abs(col("alat") - col("elat")) <= 4.5 && expr(distSql) <= 500.0)
+        .groupBy(col("mid"), col("mmag"))
+        .agg(count(lit(1)).as("n_aftershocks"),
+          max(col("amag")).as("max_aft_mag_c"))
+        .select(col("mid").as("event_id"), col("mmag").as("mag_c"),
+          col("n_aftershocks"), col("max_aft_mag_c"))
+        .orderBy("event_id")
+    },
+
     "j39_gutenberg_richter" -> { (s, d) =>
       // Gutenberg–Richter catalog statistics per reporting agency — the
       // seismicity-rate readout every catalog QA pipeline runs (Aki 1965;
@@ -1176,6 +1246,27 @@ object JaneQueries {
          |  latitude, longitude, depth,
          |  CAST(round(value * 100) AS BIGINT) AS value_c
          |FROM ev WHERE event_id = 421""".stripMargin,
+
+    "j40_declustering" -> {
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("m.elat", "m.elon", "a.alat", "a.alon")
+      s"""WITH ev AS ($evCte),
+         |e AS (SELECT event_id, CAST(round(magnitude * 100) AS BIGINT) AS mag_c,
+         |    CAST(floor(epoch(time)) AS BIGINT) AS sec,
+         |    latitude, longitude FROM ev),
+         |m AS (SELECT event_id AS mid, mag_c AS mmag, sec AS msec,
+         |    latitude AS elat, longitude AS elon,
+         |    86400 * ((mag_c - 300) // 100) AS tw
+         |  FROM e WHERE mag_c >= 400),
+         |a AS (SELECT event_id AS aid, mag_c AS amag, sec AS asec,
+         |    latitude AS alat, longitude AS alon FROM e)
+         |SELECT m.mid AS event_id, m.mmag AS mag_c,
+         |  COUNT(*) AS n_aftershocks, MAX(a.amag) AS max_aft_mag_c
+         |FROM m JOIN a ON a.asec > m.msec AND a.asec <= m.msec + m.tw
+         |  AND a.amag < m.mmag AND $distSql <= 500.0
+         |GROUP BY m.mid, m.mmag
+         |ORDER BY event_id""".stripMargin
+    },
 
     "j39_gutenberg_richter" ->
       s"""WITH ev AS ($evCte),

@@ -808,6 +808,133 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    // IVF-PQ — the production ANN composition (the faiss IVFPQ index,
+    // Jégou et al. 2011): d10's trained coarse quantizer prunes the
+    // search to nprobe inverted lists, and WITHIN the lists candidates
+    // are scored from d20-style PQ codes trained on RESIDUALS
+    // (q − coarse centroid) — the residual trick that makes the same
+    // code budget far more accurate than flat PQ, because residuals
+    // live in a much smaller ball than raw vectors. Scoring decomposes
+    // exactly: dot(query, cq + r̂) = dot(query, cq) [one per probed
+    // list] + ADC table lookups over the candidate's codes; the PqPreM
+    // shortlist re-ranks with the exact dot (PQ+refine). At 100 TB the
+    // shapes are: codebooks are broadcast constants (coarse k ∝ corpus,
+    // PQ k fixed by the code budget), encode is one broadcast-argmin
+    // scan emitting (vec_id, m, code) rows, the serving join is keyed
+    // by cent_id (list-pruned, AQE-splittable), and the corpus stores
+    // 8 codes/vector instead of 64 dims. All-integer end to end, so
+    // the oracle replays coarse training, assignment, residuals, PQ
+    // training, encoding, the ADC tables, and both ranking stages.
+    "d36_ivfpq_ann" -> { (s, d) =>
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val qs = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"))
+      val cand = e.filter(col("vec_id") >= 20)
+      val sqDist = (a: String, b: String) =>
+        s"aggregate(zip_with($a, $b, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
+      val subCols = (t: String) =>
+        s"transform(sequence(0, ${PqM - 1}), m -> slice($t, CAST(m * $PqSub + 1 AS INT), $PqSub))"
+      // coarse codebook: the d10 trainer verbatim (oracle: trainedCentsCtes)
+      val coarse = graft.operators.KMeans
+        .fitQuantizedSampled(cand, TargetClusterSize, SamplePct, IvfIters)
+        .localCheckpoint()
+      // assign each candidate to its nearest list; residual = q - cq
+      val asg = cand.crossJoin(broadcast(coarse))
+        .withColumn("dist", expr(sqDist("q", "cq")))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cent_id"), col("cq"), col("q")),
+          struct(col("dist"), col("cent_id"))).as("b"))
+        .select(col("vec_id"), col("b.cent_id").as("cent_id"),
+          col("b.q").as("q"),
+          expr("zip_with(b.q, b.cq, (x, c) -> x - c)").as("r"))
+        .localCheckpoint() // feeds PQ sample, encode, and the exact refine
+      // PQ codebooks: d20's one-Lloyd-loop-for-all-subspaces, trained on
+      // the hash-sample's RESIDUALS
+      val sampleSubs = asg
+        .filter(expr(graft.operators.KMeans.sampleSql(SamplePct)))
+        .select(col("vec_id"), posexplode(expr(subCols("r"))).as(Seq("m", "sq")))
+        .localCheckpoint()
+      var cb = sampleSubs
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("m").orderBy("vec_id")))
+        .filter(col("rn") <= PqK)
+        .select(col("m").as("cm"), (col("rn") - 1).cast("long").as("cent_id"),
+          col("sq").as("cq"))
+        .localCheckpoint()
+      (0 until PqIters).foreach { _ =>
+        cb = sampleSubs.join(broadcast(cb), col("m") === col("cm"))
+          .withColumn("dist", expr(sqDist("sq", "cq")))
+          .groupBy("vec_id", "m")
+          .agg(min_by(struct(col("cent_id"), col("sq")),
+            struct(col("dist"), col("cent_id"))).as("best"))
+          .select(col("m"), col("best.cent_id").as("cent_id"),
+            posexplode(col("best.sq")).as(Seq("dim", "x")))
+          .groupBy("m", "cent_id", "dim")
+          .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("mm"))
+          .groupBy("m", "cent_id")
+          .agg(collect_list(struct(col("dim"), col("mm"))).as("dm"))
+          .select(col("m").as("cm"), col("cent_id"),
+            expr("transform(array_sort(dm), s -> s.mm)").as("cq"))
+          .localCheckpoint()
+      }
+      // d20's flattened-ADC invariant: every (m, cent_id) cell must exist
+      val nCb = cb.count()
+      require(nCb == PqM.toLong * PqK,
+        s"d36: codebook has $nCb cells, expected ${PqM * PqK} — a centroid " +
+          "emptied during Lloyd; the flattened ADC index would misread")
+      // encode every candidate's residual: broadcast argmin, the shuffled
+      // row is (vec_id, m, code); list id rides along for the serving join
+      val codes = asg
+        .select(col("vec_id"), col("cent_id"),
+          posexplode(expr(subCols("r"))).as(Seq("m", "sq")))
+        .join(broadcast(cb.withColumnRenamed("cent_id", "pqc")),
+          col("m") === col("cm"))
+        .withColumn("dist", expr(sqDist("sq", "cq")))
+        .groupBy("vec_id", "cent_id", "m")
+        .agg(min_by(col("pqc"), struct(col("dist"), col("pqc"))).as("code"))
+        .groupBy("vec_id", "cent_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
+          .as("codes"))
+      // queries probe their nprobe=2 nearest lists, carrying the exact
+      // dot(query, list centroid) term of the decomposition
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dist").asc, col("cent_id").asc)
+      val qp = qs.crossJoin(broadcast(coarse))
+        .withColumn("dist", expr(sqDist("qq", "cq")))
+        .withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 2)
+        .select(col("query_id"), col("cent_id"),
+          expr(SimilaritySearch.dotSql("qq", "cq")).as("qc"))
+      // per-query flattened ADC table over the residual codebooks
+      val lut = qs
+        .select(col("query_id"), posexplode(expr(subCols("qq"))).as(Seq("m", "sqq")))
+        .join(broadcast(cb), col("m") === col("cm"))
+        .withColumn("pdot", expr(SimilaritySearch.dotSql("sqq", "cq")))
+        .groupBy("query_id")
+        .agg(expr("transform(array_sort(collect_list(struct(m, cent_id, pdot))), s -> s.pdot)")
+          .as("pd"))
+      // ADC scan of the probed lists only (equi-join on cent_id — the
+      // IVF pruning), then PQ+refine to K on the exact dot
+      val scored = codes
+        .join(broadcast(qp.join(lut, "query_id")), Seq("cent_id"))
+        .withColumn("adot", expr(
+          s"qc + aggregate(sequence(0, ${PqM - 1}), 0L, (acc, m) -> acc + pd[m * $PqK + codes[m]])"))
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("adot"))
+      val pre = TopK.perKey(scored, Seq("query_id"), "adot", "cand_id", PqPreM)
+        .drop("rn")
+      val wx = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dot_exact").desc, col("cand_id").asc)
+      asg.select(col("vec_id").as("cand_id"), col("q"))
+        .join(broadcast(pre.join(qs, "query_id")), Seq("cand_id"))
+        .withColumn("dot_exact", expr(SimilaritySearch.dotSql("qq", "q")))
+        .withColumn("rn", row_number().over(wx).cast("long"))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("cand_id"), col("adot"),
+          col("dot_exact"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
     // Chunk-embedding mean pooling: consecutive chunk vectors (groups of
     // 4 by vec_id) pool to one document vector — the standard reduce step
     // between chunk-level encoding and document-level retrieval. Shape:
@@ -1491,6 +1618,81 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin
+    },
+
+    // the FULL IVF-PQ pipeline replayed: coarse training (d10's CTEs),
+    // list assignment, residuals, per-subspace PQ training on the
+    // residual sample (d20's CTEs reading the residual-valued psamp),
+    // encoding, the per-query ADC tables, list-pruned scoring with the
+    // dot(q, cq) + ADC decomposition, and both ranking stages
+    "d36_ivfpq_ann" -> {
+      def subUnion(t: String, idc: String, src: String, vc: String): String =
+        (0 until PqM).map { m =>
+          s"SELECT $idc, $m AS m, $src[${m * PqSub + 1}:${(m + 1) * PqSub}] AS $vc FROM $t"
+        }.mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |cand AS (SELECT vec_id, q FROM e WHERE vec_id >= 20),
+         |$trainedCentsCtes,
+         |ca AS (SELECT vec_id, q, cent_id, cq FROM (
+         |    SELECT c.vec_id, c.q, ct.cent_id, ct.cq,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY ${distDuck("c.q", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct) WHERE pr = 1),
+         |res AS (SELECT vec_id, cent_id,
+         |    list_transform(range(1, ${Dims + 1}),
+         |      i -> q[CAST(i AS INT)] - cq[CAST(i AS INT)]) AS r FROM ca),
+         |psamp AS (SELECT vec_id, r AS q FROM res
+         |  WHERE (vec_id * 2654435761) % 100 < $SamplePct),
+         |${(0 until PqM).map(pqCentsCtes).mkString(",\n")},
+         |pcents AS (
+         |  ${(0 until PqM).map(m => s"SELECT $m AS m, cent_id, cq FROM pcb$m$PqIters").mkString("\n  UNION ALL ")}
+         |),
+         |rsub AS (
+         |  ${subUnion("res", "vec_id", "r", "sq")}
+         |),
+         |rcoded AS (SELECT vec_id, m, cent_id AS code FROM (
+         |    SELECT s.vec_id, s.m, cb.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id, s.m
+         |        ORDER BY ${distDuckN("s.sq", "cb.cq", PqSub)} ASC, cb.cent_id ASC) AS pr
+         |    FROM rsub s JOIN pcents cb ON s.m = cb.m) WHERE pr = 1),
+         |rcodes AS (SELECT rcoded.vec_id, res.cent_id,
+         |    list(code ORDER BY m) AS codes
+         |  FROM rcoded JOIN res ON res.vec_id = rcoded.vec_id
+         |  GROUP BY rcoded.vec_id, res.cent_id),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+         |  WHERE vec_id >= 10 AND vec_id < 20),
+         |qp AS (SELECT query_id, cent_id, qc FROM (
+         |    SELECT s.query_id, ct.cent_id,
+         |      ${dotDuck("s.qq", "ct.cq")} AS qc,
+         |      row_number() OVER (PARTITION BY s.query_id
+         |        ORDER BY ${distDuck("s.qq", "ct.cq")} ASC, ct.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ct) WHERE pr <= 2),
+         |qsub AS (
+         |  ${subUnion("qs", "query_id", "qq", "sqq")}
+         |),
+         |plut AS (SELECT query_id, s.m, cb.cent_id,
+         |    ${dotDuckN("s.sqq", "cb.cq", PqSub)} AS pdot
+         |  FROM qsub s JOIN pcents cb ON s.m = cb.m),
+         |ppd AS (SELECT query_id, list(pdot ORDER BY m, cent_id) AS pd
+         |  FROM plut GROUP BY query_id),
+         |scored AS (SELECT qp.query_id, rc.vec_id AS cand_id,
+         |    qp.qc + CAST(list_sum(list_transform(range(0, $PqM),
+         |      m -> pd[CAST(m * $PqK + codes[CAST(m + 1 AS INT)] + 1 AS INT)]))
+         |      AS BIGINT) AS adot
+         |  FROM rcodes rc JOIN qp ON rc.cent_id = qp.cent_id
+         |  JOIN ppd ON ppd.query_id = qp.query_id),
+         |pranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY adot DESC, cand_id ASC) AS prn FROM scored),
+         |refined AS (SELECT query_id, cand_id, adot,
+         |    ${dotDuck("qq", "q")} AS dot_exact
+         |  FROM pranked
+         |  JOIN cand ON cand.vec_id = pranked.cand_id
+         |  JOIN qs USING (query_id)
+         |  WHERE prn <= $PqPreM),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot_exact DESC, cand_id ASC) AS rn FROM refined)
+         |SELECT query_id, cand_id, adot, dot_exact, rn
+         |FROM ranked WHERE rn <= $K ORDER BY query_id, rn""".stripMargin
     },
 
     // the entire pipeline — codebook training, cluster assignment, within-

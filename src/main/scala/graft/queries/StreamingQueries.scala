@@ -127,6 +127,35 @@ object StreamingQueries {
         .orderBy("event_type")
     },
 
+    "s07_attribution" -> { (s, d) =>
+      // Per-purchase ATTRIBUTION detail — the batch twin of the
+      // left-outer stream-stream interval join
+      // (EventStreams.purchaseSignupLeftJoin): every purchase emits
+      // exactly one row, carrying the latest signup by the same user in
+      // the preceding 2 h (NULL when unattributed) and the in-window
+      // signup count. Differs from q14 (unbounded as-of, no nulls
+      // readout) and q30 (cohort funnel aggregate): this is the
+      // event-level outer-join shape with bounded lookback. Floor-second
+      // BIGINTs end to end (§4). Plan: user-keyed equi-join with the
+      // interval as a residual predicate + one map-side-combined
+      // groupBy(event_id) — both shuffles on uniform keys.
+      val ev = Tables.events(s, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("psec"))
+      val sg = ev.filter(col("event_type") === "signup")
+        .select(col("user_id").as("su"), unix_timestamp(col("ts")).as("ssec"))
+      p.join(sg, col("user_id") === col("su") &&
+          col("ssec") <= col("psec") && col("ssec") >= col("psec") - 7200,
+          "left")
+        .groupBy("event_id", "user_id", "psec")
+        .agg(max(col("ssec")).as("last_signup_s"),
+          count(col("ssec")).as("n_signups_2h"))
+        .select(col("event_id"), col("user_id"), col("psec").as("purchase_s"),
+          col("last_signup_s"), col("n_signups_2h"))
+        .orderBy("event_id")
+    },
+
     "q14_asof_join" -> { (s, d) =>
       // Floor-second BIGINT timestamps end to end (SURVEY §4): raw-ts
       // asof would compare at µs on Spark but ns in DuckDB, and duplicate
@@ -220,6 +249,21 @@ object StreamingQueries {
         |                (event_id * 2654435761) % 7200 AS arr
         |            FROM events))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s07_attribution" ->
+      """SELECT p.event_id, p.user_id, p.psec AS purchase_s,
+        |  MAX(s.ssec) AS last_signup_s,
+        |  CAST(COUNT(s.ssec) AS BIGINT) AS n_signups_2h
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS psec FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id AS su,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ssec FROM events
+        |      WHERE event_type = 'signup') s
+        |  ON p.user_id = s.su AND s.ssec <= p.psec
+        |    AND s.ssec >= p.psec - 7200
+        |GROUP BY p.event_id, p.user_id, p.psec
+        |ORDER BY p.event_id""".stripMargin,
 
     "q14_asof_join" ->
       """SELECT p.event_id, p.user_id, p.sec AS ts_s, l.signup_event_id

@@ -1622,26 +1622,136 @@ object TextQueries {
       // (asserted against brute force in MultimodalSpec). Hamming is
       // computed per candidate instance (cheap bit_count) and pairs
       // dedupe AFTER the threshold — the d08 lesson.
-      val p = Multimodal
-        .pHashes(s, Multimodal.withPayload(Tables.documents(s, d)), PhBits)
-        .toDF()
-      val bandArr = (0 until PhBands)
-        .map(j => s"struct(CAST($j AS BIGINT) AS j, " +
-          s"(phash div ${1L << (8 * j)}L) % 256 AS v)")
-        .mkString(", ")
-      val bands = p.select(col("doc_id"), col("phash"),
-        explode(expr(s"array($bandArr)")).as("bj"))
-        .select(col("doc_id"), col("phash"), col("bj.j").as("j"), col("bj.v").as("v"))
-      val x = bands.select(col("j"), col("v"), col("doc_id").as("a"), col("phash").as("pa"))
-      val y = bands.select(col("j").as("j2"), col("v").as("v2"),
-        col("doc_id").as("b"), col("phash").as("pb"))
-      x.join(y, col("j") === col("j2") && col("v") === col("v2") && col("a") < col("b"))
-        .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
-        .filter(col("hamming") <= PhHamT)
-        .select(col("a"), col("b"), col("hamming"))
-        .distinct()
+      phashPairs(s, d).orderBy("a", "b")
+    },
+
+    "m12_phash_clusters" -> { (s, d) =>
+      // Image near-dup CLUSTERS — m08's pairwise verdicts closed into
+      // connected components (the d11 shape applied to the multimodal
+      // family): the same banded phash pairs feed Dedup.components'
+      // O(diameter) min-label propagation, and the readout is one
+      // cluster row (representative = min doc_id label, size, max
+      // member). The composition every dedup pipeline actually ships —
+      // pairs alone over-count when near-dups chain A~B~C.
+      val pairs = phashPairs(s, d).select("a", "b")
+      graft.operators.Dedup.components(pairs)
+        .groupBy(col("label").as("rep_id"))
+        .agg(count(lit(1)).as("cluster_size"), max(col("id")).as("max_id"))
+        .orderBy("rep_id")
+    },
+
+    "t39_domain_divergence" -> { (s, d) =>
+      // Pairwise source-domain DRIFT matrix: Jensen–Shannon divergence
+      // between every two sources' unigram distributions — the dataset-
+      // shift readout a mixing pipeline consults before reweighting
+      // (complements t17's share table and t34's DSIR scoring with a
+      // symmetric, bounded [0, ln 2] distance). Per-token contributions
+      // are computed from integer counts via ONE shared double formula
+      // ([[jsContribSql]], identical text both engines) and quantized to
+      // e9 integers BEFORE summing, so the aggregate is an order-
+      // independent BIGINT sum (§4: never sum raw doubles). Plan: one
+      // token-explode groupBy(source, tok), a zero-filled |V| x S grid
+      // (S sources is small; the grid join and the pair join are keyed
+      // by tok — skew-free, work ∝ |V| x S^2, the honest cost of a
+      // pairwise matrix), one final groupBy(a, b).
+      val toks = Tables.documents(s, d)
+        .select(col("source"), explode(expr("split(trim(text), ' ')")).as("tok"))
+      val counts = toks.groupBy("source", "tok")
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds totals, vocab, and the grid
+      val totals = counts.groupBy("source").agg(sum(col("c")).as("n"))
+      val vocab = counts.select("tok").distinct()
+      val grid = totals.crossJoin(broadcast(vocab))
+        .join(counts, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          coalesce(col("c"), lit(0L)).as("c"), col("n"))
+      val ga = grid.select(col("tok"), col("source").as("a"),
+        col("c").as("ca"), col("n").as("na"))
+      val gb = grid.select(col("tok").as("tok2"), col("source").as("b"),
+        col("c").as("cb"), col("n").as("nb"))
+      ga.join(gb, col("tok") === col("tok2") && col("a") < col("b"))
+        .select(col("a"), col("b"), col("na"), col("nb"),
+          expr(jsContribSql).as("contrib_e9"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(sum(col("contrib_e9")).as("js_e9"))
+        .select("a", "b", "na", "nb", "js_e9")
         .orderBy("a", "b")
     })
+
+  /** m08/m12's shared DuckDB CTE body replaying [[phashPairs]], ending in
+    * `ph_pairs (a, b, hamming)`. Per-bit term: extent mean vs global
+    * mean, cross-multiplied exact.
+    */
+  private def phashPairCtes: String = {
+    val phashTerms = (0 until PhBits).map { b =>
+      val lo = s"(($b * n) // $PhBits + 1)"
+      val hi = s"((${b + 1} * n) // $PhBits)"
+      val len = s"($hi - (($b * n) // $PhBits))"
+      val es = s"coalesce(list_sum(list_slice(chars, CAST($lo AS INT), " +
+        s"CAST($hi AS INT))), 0)"
+      s"(CASE WHEN $es * n >= total * $len THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
+    }.mkString("\n    + ")
+    s"""d AS (SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars,
+       |    CAST(coalesce(list_sum(
+       |      list_transform(string_split(text, ''), c -> ascii(c))), 0) AS BIGINT) AS total
+       |  FROM documents),
+       |p AS (SELECT doc_id, CAST($phashTerms AS BIGINT) AS phash FROM d),
+       |bands AS (SELECT doc_id, phash, unnest(range(0, $PhBands)) AS j FROM p),
+       |bv AS (SELECT doc_id, phash, j,
+       |    (phash // CAST(power(256, j) AS BIGINT)) % 256 AS v FROM bands),
+       |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+       |    x.phash AS pa, y.phash AS pb
+       |  FROM bv x JOIN bv y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id),
+       |ph_pairs AS (SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+       |  FROM cand WHERE bit_count(xor(pa, pb)) <= $PhHamT)""".stripMargin
+  }
+
+  /** m08/m12's shared banded-phash candidate pairs: 32-bit average-hash
+    * per payload (Multimodal.pHashes), 4×8-bit bands for the equi-join
+    * (lossless at the ≤3-bit threshold by pigeonhole — MultimodalSpec),
+    * exact Hamming verify, deduped after the threshold. Returns
+    * (a, b, hamming), unordered.
+    */
+  private def phashPairs(s: SparkSession, d: String): DataFrame = {
+    val p = Multimodal
+      .pHashes(s, Multimodal.withPayload(Tables.documents(s, d)), PhBits)
+      .toDF()
+    val bandArr = (0 until PhBands)
+      .map(j => s"struct(CAST($j AS BIGINT) AS j, " +
+        s"(phash div ${1L << (8 * j)}L) % 256 AS v)")
+      .mkString(", ")
+    val bands = p.select(col("doc_id"), col("phash"),
+      explode(expr(s"array($bandArr)")).as("bj"))
+      .select(col("doc_id"), col("phash"), col("bj.j").as("j"), col("bj.v").as("v"))
+    val x = bands.select(col("j"), col("v"), col("doc_id").as("a"), col("phash").as("pa"))
+    val y = bands.select(col("j").as("j2"), col("v").as("v2"),
+      col("doc_id").as("b"), col("phash").as("pb"))
+    x.join(y, col("j") === col("j2") && col("v") === col("v2") && col("a") < col("b"))
+      .withColumn("hamming", expr("CAST(bit_count(pa ^ pb) AS BIGINT)"))
+      .filter(col("hamming") <= PhHamT)
+      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
+  }
+
+  /** t39's per-token Jensen–Shannon contribution over integer count
+    * columns (ca, na, cb, nb) — ONE formula text spliced into both
+    * engines, so every double op runs on the same parse tree (IEEE-
+    * identical), then rounded to an e9 integer: the only double that
+    * ever crosses an aggregate is already a BIGINT. 0.5 x 1e9 folds
+    * into the 5e8 literal; a side with zero count contributes 0 (the
+    * p·ln p limit).
+    */
+  private[graft] val jsContribSql: String =
+    "CAST(round((" +
+      "(CASE WHEN ca = 0 THEN 0.0 ELSE (CAST(ca AS DOUBLE) / na) * " +
+      "ln(2.0 * (CAST(ca AS DOUBLE) / na) / " +
+      "(CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)) END) + " +
+      "(CASE WHEN cb = 0 THEN 0.0 ELSE (CAST(cb AS DOUBLE) / nb) * " +
+      "ln(2.0 * (CAST(cb AS DOUBLE) / nb) / " +
+      "(CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb)) END)" +
+      ") * 500000000.0) AS BIGINT)"
 
   /** 13-gram → BIGINT rolling hash (Horner base 31, mod 2^56): identical
     * arithmetic in Spark and DuckDB over `ascii()` codes; 31*(2^56) + 127
@@ -2475,31 +2585,40 @@ object TextQueries {
          |WHERE prev_feature IS NOT NULL AND abs(feature - prev_feature) >= $SceneCutT
          |ORDER BY doc_id, frame_id""".stripMargin,
 
-    "m08_phash_neardup" -> {
-      // per-bit term: extent mean vs global mean, cross-multiplied exact
-      val phashTerms = (0 until PhBits).map { b =>
-        val lo = s"(($b * n) // $PhBits + 1)"
-        val hi = s"((${b + 1} * n) // $PhBits)"
-        val len = s"($hi - (($b * n) // $PhBits))"
-        val es = s"coalesce(list_sum(list_slice(chars, CAST($lo AS INT), " +
-          s"CAST($hi AS INT))), 0)"
-        s"(CASE WHEN $es * n >= total * $len THEN CAST(${1L << b} AS BIGINT) ELSE 0 END)"
-      }.mkString("\n    + ")
-      s"""WITH d AS (SELECT doc_id,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
-         |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars,
-         |    CAST(coalesce(list_sum(
-         |      list_transform(string_split(text, ''), c -> ascii(c))), 0) AS BIGINT) AS total
-         |  FROM documents),
-         |p AS (SELECT doc_id, CAST($phashTerms AS BIGINT) AS phash FROM d),
-         |bands AS (SELECT doc_id, phash, unnest(range(0, $PhBands)) AS j FROM p),
-         |bv AS (SELECT doc_id, phash, j,
-         |    (phash // CAST(power(256, j) AS BIGINT)) % 256 AS v FROM bands),
-         |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
-         |    x.phash AS pa, y.phash AS pb
-         |  FROM bv x JOIN bv y ON x.j = y.j AND x.v = y.v AND x.doc_id < y.doc_id)
-         |SELECT a, b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(pa, pb)) <= $PhHamT
-         |ORDER BY a, b""".stripMargin
-    })
+    "m08_phash_neardup" ->
+      s"""WITH $phashPairCtes
+         |SELECT a, b, hamming FROM ph_pairs ORDER BY a, b""".stripMargin,
+
+    "m12_phash_clusters" ->
+      s"""WITH RECURSIVE $phashPairCtes,
+         |edges AS (SELECT a, b FROM ph_pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM ph_pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |)
+         |SELECT label AS rep_id, COUNT(*) AS cluster_size, MAX(id) AS max_id
+         |FROM (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+         |GROUP BY label ORDER BY rep_id""".stripMargin,
+
+    "t39_domain_divergence" ->
+      s"""WITH t AS (SELECT source,
+         |    unnest(string_split(trim(text), ' ')) AS tok FROM documents),
+         |counts AS (SELECT source, tok, COUNT(*) AS c
+         |  FROM t GROUP BY source, tok),
+         |totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM counts GROUP BY source),
+         |vocab AS (SELECT DISTINCT tok FROM counts),
+         |grid AS (SELECT s.source, v.tok,
+         |    CAST(coalesce(c.c, 0) AS BIGINT) AS c, s.n
+         |  FROM totals s CROSS JOIN vocab v
+         |  LEFT JOIN counts c ON c.source = s.source AND c.tok = v.tok),
+         |pr AS (SELECT ga.source AS a, gb.source AS b,
+         |    ga.c AS ca, ga.n AS na, gb.c AS cb, gb.n AS nb
+         |  FROM grid ga JOIN grid gb
+         |    ON ga.tok = gb.tok AND ga.source < gb.source)
+         |SELECT a, b, na, nb,
+         |  CAST(SUM($jsContribSql) AS BIGINT) AS js_e9
+         |FROM pr GROUP BY a, b, na, nb ORDER BY a, b""".stripMargin)
 }

@@ -174,6 +174,28 @@ object EventStreams {
         col("s.ts").as("signup_ts"))
   }
 
+  /** LEFT-OUTER stream-stream interval join — the attribution shape
+    * (s07's streaming twin): every purchase emits exactly once, carrying
+    * its in-window signup when one exists and NULL when none does. The
+    * null row can only be emitted once the watermark passes the end of
+    * the purchase's join window (Spark holds the row in state until no
+    * matching signup can still arrive), so unmatched results trail by
+    * the watermark delay — the correctness/latency trade every outer
+    * stream join makes. State is bounded by the watermark + interval
+    * exactly as in [[purchaseSignupJoin]].
+    */
+  def purchaseSignupLeftJoin(purchases: DataFrame,
+      signups: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "1 hour").alias("p")
+    val s = signups.withWatermark("ts", "1 hour").alias("s")
+    p.join(s, expr(
+      """p.user_id = s.user_id AND
+        |p.ts >= s.ts AND p.ts <= s.ts + interval 2 hours""".stripMargin),
+      "leftOuter")
+      .select(col("p.user_id").as("user_id"), col("p.ts").as("purchase_ts"),
+        col("s.ts").as("signup_ts"))
+  }
+
   /** Event-time sessionizer emitting CLOSED sessions only (unlike
     * [[sessionCounts]], which emits on watermark via `session_window`,
     * this keeps explicit per-user state and closes a session either when

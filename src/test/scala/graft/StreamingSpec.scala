@@ -122,6 +122,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits unmatched purchases with a " +
+    "null signup once the watermark closes the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val pm = MemoryStream[(Timestamp, Long)]
+    val sm = MemoryStream[(Timestamp, Long)]
+    val q = graft.streaming.EventStreams
+      .purchaseSignupLeftJoin(pm.toDF().toDF("ts", "user_id"),
+        sm.toDF().toDF("ts", "user_id"))
+      .writeStream.format("memory").queryName("ssj_left")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      sm.addData((ts(0), 1L))
+      pm.addData((ts(30), 1L), (ts(30), 2L)) // user 2 has no signup
+      q.processAllAvailable()
+      // the matched row emits promptly; the unmatched one is HELD in
+      // state (a signup could still arrive inside its window)
+      val early = spark.sql("SELECT user_id FROM ssj_left")
+        .as[Long].collect().toSeq
+      assert(early == Seq(1L), s"got $early")
+      // advance both watermarks a day past the window end, then run the
+      // extra microbatch that evicts + emits the null row
+      val far = Timestamp.valueOf("2024-01-02 12:00:00")
+      sm.addData((far, 99L))
+      pm.addData((far, 98L))
+      q.processAllAvailable()
+      pm.addData((far, 97L))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, signup_ts FROM ssj_left WHERE user_id IN (1, 2)")
+        .as[(Long, Option[Timestamp])].collect().toSet
+      assert(rows == Set((1L, Some(ts(0))), (2L, None)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("closedSessions emits a session when a later event breaks the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
