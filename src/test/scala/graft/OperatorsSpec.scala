@@ -678,6 +678,43 @@ class PlanShapeSpec extends SparkSpec {
     assert(nDocScans == 1, s"expected 1 documents scan, got $nDocScans:\n$plan")
   }
 
+  test("no registered query emits float/double output columns " +
+    "(SURVEY §4 quantization discipline), except the declared geo columns") {
+    // Double outputs are the hash-compare flake class (ulp drift between
+    // engines): every aggregate/derived numeric must leave the query as
+    // an integer (cents / e-n quantization). Whitelist: raw lat/lon/depth
+    // index attributes passed through UNAGGREGATED (exactly-representable
+    // x.5-degree literals, §4-audited in round 3) and d07's declared
+    // rows-only float vector.
+    val allowedCols = Set("latitude", "longitude", "depth", "elat", "elon")
+    // grandfathered round(·,n) double outputs, §4-audited in rounds 1–5
+    // and hash-stable across every driver compare since; q18 is declared
+    // rows-only (no hash compare). New queries must NOT join this list —
+    // use integer quantization (see CLAUDE.md).
+    val legacy = Map(
+      "d02_ngram_jaccard" -> Set("j4"),
+      "d08_embed_neardup" -> Set("cos2_4"),
+      "j02_geo_radius" -> Set("dist_km2"),
+      "j13_nearest_events" -> Set("dist_km2"),
+      "q18_approx_stats" -> Set("approx_median"),
+      "q29_parts_analysis" -> Set("avg_size"),
+      "t02_quality_score" -> Set("quality"),
+      "t11_tfidf" -> Set("tfidf4"))
+    val allowedQueries = Set("d07_embed_cosine_f32")
+    import org.apache.spark.sql.types.{DoubleType, FloatType}
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(allowedQueries.contains)
+      .flatMap { name =>
+        val bad = SparkEntry.queries(name)(spark, sfDir).schema.fields
+          .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+          .map(_.name).filterNot(allowedCols.contains)
+          .filterNot(legacy.getOrElse(name, Set.empty).contains)
+        if (bad.isEmpty) None else Some(s"$name: ${bad.mkString(", ")}")
+      }
+    assert(offenders.isEmpty,
+      s"float/double output columns in:\n${offenders.mkString("\n")}")
+  }
+
   test("no registered query ranks via a partition-less window over unbounded input") {
     // the r6 verdict's scale-killer class: row_number().over(Window.orderBy)
     // with no partitionBy moves its ENTIRE input through one task. Sweep
@@ -710,6 +747,35 @@ class PlanShapeSpec extends SparkSpec {
       }
     assert(offenders.isEmpty,
       s"partition-less windows over unbounded input in:\n${offenders.mkString("\n")}")
+  }
+
+  test("r8 additions plan as bounded equi-joins — no nested-loop scans " +
+    "outside broadcast-small-side") {
+    // j40's space-time join must ride the (day, cell) equi-keys (the j31
+    // lesson: a BNLJ here enumerates mainshocks x events); t39's pair
+    // join rides tok; s07's attribution join rides user_id with the
+    // interval as a residual filter.
+    for (name <- Seq("j40_declustering", "s07_attribution")) {
+      val plan = SparkEntry.queries(name)(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name: cartesian product in plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"$name: nested-loop join in plan")
+    }
+    // t39's dense |V| x S grid is BUILT by a declared broadcast cross
+    // (totals x broadcast(vocab) — the sanctioned small-side expansion);
+    // the PAIR join itself must still ride the tok equi-key
+    val t39 = SparkEntry.queries("t39_domain_divergence")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!t39.contains("CartesianProduct"), "t39: unhinted cartesian")
+    assert(t39.contains("SortMergeJoin") || t39.contains("BroadcastHashJoin"),
+      "t39: pair join must be an equi-join")
+    // d36's serving-side scoring join is keyed by the IVF list id; its
+    // only cartesian is the broadcast-1-row ndocs pattern (none here)
+    val d36 = SparkEntry.queries("d36_ivfpq_ann")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!d36.contains("CartesianProduct"), "d36: cartesian in serving plan")
   }
 
   test("q31/q32 sketch builds are single-scan map-side aggregations") {
