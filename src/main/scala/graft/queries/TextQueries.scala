@@ -416,9 +416,12 @@ object TextQueries {
         delta = (if (delta == null) newTexts
           else delta.join(changed, Seq("doc_id"), "left_anti")
             .unionByName(newTexts)).localCheckpoint()
-        fps = fps.join(changed, Seq("doc_id"), "left_anti")
-          .unionByName(winnowFpsPos(newTexts))
-          .localCheckpoint()
+        // the fps re-winnow feeds only the NEXT pass's capRarePos — after
+        // the final pass it is dead work (one winnow + one checkpoint)
+        if (pass < maxPasses - 1)
+          fps = fps.join(changed, Seq("doc_id"), "left_anti")
+            .unionByName(winnowFpsPos(newTexts))
+            .localCheckpoint()
         changedPrev = changed // projection of the checkpointed `out`
       }
       pass += 1
