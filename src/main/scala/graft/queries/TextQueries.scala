@@ -387,17 +387,31 @@ object TextQueries {
     */
   private[graft] def spanRemoval(docs0: DataFrame,
       maxPasses: Int = SpanPasses): DataFrame = {
+    graft.plans.GraftFunctions.register(docs0.sparkSession)
     val docs = docs0.select(col("doc_id"), col("text")).localCheckpoint()
     val ndocs = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint()
-    // changed docs only, latest text — the pass-k corpus is the cheap
+    val fpsBase = winnowFpsPos(docs).localCheckpoint()
+    // Changed docs only, latest text — the pass-k corpus is the cheap
     // composition base ⧹ delta-keys ∪ delta, so no pass re-materializes
-    // the full corpus (the r7 per-pass full localCheckpoint)
-    var delta: DataFrame = null
+    // the full corpus (the r7 per-pass full localCheckpoint). The ONE
+    // checkpointed pass output also carries the cleaned text's winnow
+    // `keys` array (computed in the same job — fps maintenance costs no
+    // extra barrier and the full fps table is never re-materialized;
+    // `fpsCur` composes base ⧹ delta ∪ exploded delta keys on demand,
+    // identical to a full re-winnow because fps are a deterministic
+    // per-doc function of text).
+    var delta: DataFrame = null // (doc_id, text, keys)
     def cur: DataFrame =
       if (delta == null) docs
       else docs.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
-        .unionByName(delta)
-    var fps = winnowFpsPos(docs).localCheckpoint()
+        .unionByName(delta.select("doc_id", "text"))
+    def fpsCur: DataFrame =
+      if (delta == null) fpsBase
+      else fpsBase.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+        .unionByName(delta
+          .select(col("doc_id"), explode(col("keys")).as("key"))
+          .select(col("doc_id"), expr(s"key div $WinC").as("fp"),
+            expr(s"($WinC - 1) - (key % $WinC)").as("gpos")))
     var pass = 0
     var converged = false
     // pass-(k-1) state driving pass k's evidence filter (see spanPass):
@@ -405,29 +419,34 @@ object TextQueries {
     var changedPrev: DataFrame = null
     var cappedPrev: DataFrame = null
     while (pass < maxPasses && !converged) {
-      val (rare, capped) = capRarePos(fps, ndocs)
+      val (rare, capped) = capRarePos(fpsCur, ndocs)
       val filter = if (pass == 0) None else Some((changedPrev, cappedPrev))
-      val out = spanPass(cur, rare, filter).localCheckpoint()
+      // keys feed only the NEXT pass's capRarePos — on the final pass the
+      // re-winnow is dead work, so it degenerates to an empty array. The
+      // winnow of the cleaned texts rides the same checkpoint job as the
+      // pass output itself (delta-sized; never a separate corpus job).
+      val keysCol =
+        if (pass < maxPasses - 1) expr("graft_winnow13p(text_clean)")
+        else expr("CAST(array() AS ARRAY<BIGINT>)")
+      val out = spanPass(cur, rare, filter)
+        .select(col("doc_id"), col("text_clean").as("text"),
+          keysCol.as("keys"))
+        .localCheckpoint()
       cappedPrev = capped
       if (out.isEmpty) converged = true
       else {
         val changed = out.select("doc_id")
-        val newTexts = out.select(col("doc_id"), col("text_clean").as("text"))
-        delta = (if (delta == null) newTexts
+        delta = (if (delta == null) out
           else delta.join(changed, Seq("doc_id"), "left_anti")
-            .unionByName(newTexts)).localCheckpoint()
-        // the fps re-winnow feeds only the NEXT pass's capRarePos — after
-        // the final pass it is dead work (one winnow + one checkpoint)
-        if (pass < maxPasses - 1)
-          fps = fps.join(changed, Seq("doc_id"), "left_anti")
-            .unionByName(winnowFpsPos(newTexts))
-            .localCheckpoint()
+            .unionByName(out)).localCheckpoint()
         changedPrev = changed // projection of the checkpointed `out`
       }
       pass += 1
     }
     // only docs in delta can differ from the original corpus
-    val changedAll = if (delta == null) docs.limit(0) else delta
+    val changedAll =
+      if (delta == null) docs.limit(0)
+      else delta.select("doc_id", "text")
     docs.as("o").join(changedAll.as("n"), "doc_id")
       .filter(length(col("n.text")) < length(col("o.text")))
       .select(col("doc_id"),
