@@ -800,6 +800,71 @@ object JaneQueries {
             "(sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT)")
             .as("b_e4"))
         .orderBy("agency")
+    },
+
+    "j41_catalog_merge" -> { (s, d) =>
+      // Cross-agency catalog ASSOCIATION — the catalog-merge primitive a
+      // multi-agency archive runs before any rate statistic is honest
+      // (duplicate reports of ONE physical event arrive from several
+      // agencies; fdsnws-event federation dedups them the same way): two
+      // reports associate when they lie within 1800 s and 1000 km but
+      // carry DIFFERENT agency codes. Join shape: (1800-s time bucket,
+      // 10° lat cell, wrapped lon cell) EQUI-join — the left report
+      // explodes to its 3 covering time buckets × covering cells (j31's
+      // covering-cell superset proof at D=1000 km: |Δlat| ≤ 1000/111.19
+      // = 8.994 < 9.0), the right report keys on its OWN (bucket, cell)
+      // so each true pair matches exactly once, and the exact |Δt| /
+      // haversine / agency predicates prune. Work ∝ candidate pairs
+      // sharing a bucket-cell (~occupancy-bounded), never reports ×
+      // reports; the oracle stays the declarative all-pairs band join.
+      val e = ev(s, d).select(col("event_id"), col("agency"),
+        cents(col("magnitude")).as("mag_c"),
+        unix_timestamp(col("time")).as("sec"),
+        col("latitude"), col("longitude"))
+      val a = e.select(col("event_id").as("aid"), col("agency").as("aag"),
+        col("mag_c").as("amag"), col("sec").as("asec"),
+        col("latitude").as("elat"), col("longitude").as("elon"))
+      val sinHalf = math.sin(
+        1000.0 / (2 * graft.functions.GeoFunctions.EarthRadiusKm))
+      val cand = a
+        .withColumn("bkt",
+          explode(expr("sequence(asec div 1800 - 1, asec div 1800 + 1)")))
+        .withColumn("cl", explode(expr(
+          "sequence(greatest(-9, CAST(floor((elat - 9.0) / 10) AS INT)), " +
+            "least(8, CAST(floor((elat + 9.0) / 10) AS INT)))")))
+        .withColumn("denom", expr(
+          "cos(radians(elat)) * cos(radians(least(greatest(abs(cl * 10.0), " +
+            "abs(cl * 10.0 + 10.0)), 90.0)))"))
+        .withColumn("wl", expr(
+          s"CASE WHEN denom <= 1e-12 THEN 180.0 ELSE " +
+            s"least(180.0, degrees(2 * asin(least(1.0, $sinHalf / sqrt(denom))))) END"))
+        .withColumn("cg", explode(expr(
+          "array_distinct(transform(" +
+            "sequence(CAST(floor((elon - wl) / 10) AS INT), " +
+            "CAST(floor((elon + wl) / 10) AS INT)), " +
+            "x -> ((x + 18) % 36 + 36) % 36 - 18))")))
+        .select("aid", "aag", "amag", "asec", "elat", "elon", "bkt", "cl", "cg")
+      val b = e
+        .select(col("event_id").as("bid"), col("agency").as("bag"),
+          col("mag_c").as("bmag"), col("sec").as("bsec"),
+          col("latitude").as("alat"), col("longitude").as("alon"))
+        .withColumn("bbkt", expr("bsec div 1800"))
+        .withColumn("bcl", expr("least(8, CAST(floor(alat / 10) AS INT))"))
+        .withColumn("bcg", expr(
+          "((CAST(floor(alon / 10) AS INT) + 18) % 36 + 36) % 36 - 18"))
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("elat", "elon", "alat", "alon")
+      cand.join(b, col("bkt") === col("bbkt") && col("cl") === col("bcl") &&
+          col("cg") === col("bcg"))
+        .filter(col("aid") < col("bid") && col("aag") =!= col("bag") &&
+          abs(col("bsec") - col("asec")) <= 1800 &&
+          abs(col("alat") - col("elat")) <= 9.0 && expr(distSql) <= 1000.0)
+        .select(col("aid").as("event_id_a"), col("bid").as("event_id_b"),
+          col("aag").as("agency_a"), col("bag").as("agency_b"),
+          (col("bsec") - col("asec")).as("dt_s"),
+          expr(s"CAST(round(($distSql) * 100) AS BIGINT)").as("dist_e2"),
+          abs(col("amag") - col("bmag")).as("dmag_c"))
+        .orderBy("event_id_a", "event_id_b")
     })
 
   private def evCte: String = EventIndex.oracleCte
@@ -1288,5 +1353,27 @@ object JaneQueries {
          |SELECT agency, n_events, mc_bin * 10 AS mc_c, n_above, sum_above_c,
          |  CAST(round(434294.4819032518 * n_above /
          |    (sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
-         |FROM ab ORDER BY agency""".stripMargin)
+         |FROM ab ORDER BY agency""".stripMargin,
+
+    "j41_catalog_merge" -> {
+      val distSql = graft.functions.GeoFunctions
+        .haversineKmSql("elat", "elon", "alat", "alon")
+      s"""WITH ev AS ($evCte),
+         |a AS (SELECT event_id AS aid, agency AS aag,
+         |    CAST(round(magnitude * 100) AS BIGINT) AS amag,
+         |    CAST(floor(epoch(time)) AS BIGINT) AS asec,
+         |    latitude AS elat, longitude AS elon FROM ev),
+         |b AS (SELECT event_id AS bid, agency AS bag,
+         |    CAST(round(magnitude * 100) AS BIGINT) AS bmag,
+         |    CAST(floor(epoch(time)) AS BIGINT) AS bsec,
+         |    latitude AS alat, longitude AS alon FROM ev)
+         |SELECT aid AS event_id_a, bid AS event_id_b, aag AS agency_a,
+         |  bag AS agency_b, bsec - asec AS dt_s,
+         |  CAST(round(($distSql) * 100) AS BIGINT) AS dist_e2,
+         |  abs(amag - bmag) AS dmag_c
+         |FROM a JOIN b ON bsec BETWEEN asec - 1800 AND asec + 1800
+         |  AND aid < bid AND aag <> bag
+         |WHERE $distSql <= 1000.0
+         |ORDER BY event_id_a, event_id_b""".stripMargin
+    })
 }

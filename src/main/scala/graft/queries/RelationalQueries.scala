@@ -858,6 +858,35 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     },
 
+    "q43_equidepth_hist" -> { (s, d) =>
+      // Equi-depth (decile) histogram over order totals — the
+      // optimizer-statistics primitive (Spark CBO and DuckDB both keep
+      // equi-height histograms): boundaries b_k = exact
+      // percentile(price_c, k/10) emitted ×10 (integers by the q15
+      // interpolation argument: frac = (k(n−1) mod 10)/10), each order
+      // assigned bucket 1 + #(boundaries strictly below price_c×10) —
+      // the comparison is integer-exact, so boundary ties land in the
+      // lower bucket in BOTH engines — then per-bucket count/min/max/sum
+      // in cents. Plan: ONE exact-percentile aggregate (1 row) broadcast
+      // to the fact scan, bucket assignment a codegen'd projection, ONE
+      // map-side-combined rollup — no window, no fact sort, two
+      // shuffles total regardless of corpus size.
+      val o = Tables.orders(s, d)
+        .select(cents(col("o_totalprice")).as("price_c"))
+      val bounds = o.agg(expr(
+        "transform(percentile(price_c, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, " +
+          "0.6D, 0.7D, 0.8D, 0.9D)), x -> CAST(round(x * 10) AS BIGINT))")
+        .as("bs10"))
+      o.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          expr("CAST(1 + size(filter(bs10, b -> price_c * 10 > b)) AS BIGINT)"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min(col("price_c")).as("min_c"),
+          max(col("price_c")).as("max_c"),
+          sum(col("price_c")).as("sum_c"))
+        .orderBy("bucket")
+    },
+
     "q24_bloom_join" -> { (s, d) =>
       // Explicit Bloom-filter semi-join reduction: build a Bloom filter
       // over the filtered dim's join keys (one aggregate, ~MBs for even
@@ -1310,6 +1339,20 @@ object RelationalQueries {
         |  CAST(round(quantile_cont(l_quantity, 0.75) * 20) AS BIGINT) AS p75_x20,
         |  CAST(round(quantile_cont(l_quantity, 0.95) * 20) AS BIGINT) AS p95_x20
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q43_equidepth_hist" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS price_c
+        |    FROM orders),
+        |bs AS (SELECT list_transform(
+        |    quantile_cont(price_c, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+        |    x -> CAST(round(x * 10) AS BIGINT)) AS bs10 FROM o),
+        |asg AS (SELECT price_c,
+        |    CAST(1 + len(list_filter(bs10, b -> price_c * 10 > b)) AS BIGINT)
+        |      AS bucket
+        |  FROM o, bs)
+        |SELECT bucket, COUNT(*) AS n, MIN(price_c) AS min_c,
+        |  MAX(price_c) AS max_c, CAST(SUM(price_c) AS BIGINT) AS sum_c
+        |FROM asg GROUP BY bucket ORDER BY bucket""".stripMargin,
 
     // the Bloom pre-filter only drops rows the join would drop anyway, so
     // the oracle is the plain join — that IS the exactness claim

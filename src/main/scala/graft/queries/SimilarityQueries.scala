@@ -61,6 +61,9 @@ object SimilarityQueries {
   // serving scale (a full corpus rank per query is the eval baseline,
   // not the serving shape)
   private val RrfN = 100
+  // d37 range search: keep every probed candidate with dot >= tau
+  // (quantized milli-units² — ~the 98th pct of the probe-pair dots)
+  private val RangeTau = 250000L
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -730,6 +733,45 @@ object SimilarityQueries {
         centroids = e.filter(col("vec_id") < 8),
         nprobe = 2, k = K)
         .orderBy("query_id", "rn")
+    },
+
+    "d37_range_search" -> { (s, d) =>
+      // RANGE search — the faiss range_search analog: dedup and
+      // graph-build pipelines ask "everything within τ", not top-k,
+      // because the neighbor COUNT is the unknown (a near-dup cluster can
+      // be 2 or 2000 wide and a k cutoff truncates it). Same IVF probe
+      // machinery as d09 — 8 fixed centroids, candidates assigned to
+      // their argmin list once, queries probe nprobe=2 lists — but the
+      // readout keeps EVERY probed candidate with dot ≥ τ: no heap, no
+      // rank, output ∝ hits. The probe bound is what keeps range search
+      // affordable at 100 TB (scored work ∝ probed list sizes, never the
+      // corpus), and the oracle replays the same pruning, so the
+      // approximate result is hash-checked end to end like d09's.
+      graft.plans.GraftFunctions.register(s)
+      val e = quantized(s, d)
+      val n = e.withColumn("nq", expr(SimilaritySearch.dotSql("q", "q")))
+      val cents = n.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+          col("nq").as("cn"))
+      def argRanks(rows: DataFrame, idc: String) =
+        rows.crossJoin(broadcast(cents))
+          .withColumn("dist",
+            col("nq") + col("cn") - lit(2L) * expr(SimilaritySearch.dotSql("q", "cq")))
+          .withColumn("pr", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(idc)
+              .orderBy(col("dist").asc, col("cent_id").asc)))
+      val ca = argRanks(n.filter(col("vec_id") >= 20), "vec_id")
+        .filter(col("pr") === 1)
+        .select(col("vec_id").as("cand_id"), col("q").as("cq2"), col("cent_id"))
+      val qp = argRanks(n.filter(col("vec_id") >= 10 && col("vec_id") < 20),
+          "vec_id")
+        .filter(col("pr") <= 2)
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cent_id"))
+      ca.join(qp, "cent_id")
+        .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "cq2")))
+        .filter(col("dot") >= RangeTau)
+        .select(col("query_id"), col("cand_id"), col("dot"))
+        .orderBy("query_id", "cand_id")
     },
 
     // IVF with a TRAINED coarse quantizer: the codebook comes from the
@@ -1554,6 +1596,33 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    // d09's assignment/probe CTEs verbatim; only the readout differs —
+    // threshold filter instead of top-k rank
+    "d37_range_search" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |n AS (SELECT vec_id, q, ${dotDuck("q", "q")} AS nq FROM e),
+         |cents AS (SELECT vec_id AS cent_id, q AS cq, nq AS cn FROM n WHERE vec_id < 8),
+         |cand AS (SELECT vec_id, q, nq FROM n WHERE vec_id >= 20),
+         |qs AS (SELECT vec_id, q, nq FROM n WHERE vec_id >= 10 AND vec_id < 20),
+         |ca AS (SELECT cand_id, q, cent_id FROM (
+         |    SELECT c.vec_id AS cand_id, c.q, ct.cent_id,
+         |      row_number() OVER (PARTITION BY c.vec_id
+         |        ORDER BY c.nq + ct.cn - 2 * ${dotDuck("c.q", "ct.cq")} ASC,
+         |                 ct.cent_id ASC) AS pr
+         |    FROM cand c CROSS JOIN cents ct)
+         |  WHERE pr = 1),
+         |qp AS (SELECT query_id, qq, cent_id FROM (
+         |    SELECT s.vec_id AS query_id, s.q AS qq, ct.cent_id,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY s.nq + ct.cn - 2 * ${dotDuck("s.q", "ct.cq")} ASC,
+         |                 ct.cent_id ASC) AS pr
+         |    FROM qs s CROSS JOIN cents ct)
+         |  WHERE pr <= 2),
+         |scored AS (SELECT qp.query_id, ca.cand_id, ${dotDuck("qp.qq", "ca.q")} AS dot
+         |  FROM ca JOIN qp USING (cent_id))
+         |SELECT query_id, cand_id, dot FROM scored WHERE dot >= $RangeTau
+         |ORDER BY query_id, cand_id""".stripMargin,
 
     // dim is 0-based on both sides (Spark posexplode pos ↔ range(0, len))
     "d12_embed_pool" ->

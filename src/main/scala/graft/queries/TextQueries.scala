@@ -1698,6 +1698,38 @@ object TextQueries {
         .agg(sum(col("contrib_e9")).as("js_e9"))
         .select("a", "b", "na", "nb", "js_e9")
         .orderBy("a", "b")
+    },
+
+    "t40_ngram_novelty" -> { (s, d) =>
+      // Per-document n-gram NOVELTY — the dataset-growth analytic of the
+      // WIMBD/data-scaling literature: how much of each document's
+      // 8-gram vocabulary is seen here FIRST (by doc_id order) vs already
+      // contributed by an earlier document. The curve's decay is the
+      // honest measure of a corpus's marginal value as it grows — flat ≈
+      // fresh text, collapsing ≈ the crawl is re-reading itself. Shape:
+      // one gram-type explode (distinct per doc), ONE map-side-combined
+      // groupBy(gram) → min(doc_id) — first-seen via aggregation, NOT a
+      // sort or window over the corpus — and a gram-keyed join back;
+      // work ∝ gram occurrences, the same budget d02/t25 already pay.
+      // Docs under 8 tokens have no 8-gram and are absent on both sides
+      // (Spark's size-guard vs DuckDB's empty range — never an empty
+      // sequence(), which DESCENDS).
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), expr("split(trim(text), ' ')").as("toks"))
+        .filter(expr("size(toks) >= 8"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 8), " +
+            "i -> array_join(slice(toks, i + 1, 8), ' '))")).as("gram"))
+        .distinct()
+        .localCheckpoint() // feeds first-seen AND the join-back
+      val fd = g.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      g.join(fd, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .withColumn("novelty_e4", expr("n_novel * 10000 div n_types"))
+        .orderBy("doc_id")
     })
 
   /** m08/m12's shared DuckDB CTE body replaying [[phashPairs]], ending in
@@ -2642,5 +2674,22 @@ object TextQueries {
          |    ON ga.tok = gb.tok AND ga.source < gb.source)
          |SELECT a, b, na, nb,
          |  CAST(SUM($jsContribSql) AS BIGINT) AS js_e9
-         |FROM pr GROUP BY a, b, na, nb ORDER BY a, b""".stripMargin)
+         |FROM pr GROUP BY a, b, na, nb ORDER BY a, b""".stripMargin,
+
+    "t40_ngram_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+        |    FROM documents),
+        |g AS (SELECT DISTINCT doc_id,
+        |    array_to_string(t[CAST(i + 1 AS INT):CAST(i + 8 AS INT)], ' ')
+        |      AS gram
+        |  FROM (SELECT doc_id, t, unnest(range(0, len(t) - 7)) AS i
+        |        FROM toks)),
+        |fd AS (SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY gram)
+        |SELECT g.doc_id, COUNT(*) AS n_types,
+        |  CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_novel,
+        |  CAST(CAST(SUM(CASE WHEN fd.first_doc = g.doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 10000 // COUNT(*) AS BIGINT) AS novelty_e4
+        |FROM g JOIN fd USING (gram)
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 fourth wave: j41 catalog merge, q43 equi-depth histogram,
+  * d37 range search, t40 n-gram novelty. Each gets an independent plain-
+  * Scala replay (or exact property) on top of the DuckDB hash gate, so a
+  * candidate-generation bug that happened to fool the (identically-
+  * shaped) oracle would still be caught.
+  */
+class NewQueriesR8bSpec extends SparkSpec {
+
+  private def haversineKm(lat1: Double, lon1: Double,
+      lat2: Double, lon2: Double): Double = {
+    val r = graft.functions.GeoFunctions.EarthRadiusKm
+    val a = math.pow(math.sin(math.toRadians(lat2 - lat1) / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) *
+        math.pow(math.sin(math.toRadians(lon2 - lon1) / 2), 2)
+    2 * r * math.asin(math.sqrt(a))
+  }
+
+  test("j41: bucket-cell association equals the all-pairs Scala replay") {
+    val got = SparkEntry.queries("j41_catalog_merge")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2), r.getString(3), r.getLong(4), r.getLong(5),
+          r.getLong(6))))
+      .toMap
+    val evs = graft.operators.Indexers.EventIndex
+      .attach(Tables.events(spark, sfDir))
+      .select(col("event_id"), col("agency"),
+        expr("CAST(round(magnitude * 100) AS BIGINT)").as("mag_c"),
+        unix_timestamp(col("time")).as("sec"),
+        col("latitude"), col("longitude"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val want = (for {
+      a @ (aid, aag, amag, asec, alat, alon) <- evs
+      b @ (bid, bag, bmag, bsec, blat, blon) <- evs
+      if aid < bid && aag != bag && math.abs(bsec - asec) <= 1800
+      dist = haversineKm(alat, alon, blat, blon)
+      if dist <= 1000.0
+    } yield (aid, bid) ->
+      ((aag, bag, bsec - asec, math.round(dist * 100),
+        math.abs(amag - bmag)))).toMap
+    assert(got == want)
+    assert(got.nonEmpty) // 10 pairs at sf0.001
+  }
+
+  test("q43: decile boundaries and bucket stats equal an exact integer " +
+    "replay; buckets partition the table") {
+    val got = SparkEntry.queries("q43_equidepth_hist")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    val prices = Tables.orders(spark, sfDir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .collect().map(_.getLong(0)).sorted
+    val n = prices.length
+    // exact interpolated percentile ×10: pos = k(n-1) in tenths
+    val bs10 = (1 to 9).map { k =>
+      val pos = k.toLong * (n - 1)
+      val lo = (pos / 10).toInt
+      val frac = pos % 10
+      prices(lo) * 10 +
+        frac * (prices(math.min(lo + 1, n - 1)) - prices(lo))
+    }
+    val byBucket = prices.groupBy(p => 1L + bs10.count(_ < p * 10))
+    val want = byBucket.map { case (b, vs) =>
+      b -> ((vs.length.toLong, vs.min, vs.max, vs.sum))
+    }
+    assert(got == want)
+    assert(got.keys.toSeq.sorted == (1L to 10L) &&
+      got.values.map(_._1).sum == n.toLong)
+  }
+
+  test("d37: probed range search equals the Scala replay and is a subset " +
+    "of all-pairs range search") {
+    val got = SparkEntry.queries("d37_range_search")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(
+        graft.operators.SimilaritySearch.quantizeSql("embedding")))
+      .select("vec_id", "q")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val cents = vecs.filter(_._1 < 8)
+    def probes(v: Array[Long], np: Int): Seq[Long] = {
+      val nv = dot(v, v)
+      cents.toSeq.map { case (cid, cq) =>
+        (nv + dot(cq, cq) - 2 * dot(v, cq), cid)
+      }.sorted.take(np).map(_._2)
+    }
+    val tau = 250000L
+    val want = (for {
+      (qid, qv) <- vecs.toSeq if qid >= 10 && qid < 20
+      qLists = probes(qv, 2).toSet
+      (cid, cv) <- vecs.toSeq if cid >= 20
+      if qLists.contains(probes(cv, 1).head)
+      d = dot(qv, cv) if d >= tau
+    } yield (qid, cid) -> d).toMap
+    assert(got == want)
+    // subset of the unpruned range result, and every dot honors tau
+    assert(got.values.forall(_ >= tau))
+    val full = (for {
+      (qid, qv) <- vecs.toSeq if qid >= 10 && qid < 20
+      (cid, cv) <- vecs.toSeq if cid >= 20
+      d = dot(qv, cv) if d >= tau
+    } yield (qid, cid)).toSet
+    assert(got.keySet.subsetOf(full))
+  }
+
+  test("t40: novelty equals the Scala replay; the first document is all-" +
+    "novel and ratios are in range") {
+    val got = SparkEntry.queries("t40_ngram_novelty")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split(" ").toSeq)
+    val gramSets = docs.collect {
+      case (id, toks) if toks.length >= 8 =>
+        id -> toks.sliding(8).map(_.mkString(" ")).toSet
+    }
+    val firstDoc = gramSets.flatMap { case (id, gs) => gs.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = gramSets.map { case (id, gs) =>
+      val novel = gs.count(g => firstDoc(g) == id).toLong
+      id -> ((gs.size.toLong, novel, novel * 10000 / gs.size))
+    }.toMap
+    assert(got == want)
+    val firstId = gramSets.map(_._1).min
+    assert(got(firstId)._3 == 10000L)
+    assert(got.values.forall { case (t, nv, e4) =>
+      nv <= t && e4 >= 0 && e4 <= 10000 })
+  }
+}
