@@ -809,14 +809,19 @@ object JaneQueries {
       // agencies; fdsnws-event federation dedups them the same way): two
       // reports associate when they lie within 1800 s and 1000 km but
       // carry DIFFERENT agency codes. Join shape: (1800-s time bucket,
-      // 10° lat cell, wrapped lon cell) EQUI-join — the left report
-      // explodes to its 3 covering time buckets × covering cells (j31's
-      // covering-cell superset proof at D=1000 km: |Δlat| ≤ 1000/111.19
+      // 10° lat cell) EQUI-join — the left report explodes to its 3
+      // covering time buckets × ≤2 covering lat cells (the lat half of
+      // j31's covering superset proof at D=1000 km: |Δlat| ≤ 1000/111.19
       // = 8.994 < 9.0), the right report keys on its OWN (bucket, cell)
       // so each true pair matches exactly once, and the exact |Δt| /
-      // haversine / agency predicates prune. Work ∝ candidate pairs
-      // sharing a bucket-cell (~occupancy-bounded), never reports ×
-      // reports; the oracle stays the declarative all-pairs band join.
+      // haversine / agency predicates prune. The lon-cell key is
+      // deliberately NOT in the join: near the poles a 1000-km ball
+      // covers the full lon ring, so the lon explode costs ~20 cells/row
+      // on a uniform-lat catalog (measured 5.9M exploded rows at sf0.1)
+      // while only cutting candidates 0.7M → 3.2M — predicates prune
+      // those integer-cheaply, so the narrower explode wins ~2×. Work ∝
+      // bucket-lat-cell candidate pairs, never reports²; the oracle
+      // stays the declarative all-pairs band join.
       val e = ev(s, d).select(col("event_id"), col("agency"),
         cents(col("magnitude")).as("mag_c"),
         unix_timestamp(col("time")).as("sec"),
@@ -824,38 +829,22 @@ object JaneQueries {
       val a = e.select(col("event_id").as("aid"), col("agency").as("aag"),
         col("mag_c").as("amag"), col("sec").as("asec"),
         col("latitude").as("elat"), col("longitude").as("elon"))
-      val sinHalf = math.sin(
-        1000.0 / (2 * graft.functions.GeoFunctions.EarthRadiusKm))
       val cand = a
         .withColumn("bkt",
           explode(expr("sequence(asec div 1800 - 1, asec div 1800 + 1)")))
         .withColumn("cl", explode(expr(
           "sequence(greatest(-9, CAST(floor((elat - 9.0) / 10) AS INT)), " +
             "least(8, CAST(floor((elat + 9.0) / 10) AS INT)))")))
-        .withColumn("denom", expr(
-          "cos(radians(elat)) * cos(radians(least(greatest(abs(cl * 10.0), " +
-            "abs(cl * 10.0 + 10.0)), 90.0)))"))
-        .withColumn("wl", expr(
-          s"CASE WHEN denom <= 1e-12 THEN 180.0 ELSE " +
-            s"least(180.0, degrees(2 * asin(least(1.0, $sinHalf / sqrt(denom))))) END"))
-        .withColumn("cg", explode(expr(
-          "array_distinct(transform(" +
-            "sequence(CAST(floor((elon - wl) / 10) AS INT), " +
-            "CAST(floor((elon + wl) / 10) AS INT)), " +
-            "x -> ((x + 18) % 36 + 36) % 36 - 18))")))
-        .select("aid", "aag", "amag", "asec", "elat", "elon", "bkt", "cl", "cg")
+        .select("aid", "aag", "amag", "asec", "elat", "elon", "bkt", "cl")
       val b = e
         .select(col("event_id").as("bid"), col("agency").as("bag"),
           col("mag_c").as("bmag"), col("sec").as("bsec"),
           col("latitude").as("alat"), col("longitude").as("alon"))
         .withColumn("bbkt", expr("bsec div 1800"))
         .withColumn("bcl", expr("least(8, CAST(floor(alat / 10) AS INT))"))
-        .withColumn("bcg", expr(
-          "((CAST(floor(alon / 10) AS INT) + 18) % 36 + 36) % 36 - 18"))
       val distSql = graft.functions.GeoFunctions
         .haversineKmSql("elat", "elon", "alat", "alon")
-      cand.join(b, col("bkt") === col("bbkt") && col("cl") === col("bcl") &&
-          col("cg") === col("bcg"))
+      cand.join(b, col("bkt") === col("bbkt") && col("cl") === col("bcl"))
         .filter(col("aid") < col("bid") && col("aag") =!= col("bag") &&
           abs(col("bsec") - col("asec")) <= 1800 &&
           abs(col("alat") - col("elat")) <= 9.0 && expr(distSql) <= 1000.0)
