@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.ExactNum.sumCents
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, TopK}
 
 /** Streaming-shaped operators, verified through their batch equivalents
   * (SURVEY.md §2.H). The same transforms run on `readStream` sources via
@@ -125,6 +125,28 @@ object StreamingQueries {
         .agg(count(lit(1)).as("n_events"),
           sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late"))
         .orderBy("event_type")
+    },
+
+    "s08_windowed_topk" -> { (s, d) =>
+      // Windowed TOP-K leaderboard — the per-window "heaviest keys"
+      // readout every ops dashboard serves (top users per hour here; top
+      // talkers / hot shards in general): 1-h tumbling windows, per-
+      // (window, user) count + value cents, top-3 users per window by
+      // count with user_id tie-break. Batch plan: one map-side-combined
+      // (window, user) aggregate, then TopK.perKey map-side heaps — at
+      // most windows×3 rows reach the rank exchange, never the full
+      // aggregate. Streaming twin: EventStreams.windowedTopK consumes
+      // the finalized windowed totals and keeps THREE triples of state
+      // per window (rank-after-close — each candidate is final when the
+      // watermark closes its window, so the leaderboard never needs the
+      // full user list).
+      val g = Tables.events(s, d)
+        .withColumn("window_s", expr("(unix_timestamp(ts) div 3600) * 3600"))
+        .groupBy("window_s", "user_id")
+        .agg(count(lit(1)).as("n"), sumCents(col("value")).as("value_c"))
+      TopK.perKey(g, Seq("window_s"), "n", "user_id", 3)
+        .select("window_s", "user_id", "n", "value_c", "rn")
+        .orderBy("window_s", "rn")
     },
 
     "s07_attribution" -> { (s, d) =>
@@ -249,6 +271,17 @@ object StreamingQueries {
         |                (event_id * 2654435761) % 7200 AS arr
         |            FROM events))
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "s08_windowed_topk" ->
+      """WITH g AS (SELECT
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_s,
+        |    user_id, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+        |  FROM events GROUP BY window_s, user_id),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY window_s
+        |    ORDER BY n DESC, user_id ASC) AS rn FROM g)
+        |SELECT window_s, user_id, n, value_c, rn FROM r WHERE rn <= 3
+        |ORDER BY window_s, rn""".stripMargin,
 
     "s07_attribution" ->
       """SELECT p.event_id, p.user_id, p.psec AS purchase_s,

@@ -35,6 +35,21 @@ final case class RegisterState(reg: Long, rho_max: Long)
 /** One CMS counter of [[EventStreams.cmsSketch]]. */
 final case class CounterState(i: Long, c: Long, n: Long)
 
+/** One finalized per-(window, user) total — what the watermark-closed
+  * windowed aggregation sink emits, each key exactly once.
+  */
+final case class WindowUserTotal(window_s: Long, user_id: Long, n: Long,
+    value_c: Long)
+
+/** Current leaderboard state for one window: at most K (n, value_c,
+  * user_id) entries — K rows per window key, forever.
+  */
+final case class LeaderState(rows: List[(Long, Long, Long)])
+
+/** One leaderboard row emitted by [[EventStreams.windowedTopK]]. */
+final case class LeaderRow(window_s: Long, user_id: Long, n: Long,
+    value_c: Long, rn: Long)
+
 /** Open-session state for the event-time sessionizer (epoch millis). */
 final case class OpenSession(start: Long, end: Long, n: Long)
 
@@ -507,6 +522,38 @@ object EventStreams {
           val n = state.getOption.getOrElse(0L) + batchRows.size
           state.update(n)
           CounterState(i, c, n)
+      }
+  }
+
+  /** Streaming twin of s08_windowed_topk: consumes FINALIZED per-(window,
+    * user) totals (the watermark-closed windowed aggregation sink's
+    * output — each key arrives exactly once) and keeps, per window, ONLY
+    * the current top-k entries — the rank-after-close discipline: because
+    * every candidate is final on arrival, maintaining a leaderboard never
+    * needs the full per-user list, so state is k triples per window key
+    * no matter how many users the window saw. Same (n desc, user_id asc)
+    * order as the batch twin's TopK.perKey, so after all of a window's
+    * totals have arrived the emitted leaderboard equals the batch rows
+    * (spec-asserted). Emit with OutputMode.Update — each batch re-emits
+    * only the leaderboards it changed, latest rows per window win.
+    */
+  def windowedTopK(spark: SparkSession, totals: Dataset[WindowUserTotal],
+      k: Int = 3): Dataset[LeaderRow] = {
+    import spark.implicits._
+    totals.groupByKey(_.window_s)
+      .flatMapGroupsWithState[LeaderState, LeaderRow](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        GroupStateTimeout.NoTimeout()) { (win, rows, state) =>
+        var top = state.getOption.map(_.rows).getOrElse(Nil)
+        rows.foreach { r =>
+          top = ((r.n, r.value_c, r.user_id) :: top)
+            .sortBy { case (n, _, uid) => (-n, uid) }
+            .take(k)
+        }
+        state.update(LeaderState(top))
+        top.zipWithIndex.map { case ((n, vc, uid), i) =>
+          LeaderRow(win, uid, n, vc, i + 1L)
+        }.iterator
       }
   }
 

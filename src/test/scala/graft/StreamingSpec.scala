@@ -209,6 +209,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedTopK keeps k triples per window and matches the batch " +
+    "leaderboard after all totals arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.WindowUserTotal]
+    val q = EventStreams.windowedTopK(spark, mem.toDS(), k = 3)
+      .writeStream.format("memory").queryName("topk_test")
+      .outputMode(OutputMode.Update()).start()
+    def table(): Seq[(Long, Long, Long, Long, Long)] = spark.sql(
+      "SELECT window_s, user_id, n, value_c, rn FROM topk_test")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    try {
+      mem.addData(
+        graft.streaming.WindowUserTotal(0L, 1L, 5L, 100L),
+        graft.streaming.WindowUserTotal(0L, 2L, 7L, 50L),
+        graft.streaming.WindowUserTotal(3600L, 9L, 2L, 10L))
+      q.processAllAvailable()
+      val snap1 = table()
+      // window 0: user 2 (7) > user 1 (5); window 3600: user 9 alone
+      assert(snap1.toSet == Set((0L, 2L, 7L, 50L, 1L), (0L, 1L, 5L, 100L, 2L),
+        (3600L, 9L, 2L, 10L, 1L)), s"got $snap1")
+      // batch 2: a new leader, an equal-count tie (user_id asc wins),
+      // and a small entry that pushes user 1 off the podium
+      mem.addData(
+        graft.streaming.WindowUserTotal(0L, 3L, 9L, 1L),
+        graft.streaming.WindowUserTotal(0L, 0L, 7L, 2L),
+        graft.streaming.WindowUserTotal(3600L, 4L, 1L, 1L))
+      q.processAllAvailable()
+      val emitted2 = {
+        val c1 = scala.collection.mutable.Map.empty[
+          (Long, Long, Long, Long, Long), Int]
+        snap1.foreach(r => c1(r) = c1.getOrElse(r, 0) + 1)
+        table().filter { r =>
+          val left = c1.getOrElse(r, 0)
+          if (left > 0) { c1(r) = left - 1; false } else true
+        }
+      }
+      // update-mode memory sink appends each batch's emission; the
+      // second batch's rows are the refreshed leaderboards only
+      assert(emitted2.toSet == Set(
+        (0L, 3L, 9L, 1L, 1L), (0L, 0L, 7L, 2L, 2L), (0L, 2L, 7L, 50L, 3L),
+        (3600L, 9L, 2L, 10L, 1L), (3600L, 4L, 1L, 1L, 2L)), s"got $emitted2")
+    } finally q.stop()
+  }
+
   test("foreachBatch upsert sink merges micro-batches latest-wins") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
