@@ -1606,6 +1606,35 @@ object TextQueries {
         .orderBy("doc_id", "frame_id")
     },
 
+    "m13_shot_stats" -> { (s, d) =>
+      // Per-video SHOT statistics — the readout a video pipeline derives
+      // from m09's boundaries before allocating a per-shot sampling
+      // budget (one keyframe per shot, longer shots get more): frames
+      // partition into shots at the m09 cut points via the cumulative-
+      // cut-count island key, shots roll up to per-video count / total
+      // frames / longest / floored mean length. Shape: the m03/m09
+      // executor-side frame expansion, ONE doc-keyed window shuffle
+      // (cut flag + running cut count in the same window), then two
+      // map-side-combined rollups — no extra shuffle beyond m09's own.
+      val f = Multimodal.sampleFrames(
+        s, Multimodal.withPayload(Tables.documents(s, d)), stride = 1)
+        .toDF()
+      val wDoc = Window.partitionBy("doc_id").orderBy("frame_id")
+      val flagged = f
+        .withColumn("prev_feature", lag(col("feature"), 1).over(wDoc))
+        .withColumn("cut", when(col("prev_feature").isNotNull &&
+          abs(col("feature") - col("prev_feature")) >= SceneCutT, 1L)
+          .otherwise(0L))
+        .withColumn("shot", sum(col("cut")).over(
+          wDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      flagged.groupBy("doc_id", "shot").agg(count(lit(1)).as("len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shots"), sum(col("len")).as("n_frames"),
+          max(col("len")).as("longest"))
+        .withColumn("mean_len_fl", expr("n_frames div n_shots"))
+        .orderBy("doc_id")
+    },
+
     "m10_audio_vad" -> { (s, d) =>
       // Voice-activity segmentation over the m05 analysis windows — the
       // gaps-and-islands idiom: a window is ACTIVE when its energy is >=
@@ -1731,6 +1760,28 @@ object TextQueries {
         .withColumn("novelty_e4", expr("n_novel * 10000 div n_types"))
         .orderBy("doc_id")
     })
+
+  /** m09/m13's shared DuckDB CTE body replaying the stride-1
+    * Multimodal.sampleFrames features, ending in
+    * `lagged (doc_id, frame_id, feature, prev_feature)`.
+    */
+  private def frameLagCtes: String =
+    s"""d AS (SELECT doc_id,
+       |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
+       |    CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames,
+       |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars
+       |  FROM documents),
+       |f AS (SELECT doc_id, n, frames, chars,
+       |    unnest(range(0, frames)) AS frame_id FROM d),
+       |feat AS (SELECT doc_id, frame_id,
+       |    CAST(coalesce(list_sum(list_slice(chars,
+       |      CAST((frame_id * n) // frames + 1 AS INT),
+       |      CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT)
+       |      AS feature
+       |  FROM f),
+       |lagged AS (SELECT doc_id, frame_id, feature,
+       |    lag(feature) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_feature
+       |  FROM feat)""".stripMargin
 
   /** m08/m12's shared DuckDB CTE body replaying [[phashPairs]], ending in
     * `ph_pairs (a, b, hamming)`. Per-bit term: extent mean vs global
@@ -2617,27 +2668,30 @@ object TextQueries {
         |ORDER BY doc_id, first_win""".stripMargin,
 
     "m09_scene_cuts" ->
-      s"""WITH d AS (SELECT doc_id,
-         |    CAST(octet_length(encode(text)) AS BIGINT) AS n,
-         |    CAST(1 + octet_length(encode(text)) % 24 AS BIGINT) AS frames,
-         |    list_transform(string_split(text, ''), c -> ascii(c)) AS chars
-         |  FROM documents),
-         |f AS (SELECT doc_id, n, frames, chars,
-         |    unnest(range(0, frames)) AS frame_id FROM d),
-         |feat AS (SELECT doc_id, frame_id,
-         |    CAST(coalesce(list_sum(list_slice(chars,
-         |      CAST((frame_id * n) // frames + 1 AS INT),
-         |      CAST(((frame_id + 1) * n) // frames AS INT))), 0) % 997 AS BIGINT)
-         |      AS feature
-         |  FROM f),
-         |lagged AS (SELECT doc_id, frame_id, feature,
-         |    lag(feature) OVER (PARTITION BY doc_id ORDER BY frame_id) AS prev_feature
-         |  FROM feat)
+      s"""WITH $frameLagCtes
          |SELECT doc_id, frame_id, prev_feature, feature,
          |  abs(feature - prev_feature) AS delta
          |FROM lagged
          |WHERE prev_feature IS NOT NULL AND abs(feature - prev_feature) >= $SceneCutT
          |ORDER BY doc_id, frame_id""".stripMargin,
+
+    "m13_shot_stats" ->
+      s"""WITH $frameLagCtes,
+         |flagged AS (SELECT doc_id, frame_id,
+         |    CASE WHEN prev_feature IS NOT NULL
+         |      AND abs(feature - prev_feature) >= $SceneCutT
+         |      THEN 1 ELSE 0 END AS cut
+         |  FROM lagged),
+         |shotted AS (SELECT doc_id, frame_id,
+         |    SUM(cut) OVER (PARTITION BY doc_id ORDER BY frame_id
+         |      ROWS UNBOUNDED PRECEDING) AS shot
+         |  FROM flagged),
+         |shots AS (SELECT doc_id, shot, COUNT(*) AS len
+         |  FROM shotted GROUP BY doc_id, shot)
+         |SELECT doc_id, COUNT(*) AS n_shots,
+         |  CAST(SUM(len) AS BIGINT) AS n_frames, MAX(len) AS longest,
+         |  CAST(CAST(SUM(len) AS BIGINT) // COUNT(*) AS BIGINT) AS mean_len_fl
+         |FROM shots GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "m08_phash_neardup" ->
       s"""WITH $phashPairCtes

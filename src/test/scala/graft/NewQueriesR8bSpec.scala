@@ -116,6 +116,28 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(got.keySet.subsetOf(full))
   }
 
+  test("m13: shots partition each video's frames and count cuts + 1") {
+    val stats = SparkEntry.queries("m13_shot_stats")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    val cuts = SparkEntry.queries("m09_scene_cuts")(spark, sfDir)
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val frames = graft.operators.Multimodal.sampleFrames(spark,
+      graft.operators.Multimodal.withPayload(Tables.documents(spark, sfDir)),
+      stride = 1).toDF()
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stats.keySet == frames.keySet)
+    stats.foreach { case (id, (nShots, nFrames, longest, meanFl)) =>
+      assert(nFrames == frames(id), s"doc $id frame total")
+      assert(nShots == cuts.getOrElse(id, 0L) + 1, s"doc $id shots != cuts+1")
+      assert(longest <= nFrames && meanFl == nFrames / nShots)
+    }
+  }
+
   test("t40: novelty equals the Scala replay; the first document is all-" +
     "novel and ratios are in range") {
     val got = SparkEntry.queries("t40_ngram_novelty")(spark, sfDir)
