@@ -304,6 +304,39 @@ object DedupQueries {
           expr("CAST(bit_count(x.simhash ^ y.simhash) AS BIGINT)").as("hamming"))
         .orderBy("hamming", "a", "b")
         .limit(20)
+    },
+
+    "t41_source_overlap" -> { (s, d) =>
+      // Cross-SOURCE duplication matrix — the dedup report a corpus
+      // curator reads before fixing mix weights (the FineWeb/Dolma-style
+      // "who overlaps whom": heavy cross-source mass means the sources
+      // re-crawl each other and their nominal sizes double-count):
+      // d03's MinHash-LSH near-dup pairs resolved to their (sorted)
+      // source pair and rolled up with per-source doc counts and an e9
+      // normalized rate (pairs per doc-pair-slot, same formula on the
+      // diagonal). The pair table is tiny vs the corpus, so BOTH
+      // source-resolution joins broadcast it against the documents scan
+      // (the d23 serving-join shape — documents are never shuffled);
+      // the rollup output is ≤ S² rows.
+      val pairs = Dedup.minHashLshPairs(Tables.documents(s, d), K, Bands)
+      val ds = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      val nd = Tables.documents(s, d).groupBy("source")
+        .agg(count(lit(1)).as("n_docs"))
+      val pa = ds.join(broadcast(pairs), col("doc_id") === col("a"))
+        .select(col("source").as("sa"), col("b"))
+      val pb = ds.join(broadcast(pa), col("doc_id") === col("b"))
+        .select(least(col("sa"), col("source")).as("source_a"),
+          greatest(col("sa"), col("source")).as("source_b"))
+      pb.groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+        .join(broadcast(nd.select(col("source").as("source_a"),
+          col("n_docs").as("n_docs_a"))), "source_a")
+        .join(broadcast(nd.select(col("source").as("source_b"),
+          col("n_docs").as("n_docs_b"))), "source_b")
+        .withColumn("rate_e9",
+          expr("n_pairs * 1000000000L div (n_docs_a * n_docs_b)"))
+        .select(col("source_a"), col("source_b"), col("n_pairs"),
+          col("n_docs_a"), col("n_docs_b"), col("rate_e9"))
+        .orderBy("source_a", "source_b")
     })
 
   // --- generated oracle SQL ----------------------------------------------
@@ -608,5 +641,23 @@ object DedupQueries {
          |SELECT x.doc_id AS a, y.doc_id AS b,
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM sig x JOIN sig y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
-         |ORDER BY hamming, a, b LIMIT 20""".stripMargin)
+         |ORDER BY hamming, a, b LIMIT 20""".stripMargin,
+
+    "t41_source_overlap" ->
+      s"""WITH $lshPairsCtes,
+         |ds AS (SELECT doc_id, source FROM documents),
+         |sp AS (SELECT least(sa.source, sb.source) AS source_a,
+         |    greatest(sa.source, sb.source) AS source_b
+         |  FROM lsh_pairs p JOIN ds sa ON sa.doc_id = p.a
+         |    JOIN ds sb ON sb.doc_id = p.b),
+         |nd AS (SELECT source, COUNT(*) AS n_docs FROM documents
+         |  GROUP BY source)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  na.n_docs AS n_docs_a, nb.n_docs AS n_docs_b,
+         |  CAST(COUNT(*) * 1000000000 // (na.n_docs * nb.n_docs) AS BIGINT)
+         |    AS rate_e9
+         |FROM sp JOIN nd na ON na.source = sp.source_a
+         |  JOIN nd nb ON nb.source = sp.source_b
+         |GROUP BY source_a, source_b, na.n_docs, nb.n_docs
+         |ORDER BY source_a, source_b""".stripMargin)
 }

@@ -25,6 +25,17 @@ object RelationalQueries {
       (3266489917L, 419L), (668265263L, 1009L))
   private val CmsP = 2147483647L
 
+  /** q31/q44's HLL estimate from an integer harmonic sum + empty-register
+    * count: raw = α·m²·2^26 div S, linear counting below the 2.5m
+    * threshold — ONE generator for both dialects (`divOp` = `div`/`//`)
+    * so the selector logic can never desynchronize.
+    */
+  private def hllEstSql(ss: String, v: String, divOp: String): String = {
+    val raw = s"(CAST(709 AS BIGINT) * 4096 * 67108864) $divOp (1000 * $ss)"
+    s"CASE WHEN ($raw) <= 160 AND $v > 0 " +
+      s"THEN CAST(round(64 * ln(64.0 / $v)) AS BIGINT) ELSE ($raw) END"
+  }
+
   private val SkewOracle: String =
     """WITH dim AS (SELECT unnest(range(0, 100)) AS k),
       |f AS (SELECT CAST(CASE WHEN l_orderkey % 100 < 90 THEN 0
@@ -711,6 +722,60 @@ object RelationalQueries {
           col("est_lc"), col("est_used"), col("n_exact"))
     },
 
+    "q44_hll_intersection" -> { (s, d) =>
+      // Sketch SET ALGEBRA — audience overlap via inclusion–exclusion on
+      // HLL registers (the sketch-intersection readout every analytics
+      // product ships: |A∩B| without ever holding either set): items are
+      // user-DAYS (the DAU-overlap metric), set A = days a user
+      // purchased, B = days a user signed up. Registers for BOTH sets
+      // build in ONE aggregate pass (max-filtered per set), the UNION
+      // sketch is the per-register MAX — the same merge property that
+      // combines partitions and stream checkpoints — and est_inter =
+      // est_a + est_b − est_union. Register state, harmonic sums, and
+      // the q31 raw/linear-counting selector are exact integers (the one
+      // shared-formula ln as in q31), so the oracle replays all three
+      // estimators bit-for-bit; exact distincts ride as audit columns.
+      val P = 2147483647L
+      def regCols(src: org.apache.spark.sql.DataFrame) = src
+        .select(col("t"), expr(s"((k % $P) * 2654435761) % $P").as("h1"))
+        .select(col("t"), expr(s"((h1 ^ (h1 div 65536)) * 40503) % $P").as("h"))
+        .select(col("t"), expr("h % 64").as("reg"), expr(
+          "CASE WHEN h div 64 = 0 THEN 26 " +
+            "ELSE bit_count(((h div 64) & -(h div 64)) - 1) + 1 END").as("rho"))
+      val items = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "signup"))
+        .select(col("event_type").as("t"),
+          expr("user_id * 1048576 + unix_timestamp(ts) div 86400").as("k"))
+      val regs = regCols(items).groupBy("reg").agg(
+        max(when(col("t") === "purchase", col("rho")).otherwise(0L)).as("ra"),
+        max(when(col("t") === "signup", col("rho")).otherwise(0L)).as("rb"))
+      val full = s.range(0, 64).toDF("r")
+        .join(regs, col("r") === col("reg"), "left")
+        .select(expr("coalesce(ra, 0)").as("ra"),
+          expr("coalesce(rb, 0)").as("rb"))
+        .withColumn("ru", greatest(col("ra"), col("rb")))
+      val exact = items
+        .groupBy("k")
+        .agg(max(when(col("t") === "purchase", 1L).otherwise(0L)).as("ia"),
+          max(when(col("t") === "signup", 1L).otherwise(0L)).as("ib"))
+        .agg(sum(col("ia")).as("n_exact_a"), sum(col("ib")).as("n_exact_b"),
+          sum(expr("ia * ib")).as("n_exact_inter"))
+      def fold(c: String, ss: String, v: String) = Seq(
+        expr(s"CAST(SUM(CAST(power(2, 26 - $c) AS BIGINT)) AS BIGINT)").as(ss),
+        expr(s"CAST(SUM(CASE WHEN $c = 0 THEN 1 ELSE 0 END) AS BIGINT)").as(v))
+      full.agg(fold("ra", "ss_a", "v_a").head,
+          fold("ra", "ss_a", "v_a")(1) +: fold("rb", "ss_b", "v_b") ++:
+          fold("ru", "ss_u", "v_u"): _*)
+        .withColumn("est_a", expr(hllEstSql("ss_a", "v_a", "div")))
+        .withColumn("est_b", expr(hllEstSql("ss_b", "v_b", "div")))
+        .withColumn("est_union", expr(hllEstSql("ss_u", "v_u", "div")))
+        .withColumn("est_inter", expr("est_a + est_b - est_union"))
+        .crossJoin(broadcast(exact))
+        .select(lit(64L).as("m"), col("est_a"), col("est_b"),
+          col("est_union"), col("est_inter"), col("n_exact_a"),
+          col("n_exact_b"), col("n_exact_inter"))
+    },
+
     "q42_cohort_retention" -> { (s, d) =>
       // Cohort retention matrix — the product-analytics classic next to
       // the funnels (q30/q35): users grouped by first-active day, counted
@@ -1114,6 +1179,47 @@ object RelationalQueries {
         |    AS est_used,
         |  (SELECT COUNT(DISTINCT user_id) FROM events) AS n_exact
         |FROM est""".stripMargin,
+
+    "q44_hll_intersection" ->
+      s"""WITH items AS (SELECT event_type AS t,
+        |    user_id * 1048576 + CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS k
+        |  FROM events WHERE event_type IN ('purchase', 'signup')),
+        |h0 AS (SELECT t, ((k % 2147483647) * 2654435761) % 2147483647 AS h1
+        |  FROM items),
+        |h AS (SELECT t, (xor(h1, h1 // 65536) * 40503) % 2147483647 AS h
+        |  FROM h0),
+        |rho AS (SELECT t, h % 64 AS reg, CASE WHEN h // 64 = 0 THEN 26
+        |    ELSE bit_count(((h // 64) & -(h // 64)) - 1) + 1 END AS rho FROM h),
+        |mx AS (SELECT reg,
+        |    MAX(CASE WHEN t = 'purchase' THEN rho ELSE 0 END) AS ra,
+        |    MAX(CASE WHEN t = 'signup' THEN rho ELSE 0 END) AS rb
+        |  FROM rho GROUP BY reg),
+        |full_regs AS (SELECT coalesce(ra, 0) AS ra, coalesce(rb, 0) AS rb,
+        |    greatest(coalesce(ra, 0), coalesce(rb, 0)) AS ru
+        |  FROM (SELECT unnest(range(0, 64)) AS r) LEFT JOIN mx ON mx.reg = r),
+        |s AS (SELECT
+        |    CAST(SUM(CAST(power(2, 26 - ra) AS BIGINT)) AS BIGINT) AS ss_a,
+        |    CAST(SUM(CASE WHEN ra = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_a,
+        |    CAST(SUM(CAST(power(2, 26 - rb) AS BIGINT)) AS BIGINT) AS ss_b,
+        |    CAST(SUM(CASE WHEN rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_b,
+        |    CAST(SUM(CAST(power(2, 26 - ru) AS BIGINT)) AS BIGINT) AS ss_u,
+        |    CAST(SUM(CASE WHEN ru = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v_u
+        |  FROM full_regs),
+        |est AS (SELECT ${hllEstSql("ss_a", "v_a", "//")} AS est_a,
+        |    ${hllEstSql("ss_b", "v_b", "//")} AS est_b,
+        |    ${hllEstSql("ss_u", "v_u", "//")} AS est_union
+        |  FROM s),
+        |ex AS (SELECT CAST(SUM(ia) AS BIGINT) AS n_exact_a,
+        |    CAST(SUM(ib) AS BIGINT) AS n_exact_b,
+        |    CAST(SUM(ia * ib) AS BIGINT) AS n_exact_inter
+        |  FROM (SELECT k,
+        |      MAX(CASE WHEN t = 'purchase' THEN 1 ELSE 0 END) AS ia,
+        |      MAX(CASE WHEN t = 'signup' THEN 1 ELSE 0 END) AS ib
+        |    FROM items GROUP BY k))
+        |SELECT CAST(64 AS BIGINT) AS m, est_a, est_b, est_union,
+        |  est_a + est_b - est_union AS est_inter,
+        |  n_exact_a, n_exact_b, n_exact_inter
+        |FROM est, ex""".stripMargin,
 
     "q35_funnel_latency" ->
       """WITH e AS (SELECT user_id, event_type,

@@ -116,6 +116,55 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(got.keySet.subsetOf(full))
   }
 
+  test("q44: union registers are the per-register max of the set " +
+    "registers, and exact audit columns obey inclusion-exclusion bounds") {
+    val r = SparkEntry.queries("q44_hll_intersection")(spark, sfDir)
+      .collect().head
+    val (estA, estB, estU, estI) =
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val (exA, exB, exI) = (r.getLong(5), r.getLong(6), r.getLong(7))
+    assert(estI == estA + estB - estU)
+    // union estimate can never fall below either arm's (same-register max)
+    assert(estU >= estA && estU >= estB)
+    assert(exI <= math.min(exA, exB) && exI >= 0)
+    // independent exact replay of the audit columns
+    import org.apache.spark.sql.functions._
+    val items = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "signup"))
+      .select(col("event_type"),
+        expr("user_id * 1048576 + unix_timestamp(ts) div 86400").as("k"))
+      .collect().map(row => (row.getString(0), row.getLong(1)))
+    val a = items.collect { case ("purchase", k) => k }.toSet
+    val b = items.collect { case ("signup", k) => k }.toSet
+    assert((exA, exB, exI) ==
+      ((a.size.toLong, b.size.toLong, (a & b).size.toLong)))
+  }
+
+  test("t41: the matrix totals d03's pair count and the replayed " +
+    "source resolution matches") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("t41_source_overlap")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val srcOf = Tables.documents(spark, sfDir).select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = SparkEntry.queries("d03_minhash_lsh")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nd = srcOf.values.groupBy(identity).view.mapValues(_.size.toLong)
+    val want = pairs.groupBy { case (x, y) =>
+      val (sx, sy) = (srcOf(x), srcOf(y))
+      (if (sx <= sy) sx else sy, if (sx <= sy) sy else sx)
+    }.map { case ((sa, sb), ps) =>
+      val (na, nb) = (nd(sa), nd(sb))
+      (sa, sb) -> ((ps.length.toLong, na, nb,
+        ps.length.toLong * 1000000000L / (na * nb)))
+    }
+    assert(got == want)
+    assert(got.values.map(_._1).sum == pairs.length.toLong)
+  }
+
   test("m13: shots partition each video's frames and count cuts + 1") {
     val stats = SparkEntry.queries("m13_shot_stats")(spark, sfDir)
       .collect()
