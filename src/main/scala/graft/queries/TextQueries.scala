@@ -321,14 +321,14 @@ object TextQueries {
     // and the shuffle is skew-free. (For k <= WinW-1 the gram CONTAINS
     // the selected 13-shingle, so fp in the key is redundant but free —
     // it keeps k = WinW exact too, where the shingle overhangs.)
-    val grp = cand.groupBy("fp", "k", "g")
-      .agg(min("doc_id").as("mn"),
-        collect_list(struct(col("doc_id").as("d"), col("p"))).as("os"))
-    val marked = grp
-      .select(col("mn"), explode(col("os")).as("o"))
-      .filter(col("o.d") > col("mn"))
-      .select(col("o.d").as("b"), col("o.p").as("p"))
-      .distinct()
+    val wg = Window.partitionBy("fp", "k", "g")
+    val marked = cand
+      .withColumn("mn", min(col("doc_id")).over(wg))
+      .filter(col("doc_id") > col("mn"))
+      .select(col("doc_id").as("b"), col("p"))
+    // no .distinct(): duplicate (b, p) marks from different (fp, k)
+    // witnesses collapse in the collect_set below — deduping here would
+    // add a full extra shuffle of the marked rows for nothing
     val ps = marked.groupBy("b")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
     docs.join(ps, col("doc_id") === col("b"))
