@@ -306,6 +306,57 @@ object DedupQueries {
         .limit(20)
     },
 
+    "t42_pipeline_card" -> { (s, d) =>
+      // The complete training-data BUILD as one audited query — the
+      // stage funnel card every curation run ships (raw → quality →
+      // exact-dedup → near-dedup → decontaminate), each stage applied
+      // to the PREVIOUS stage's survivors exactly as a real pipeline
+      // sequences it, every rule the one its standalone query reports:
+      // t22's gopher keep verdict, d01's exact reps (min doc per
+      // normalized key), d03+d11's LSH components at keep-lowest, t14's
+      // 13-shingle decontamination against the held-out eval split.
+      // Counts AND byte mass per stage. Scale shape: every stage is the
+      // standalone operator's plan; survivor sets localCheckpoint once
+      // each (two consumers — the count row and the next stage — the
+      // re-execution barrier); all joins id- or 8-byte-shingle-keyed.
+      graft.plans.GraftFunctions.register(s)
+      val all = Tables.documents(s, d)
+        .withColumn("is_eval", expr("(doc_id * 2654435761) % 100 < 10"))
+      val train = all.filter(!col("is_eval"))
+        .select("doc_id", "text", "n_chars").localCheckpoint()
+      val q = TextQueries.gopherKept(train).localCheckpoint()
+      val exd = q.join(Dedup.exact(q).select("doc_id"), "doc_id")
+        .localCheckpoint()
+      val labels = Dedup.components(Dedup.minHashLshPairs(exd, K, Bands))
+      val nd = exd.join(labels.filter(col("label") =!= col("id"))
+          .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // contamination = >= 80 distinct shared shingles (the noise floor:
+      // on this 31-word-vocabulary corpus EVERY doc shares a handful of
+      // shingles with some eval doc — measured 18..141, median 66 at
+      // sf0.01 — so a drop-on-any-overlap rule would empty the corpus;
+      // real pipelines threshold for the same reason)
+      val evalSh = all.filter(col("is_eval"))
+        .select(explode(expr("graft_shingles13(text)")).as("sh")).distinct()
+      val cont = nd.select(col("doc_id"),
+          explode(expr("graft_shingles13(text)")).as("sh"))
+        .join(evalSh, "sh")
+        .groupBy("doc_id").agg(countDistinct(col("sh")).as("nsh"))
+        .filter(col("nsh") >= 80).select("doc_id")
+      val cl = nd.join(cont, Seq("doc_id"), "left_anti")
+      def stage(df: DataFrame, step: Long, name: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("n_chars")), lit(0L)).as("n_chars_total"))
+          .select(lit(step).as("step"), lit(name).as("stage"),
+            col("n_docs"), col("n_chars_total"))
+      stage(train, 1L, "raw")
+        .unionByName(stage(q, 2L, "quality"))
+        .unionByName(stage(exd, 3L, "exact"))
+        .unionByName(stage(nd, 4L, "neardup"))
+        .unionByName(stage(cl, 5L, "decontam"))
+        .orderBy("step")
+    },
+
     "t41_source_overlap" -> { (s, d) =>
       // Cross-SOURCE duplication matrix — the dedup report a corpus
       // curator reads before fixing mix weights (the FineWeb/Dolma-style
@@ -642,6 +693,48 @@ object DedupQueries {
          |  CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
          |FROM sig x JOIN sig y ON x.bkt = y.bkt AND x.doc_id < y.doc_id
          |ORDER BY hamming, a, b LIMIT 20""".stripMargin,
+
+    "t42_pipeline_card" ->
+      s"""WITH RECURSIVE alld AS (SELECT doc_id, text, n_chars,
+         |    (doc_id * 2654435761) % 100 < 10 AS is_eval FROM documents),
+         |trn AS (SELECT doc_id, text, n_chars FROM alld WHERE NOT is_eval),
+         |${TextQueries.gopherQCtesFor("trn")},
+         |qd AS (SELECT t.* FROM trn t JOIN gq USING (doc_id)),
+         |exk AS (SELECT MIN(doc_id) AS doc_id FROM qd
+         |  GROUP BY ${Dedup.normKeyOracleSql}),
+         |exd AS (SELECT q.* FROM qd q JOIN exk USING (doc_id)),
+         |${lshPairsCtesFor("exd")},
+         |edges AS (SELECT a, b FROM lsh_pairs
+         |          UNION ALL SELECT b AS a, a AS b FROM lsh_pairs),
+         |reach AS (
+         |  SELECT a AS id, a AS r FROM edges
+         |  UNION
+         |  SELECT e.a AS id, reach.r FROM edges e JOIN reach ON reach.id = e.b
+         |),
+         |labels AS (SELECT id, MIN(r) AS label FROM reach GROUP BY id),
+         |nd AS (SELECT e.* FROM exd e LEFT JOIN labels l ON l.id = e.doc_id
+         |  WHERE l.id IS NULL OR l.label = e.doc_id),
+         |evd AS (SELECT doc_id, text FROM alld WHERE is_eval),
+         |evsh AS (${TextQueries.shingleCteFor("evd", "eid")}),
+         |evs AS (SELECT DISTINCT sh FROM evsh),
+         |ndsh AS (${TextQueries.shingleCteFor("nd", "did")}),
+         |cont AS (SELECT did AS doc_id FROM ndsh JOIN evs USING (sh)
+         |  GROUP BY did HAVING COUNT(DISTINCT sh) >= 80),
+         |cl AS (SELECT n.* FROM nd n LEFT JOIN cont c USING (doc_id)
+         |  WHERE c.doc_id IS NULL)
+         |SELECT step, stage, n_docs, n_chars_total FROM (
+         |  SELECT CAST(1 AS BIGINT) AS step, 'raw' AS stage,
+         |    COUNT(*) AS n_docs, CAST(coalesce(SUM(n_chars), 0) AS BIGINT)
+         |      AS n_chars_total FROM trn
+         |  UNION ALL SELECT CAST(2 AS BIGINT), 'quality', COUNT(*),
+         |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM qd
+         |  UNION ALL SELECT CAST(3 AS BIGINT), 'exact', COUNT(*),
+         |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM exd
+         |  UNION ALL SELECT CAST(4 AS BIGINT), 'neardup', COUNT(*),
+         |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM nd
+         |  UNION ALL SELECT CAST(5 AS BIGINT), 'decontam', COUNT(*),
+         |    CAST(coalesce(SUM(n_chars), 0) AS BIGINT) FROM cl
+         |) ORDER BY step""".stripMargin,
 
     "t41_source_overlap" ->
       s"""WITH $lshPairsCtes,

@@ -46,6 +46,48 @@ object TextQueries {
     s"len(list_filter([$stopwList], " +
       "w -> list_contains(string_split(trim(text), ' '), w)))"
 
+  /** t42's quality stage — t22's keep verdict (reasons == 0) as a Spark
+    * filter over a docs frame, one rule text with [[gopherQCtesFor]] so
+    * the pipeline card can never drift from the t22 verdict query.
+    */
+  private[queries] def gopherKept(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__n_tok", expr(wsTokensSpark))
+      .withColumn("__mwl_e2", expr(
+        "CAST(round((length(trim(text)) - (__n_tok - 1)) * 100.0 / __n_tok) AS BIGINT)"))
+      .withColumn("__n_stopw", expr(stopwPresentSpark))
+      .withColumn("__short_e4", expr(
+        s"CAST(round($shortTokensSpark * 10000.0 / __n_tok) AS BIGINT)"))
+      .filter(expr("__n_tok >= 30 AND __n_tok <= 100000 AND " +
+        "__mwl_e2 >= 300 AND __mwl_e2 <= 1000 AND __n_stopw >= 2 AND " +
+        "__short_e4 <= 4000"))
+      .drop("__n_tok", "__mwl_e2", "__n_stopw", "__short_e4")
+
+  /** [[gopherKept]]'s DuckDB twin: CTE chain over `src(doc_id, text, …)`
+    * ending in `gq(doc_id)` = the kept ids.
+    */
+  private[queries] def gopherQCtesFor(src: String): String =
+    s"""gf AS (SELECT doc_id, $wsTokensDuck AS n_tok,
+       |    $stopwPresentDuck AS n_stopw, $shortTokensDuck AS n_short,
+       |    length(trim(text)) AS glen FROM $src),
+       |gq AS (SELECT doc_id FROM gf
+       |  WHERE n_tok >= 30 AND n_tok <= 100000
+       |    AND CAST(round((glen - (n_tok - 1)) * 100.0 / n_tok) AS BIGINT)
+       |      >= 300
+       |    AND CAST(round((glen - (n_tok - 1)) * 100.0 / n_tok) AS BIGINT)
+       |      <= 1000
+       |    AND n_stopw >= 2
+       |    AND CAST(round(n_short * 10000.0 / n_tok) AS BIGINT) <= 4000)""".stripMargin
+
+  /** One side of t14's 13-shingle table over an arbitrary doc CTE —
+    * `SELECT $idAs, sh` rows (packed BIGINT rolling hashes).
+    */
+  private[queries] def shingleCteFor(src: String, idAs: String): String =
+    s"""SELECT doc_id AS $idAs, unnest($shingleHash13ArrayDuck) AS sh
+       |  FROM (SELECT doc_id, text,
+       |          list_transform(string_split(text, ''), c -> ascii(c)) AS __chars
+       |        FROM $src)""".stripMargin
+
   // --- t23 boilerplate chunks: packed 2-word chunk keys, both dialects --
   // (two 31-bit token codes packed into one BIGINT — chunk text never
   // leaves the scan; the repo's 8-byte-join-key doctrine, cf. t14)

@@ -165,6 +165,34 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == pairs.length.toLong)
   }
 
+  test("t42: the funnel is monotone and each stage matches its " +
+    "standalone operator") {
+    import org.apache.spark.sql.functions._
+    val card = SparkEntry.queries("t42_pipeline_card")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(card.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(card.map(_._2).toSeq ==
+      Seq("raw", "quality", "exact", "neardup", "decontam"))
+    // monotone: every stage is a subset of the previous
+    card.sliding(2).foreach { case Array(p, n) =>
+      assert(n._3 <= p._3 && n._4 <= p._4, s"stage ${n._2} grew")
+    }
+    assert(card.last._3 > 0, "decontam stage emptied the corpus")
+    // stage 1-3 cross-checked against the standalone operators
+    val train = Tables.documents(spark, sfDir)
+      .filter(expr("NOT ((doc_id * 2654435761) % 100 < 10)"))
+      .select("doc_id", "text", "n_chars")
+    assert(card(0)._3 == train.count())
+    // t22's per-doc verdict restricted to the train split IS the
+    // quality stage (rules are per-doc, so the subset verdict agrees)
+    val keepIds = SparkEntry.queries("t22_gopher_rules")(spark, sfDir)
+      .filter(col("keep")).select("doc_id")
+    val q = train.join(keepIds, "doc_id")
+    assert(card(1)._3 == q.count())
+    assert(card(2)._3 == graft.operators.Dedup.exact(q).count())
+  }
+
   test("m13: shots partition each video's frames and count cuts + 1") {
     val stats = SparkEntry.queries("m13_shot_stats")(spark, sfDir)
       .collect()
