@@ -802,6 +802,38 @@ object JaneQueries {
         .orderBy("agency")
     },
 
+    "j42_completeness_drift" -> { (s, d) =>
+      // Catalog COMPLETENESS DRIFT — j39's maximum-curvature Mc and
+      // Aki–Utsu b-value computed per (agency, utc-week): the QA time
+      // series a network operator watches (a station outage shows up as
+      // a one-week Mc jump; a drifting b-value flags instrument or
+      // pipeline changes long before totals move). Same integer-centimag
+      // doctrine and shared-literal b_e4 formula as j39; plan adds wk to
+      // every key, so both shuffles stay map-side-combined and skew-free
+      // (agencies × weeks keys), and the Mc table joins back as a
+      // BROADCAST (≤ agencies·weeks rows, tiny at any catalog size).
+      val m = ev(s, d).select(col("agency"),
+        expr("unix_timestamp(time) div 604800").as("wk"),
+        cents(col("magnitude")).as("mag_c"))
+      val bins = m.groupBy(col("agency"), col("wk"),
+          expr("mag_c div 10").as("bin"))
+        .agg(count(lit(1)).as("nb"))
+      val mc = bins.groupBy("agency", "wk")
+        .agg(max_by(col("bin"), struct(col("nb"), col("bin") * -1))
+          .as("mc_bin"),
+          sum(col("nb")).as("n_events"))
+      m.join(broadcast(mc), Seq("agency", "wk"))
+        .filter(col("mag_c") >= col("mc_bin") * 10)
+        .groupBy(col("agency"), col("wk"), col("mc_bin"), col("n_events"))
+        .agg(count(lit(1)).as("n_above"), sum(col("mag_c")).as("sum_above_c"))
+        .select(col("agency"), col("wk"), col("n_events"),
+          (col("mc_bin") * 10).as("mc_c"), col("n_above"),
+          expr("CAST(round(434294.4819032518 * n_above / " +
+            "(sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT)")
+            .as("b_e4"))
+        .orderBy("agency", "wk")
+    },
+
     "j41_catalog_merge" -> { (s, d) =>
       // Cross-agency catalog ASSOCIATION — the catalog-merge primitive a
       // multi-agency archive runs before any rate statistic is honest
@@ -1343,6 +1375,28 @@ object JaneQueries {
          |  CAST(round(434294.4819032518 * n_above /
          |    (sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
          |FROM ab ORDER BY agency""".stripMargin,
+
+    "j42_completeness_drift" ->
+      s"""WITH ev AS ($evCte),
+         |m AS (SELECT agency,
+         |    CAST(floor(epoch(time)) AS BIGINT) // 604800 AS wk,
+         |    CAST(round(magnitude * 100) AS BIGINT) AS mag_c FROM ev),
+         |bins AS (SELECT agency, wk, mag_c // 10 AS bin, COUNT(*) AS nb
+         |  FROM m GROUP BY agency, wk, bin),
+         |mc AS (SELECT agency, wk, bin AS mc_bin,
+         |    CAST(n_events AS BIGINT) AS n_events FROM (
+         |    SELECT agency, wk, bin, nb,
+         |      SUM(nb) OVER (PARTITION BY agency, wk) AS n_events,
+         |      row_number() OVER (PARTITION BY agency, wk
+         |        ORDER BY nb DESC, bin ASC) AS r
+         |    FROM bins) WHERE r = 1)
+         |SELECT m.agency, m.wk, n_events, mc_bin * 10 AS mc_c,
+         |  COUNT(*) AS n_above,
+         |  CAST(round(434294.4819032518 * COUNT(*) /
+         |    (SUM(mag_c) - COUNT(*) * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
+         |FROM m JOIN mc USING (agency, wk) WHERE mag_c >= mc_bin * 10
+         |GROUP BY m.agency, m.wk, mc_bin, n_events
+         |ORDER BY agency, wk""".stripMargin,
 
     "j41_catalog_merge" -> {
       val distSql = graft.functions.GeoFunctions

@@ -64,6 +64,8 @@ object SimilarityQueries {
   // d37 range search: keep every probed candidate with dot >= tau
   // (quantized milli-units² — ~the 98th pct of the probe-pair dots)
   private val RangeTau = 250000L
+  // d38 filtered search: the post-filter arm's unfiltered shortlist size
+  private val FilterPostN = 10
 
   // --- d19 SQ8 scalar quantization (faiss-SQ8 analog) -------------------
   // Per-dim [min,max] over the corpus → 8-bit code u = clamp((x-mn)*255 /
@@ -733,6 +735,46 @@ object SimilarityQueries {
         centroids = e.filter(col("vec_id") < 8),
         nprobe = 2, k = K)
         .orderBy("query_id", "rn")
+    },
+
+    "d38_filtered_ann" -> { (s, d) =>
+      // FILTERED vector search — the vector-DB primitive behind every
+      // "top-k WHERE metadata predicate" endpoint, shown as both
+      // strategies so the card quantifies the classic trade: the PRE
+      // arm pushes the predicate into the candidate scan before any
+      // scoring (scored bytes ∝ selectivity — the plan a 100 TB
+      // deployment wants for selective filters, here lang='fr' ≈ 13%),
+      // the POST arm takes the unfiltered top-10 and filters after —
+      // cheaper when the filter is broad, but it under-fills k when
+      // selective (expected ~1.3 survivors of 10 here): exactly the
+      // recall gap the readout exposes per query. Metadata resolves via
+      // vec_id = doc_id (the d23 store identity); the POST winner set
+      // is tiny so its metadata join broadcasts against the documents
+      // scan.
+      graft.plans.GraftFunctions.register(s)
+      val langs = Tables.documents(s, d)
+        .select(col("doc_id").as("vec_id"), col("lang"))
+      val e = quantized(s, d)
+      val qs = e.filter(col("vec_id") < NQueries)
+      val cs = e.filter(col("vec_id") >= NQueries)
+      val pre = SimilaritySearch.bruteForceTopK(
+          qs, cs.join(langs.filter(col("lang") === "fr"), "vec_id")
+            .select("vec_id", "q"), K)
+        .withColumn("arm", lit("pre"))
+      val post0 = SimilaritySearch
+        .bruteForceTopK(qs, cs, FilterPostN)
+        .select("query_id", "cand_id", "dot")
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("dot").desc, col("cand_id").asc)
+      val post = langs.filter(col("lang") === "fr")
+        .join(broadcast(post0), col("vec_id") === col("cand_id"))
+        .withColumn("rn", row_number().over(wq).cast("long"))
+        .filter(col("rn") <= K)
+        .select(col("query_id"), col("cand_id"), col("dot"), col("rn"))
+        .withColumn("arm", lit("post"))
+      pre.select("query_id", "arm", "cand_id", "dot", "rn")
+        .unionByName(post.select("query_id", "arm", "cand_id", "dot", "rn"))
+        .orderBy("query_id", "arm", "rn")
     },
 
     "d37_range_search" -> { (s, d) =>
@@ -1596,6 +1638,36 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d38_filtered_ann" ->
+      s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),
+         |qs AS (SELECT vec_id AS query_id, q AS qq FROM e
+         |  WHERE vec_id < $NQueries),
+         |cs AS (SELECT vec_id, q FROM e WHERE vec_id >= $NQueries),
+         |lv AS (SELECT doc_id AS vec_id, lang FROM documents),
+         |pre_s AS (SELECT query_id, cs.vec_id AS cand_id,
+         |    ${dotDuck("qq", "q")} AS dot
+         |  FROM cs JOIN lv USING (vec_id) CROSS JOIN qs
+         |  WHERE lang = 'fr'),
+         |pre_r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM pre_s),
+         |post_s AS (SELECT query_id, cs.vec_id AS cand_id,
+         |    ${dotDuck("qq", "q")} AS dot
+         |  FROM cs CROSS JOIN qs),
+         |post_r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY dot DESC, cand_id ASC) AS rn FROM post_s),
+         |post_f AS (SELECT query_id, cand_id, dot,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY dot DESC, cand_id ASC) AS rn
+         |  FROM post_r JOIN lv ON lv.vec_id = post_r.cand_id
+         |  WHERE post_r.rn <= $FilterPostN AND lang = 'fr')
+         |SELECT query_id, arm, cand_id, dot, rn FROM (
+         |  SELECT query_id, 'pre' AS arm, cand_id, dot, rn FROM pre_r
+         |    WHERE rn <= $K
+         |  UNION ALL
+         |  SELECT query_id, 'post' AS arm, cand_id, dot, rn FROM post_f
+         |    WHERE rn <= $K
+         |) ORDER BY query_id, arm, rn""".stripMargin,
 
     // d09's assignment/probe CTEs verbatim; only the readout differs —
     // threshold filter instead of top-k rank

@@ -165,6 +165,49 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(got.values.map(_._1).sum == pairs.length.toLong)
   }
 
+  test("d38: the post arm is a rank-aligned prefix of the pre arm and " +
+    "under-fills k (the documented recall gap)") {
+    val rows = SparkEntry.queries("d38_filtered_ann")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val pre = rows.filter(_._2 == "pre")
+      .map(r => (r._1, r._5) -> ((r._3, r._4))).toMap
+    val post = rows.filter(_._2 == "post")
+    // a 'fr' doc in the global top-10 dominates every lower-dot 'fr'
+    // doc, so the post arm's rank-r row must equal the pre arm's
+    post.foreach { case (q, _, cand, dot, rn) =>
+      assert(pre.get((q, rn)).contains((cand, dot)),
+        s"post row (q=$q rn=$rn) diverges from pre")
+    }
+    assert(pre.size == 30) // 10 queries x k=3, filter-aware exact
+    assert(post.length < 30, "post arm never under-filled - no gap shown")
+  }
+
+  test("j42: weekly Mc/b-value equals an independent Scala replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("j42_completeness_drift")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> ((r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val mags = graft.operators.Indexers.EventIndex
+      .attach(Tables.events(spark, sfDir))
+      .select(col("agency"), expr("unix_timestamp(time) div 604800").as("wk"),
+        expr("CAST(round(magnitude * 100) AS BIGINT)").as("mag_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = mags.groupBy(m => (m._1, m._2)).map { case (key, rows) =>
+      val magc = rows.map(_._3)
+      val bins = magc.groupBy(_ / 10).view.mapValues(_.size)
+      val mcBin = bins.toSeq.maxBy { case (bin, nb) => (nb, -bin) }._1
+      val above = magc.filter(_ >= mcBin * 10)
+      val bE4 = math.round(434294.4819032518 * above.size /
+        (above.sum - above.size.toLong * (mcBin * 10 - 5)))
+      key -> ((magc.size.toLong, mcBin * 10, above.size.toLong, bE4))
+    }
+    assert(got == want)
+  }
+
   test("t42: the funnel is monotone and each stage matches its " +
     "standalone operator") {
     import org.apache.spark.sql.functions._
