@@ -19,7 +19,53 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** s09's per-(day, type) PSI term over columns (c, nd, r, nr) —
+    * (p−q)·ln(p/q), e9-quantized BEFORE summing (t39's integer-sum
+    * doctrine). Types absent from either side contribute 0 (the
+    * deterministic stand-in for the epsilon-smoothing production
+    * monitors apply). One text, both dialects.
+    */
+  private val psiContribSql: String =
+    "CAST(round((CASE WHEN c = 0 OR r IS NULL OR r = 0 THEN 0.0 " +
+      "ELSE (CAST(c AS DOUBLE) / nd - CAST(r AS DOUBLE) / nr) * " +
+      "ln((CAST(c AS DOUBLE) / nd) / (CAST(r AS DOUBLE) / nr)) END" +
+      ") * 1000000000.0) AS BIGINT)"
+
   val queries: Map[String, Q] = Map(
+    "s09_psi_drift" -> { (s, d) =>
+      // Population-stability-index DRIFT monitor — the day-over-day
+      // distribution-shift readout a continuous pipeline alarms on
+      // (PSI is the industry-standard drift score; > 0.2 ≈ "population
+      // changed"): each utc-day's event_type mix scored against the
+      // FIRST day's reference mix, per-term contributions e9-quantized
+      // integers (shared formula text), so the daily PSI is an
+      // order-independent BIGINT sum. Plan: one (day, type) map-side-
+      // combined aggregate feeds totals, the broadcast reference row
+      // set, and the scoring join — type cardinality is tiny, so every
+      // join side after the first aggregate is broadcast-size at any
+      // stream length. The streaming twin is rateAnomalies' discipline
+      // applied to s01's finalized buckets: per-type state is the
+      // reference share, a pure Update-mode fold.
+      val daily = Tables.events(s, d)
+        .select(expr("unix_timestamp(ts) div 86400").as("day"),
+          col("event_type"))
+        .groupBy("day", "event_type").agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds totals, the reference, and the join
+      val totals = daily.groupBy("day").agg(sum(col("c")).as("nd"))
+      val refDay = daily.agg(min(col("day")).as("rd"))
+      val ref = daily.join(broadcast(refDay), col("day") === col("rd"))
+        .select(col("event_type"), col("c").as("r"))
+      val refTot = ref.agg(sum(col("r")).as("nr"))
+      daily.join(totals, "day")
+        .join(broadcast(ref), Seq("event_type"), "left")
+        .crossJoin(broadcast(refTot))
+        .withColumn("contrib_e9", expr(psiContribSql))
+        .groupBy("day", "nd")
+        .agg(count(lit(1)).as("n_types"), sum(col("contrib_e9")).as("psi_e9"))
+        .select(col("day"), col("nd"), col("n_types"), col("psi_e9"))
+        .orderBy("day")
+    },
+
     "s01_tumbling_counts" -> { (s, d) =>
       Tables.events(s, d)
         .withColumn("bucket_s", expr("(unix_timestamp(ts) div 300) * 300"))
@@ -200,6 +246,23 @@ object StreamingQueries {
     })
 
   val oracle: Map[String, String] = Map(
+    "s09_psi_drift" ->
+      s"""WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+         |    event_type FROM events),
+         |daily AS (SELECT day, event_type, COUNT(*) AS c
+         |  FROM e GROUP BY day, event_type),
+         |totals AS (SELECT day, CAST(SUM(c) AS BIGINT) AS nd
+         |  FROM daily GROUP BY day),
+         |rd AS (SELECT MIN(day) AS rd FROM daily),
+         |ref AS (SELECT event_type, c AS r FROM daily, rd WHERE day = rd),
+         |rt AS (SELECT CAST(SUM(r) AS BIGINT) AS nr FROM ref),
+         |scored AS (SELECT daily.day, nd, $psiContribSql AS contrib_e9
+         |  FROM daily JOIN totals USING (day)
+         |  LEFT JOIN ref USING (event_type) CROSS JOIN rt)
+         |SELECT day, nd, COUNT(*) AS n_types,
+         |  CAST(SUM(contrib_e9) AS BIGINT) AS psi_e9
+         |FROM scored GROUP BY day, nd ORDER BY day""".stripMargin,
+
     "s01_tumbling_counts" ->
       """SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 300) * 300 AS bucket_s,
         |  event_type, COUNT(*) AS n,

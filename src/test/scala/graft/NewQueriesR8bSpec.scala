@@ -258,6 +258,40 @@ class NewQueriesR8bSpec extends SparkSpec {
     }
   }
 
+  test("s09: daily PSI equals an independent Scala replay and the " +
+    "reference day scores zero") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("s09_psi_drift")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(expr("unix_timestamp(ts) div 86400").as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val daily = rows.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .groupBy(_._1._1).view
+      .mapValues(_.map { case ((_, t), c) => t -> c }.toMap).toMap
+    val rd = daily.keys.min
+    val ref = daily(rd)
+    val nr = ref.values.sum
+    val want = daily.map { case (day, cs) =>
+      val nd = cs.values.sum
+      val psi = cs.toSeq.map { case (t, c) =>
+        ref.get(t) match {
+          case Some(r) if c > 0 =>
+            val p = c.toDouble / nd
+            val q = r.toDouble / nr
+            math.round((p - q) * math.log(p / q) * 1e9)
+          case _ => 0L
+        }
+      }.sum
+      day -> ((nd, cs.size.toLong, psi))
+    }
+    assert(got == want)
+    assert(got(rd)._3 == 0L, "reference day PSI must be exactly zero")
+    assert(got.values.forall(_._3 >= 0L), "PSI is a nonnegative score")
+  }
+
   test("t40: novelty equals the Scala replay; the first document is all-" +
     "novel and ratios are in range") {
     val got = SparkEntry.queries("t40_ngram_novelty")(spark, sfDir)
