@@ -802,6 +802,45 @@ object JaneQueries {
         .orderBy("agency")
     },
 
+    "j43_availability" -> { (s, d) =>
+      // fdsnws-AVAILABILITY analog (the FDSN extent/query service next
+      // to station and event): per channel, contiguous DATA SEGMENTS —
+      // sample times merged while gaps stay ≤ 1 day (the service's
+      // merge-tolerance semantics) — reported as segment count, extent,
+      // covered seconds, and an e4 coverage ratio (covered/span; the
+      // uptime number an operator actually reads). Gaps-and-islands per
+      // (station, channel) key: one channel-keyed window shuffle + two
+      // map-side-combined rollups — island assignment is tie-order
+      // invariant (equal timestamps always extend the current segment),
+      // so both engines agree without a tie-break column.
+      val ch = Tables.events(s, d)
+        .select(expr(Indexers.ChannelIndex.networkSql).as("network"),
+          expr(Indexers.ChannelIndex.stationSql).as("station"),
+          col("event_type").as("channel"), col("user_id"),
+          unix_timestamp(col("ts")).as("sec"))
+      val w = Window.partitionBy("user_id", "channel").orderBy("sec")
+      val isl = ch
+        .withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("nf", when(col("prev").isNull ||
+          col("sec") - col("prev") > 86400, 1L).otherwise(0L))
+        .withColumn("seg", sum(col("nf")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      isl.groupBy("network", "station", "user_id", "channel", "seg")
+        .agg(min(col("sec")).as("s0"), max(col("sec")).as("s1"))
+        .groupBy("network", "station", "user_id", "channel")
+        .agg(count(lit(1)).as("n_segments"), min(col("s0")).as("first_s"),
+          max(col("s1")).as("last_s"),
+          sum(col("s1") - col("s0")).as("covered_s"))
+        .withColumn("coverage_e4", expr(
+          "CASE WHEN last_s > first_s " +
+            "THEN covered_s * 10000 div (last_s - first_s) " +
+            "ELSE CAST(10000 AS BIGINT) END"))
+        .select(col("network"), col("station"), col("channel"),
+          col("n_segments"), col("first_s"), col("last_s"),
+          col("covered_s"), col("coverage_e4"))
+        .orderBy("station", "channel")
+    },
+
     "j42_completeness_drift" -> { (s, d) =>
       // Catalog COMPLETENESS DRIFT — j39's maximum-curvature Mc and
       // Aki–Utsu b-value computed per (agency, utc-week): the QA time
@@ -1375,6 +1414,28 @@ object JaneQueries {
          |  CAST(round(434294.4819032518 * n_above /
          |    (sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
          |FROM ab ORDER BY agency""".stripMargin,
+
+    "j43_availability" ->
+      """WITH e AS (SELECT 'N' || CAST(user_id % 10 AS VARCHAR) AS network,
+        |    'ST' || CAST(user_id AS VARCHAR) AS station, user_id,
+        |    event_type AS channel,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |f AS (SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |      OR sec - lag(sec) OVER w > 86400 THEN 1 ELSE 0 END AS nf
+        |  FROM e WINDOW w AS (PARTITION BY user_id, channel ORDER BY sec)),
+        |si AS (SELECT *, SUM(nf) OVER (PARTITION BY user_id, channel
+        |    ORDER BY sec ROWS UNBOUNDED PRECEDING) AS seg FROM f),
+        |segs AS (SELECT network, station, user_id, channel, seg,
+        |    MIN(sec) AS s0, MAX(sec) AS s1
+        |  FROM si GROUP BY network, station, user_id, channel, seg)
+        |SELECT network, station, channel, COUNT(*) AS n_segments,
+        |  MIN(s0) AS first_s, MAX(s1) AS last_s,
+        |  CAST(SUM(s1 - s0) AS BIGINT) AS covered_s,
+        |  CAST(CASE WHEN MAX(s1) > MIN(s0)
+        |    THEN CAST(SUM(s1 - s0) AS BIGINT) * 10000 // (MAX(s1) - MIN(s0))
+        |    ELSE 10000 END AS BIGINT) AS coverage_e4
+        |FROM segs GROUP BY network, station, user_id, channel
+        |ORDER BY station, channel""".stripMargin,
 
     "j42_completeness_drift" ->
       s"""WITH ev AS ($evCte),

@@ -208,6 +208,35 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("j43: per-channel segments equal an independent Scala replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("j43_availability")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))))
+      .toMap
+    val rows = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val want = rows.groupBy(r => (r._1, r._2)).map { case ((uid, ch), rs) =>
+      val secs = rs.map(_._3).sorted
+      val segs = secs.tail.foldLeft(List((secs.head, secs.head))) {
+        case ((s0, s1) :: rest, t) =>
+          if (t - s1 > 86400) (t, t) :: (s0, s1) :: rest
+          else (s0, t) :: rest
+        case (Nil, t) => List((t, t))
+      }
+      val covered = segs.map { case (a, b) => b - a }.sum
+      val (first, last) = (secs.head, secs.last)
+      val cov = if (last > first) covered * 10000 / (last - first) else 10000L
+      (s"N${uid % 10}", s"ST$uid", ch) ->
+        ((segs.size.toLong, first, last, covered, cov))
+    }
+    assert(got == want)
+  }
+
   test("t42: the funnel is monotone and each stage matches its " +
     "standalone operator") {
     import org.apache.spark.sql.functions._
