@@ -737,6 +737,43 @@ object SimilarityQueries {
         .orderBy("query_id", "rn")
     },
 
+    "d39_centroid_drift" -> { (s, d) =>
+      // Embedding-distribution DRIFT monitor — the check a production
+      // embedding pipeline runs on every model/corpus refresh: per
+      // label, the squared distance between the class centroid of the
+      // FIRST corpus half and the SECOND (vec_id parity split — the
+      // deterministic stand-in for before/after snapshots), next to the
+      // per-half populations. A centroid moving while its population
+      // holds = the embedder changed; population shifts = the data mix
+      // changed — the two failure modes this separates. Centroids are
+      // d12's pure-integer floored means (no DOUBLE anywhere), so the
+      // drift is exact and the oracle replays it. Plan: ONE
+      // (label, half, dim) map-side-combined aggregate over the
+      // posexploded corpus, a (label, dim) self-align, one label rollup
+      // — work ∝ corpus × dims, keys uniform.
+      val e = Tables.embeddings(s, d)
+        .withColumn("q", expr(quantizeSql("embedding")))
+        .select(col("label"), expr("vec_id % 2").as("half"),
+          posexplode(col("q")).as(Seq("dim", "x")))
+      val m = e.groupBy("label", "half", "dim")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .withColumn("m", expr("(sx - ((sx % n + n) % n)) div n"))
+      val a = m.filter(col("half") === 0)
+        .select(col("label"), col("dim"), col("m").as("ma"), col("n").as("na"))
+      val b = m.filter(col("half") === 1)
+        .select(col("label").as("lb"), col("dim").as("db"),
+          col("m").as("mb"), col("n").as("nb"))
+      a.join(b, col("label") === col("lb") && col("dim") === col("db"))
+        .groupBy("label")
+        .agg(max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+            .as("drift_q2"),
+          sum(col("ma") * col("ma")).as("norm_a_q2"))
+        .select(col("label").cast("long").as("label"), col("n_a"),
+          col("n_b"), col("drift_q2"), col("norm_a_q2"))
+        .orderBy("label")
+    },
+
     "d38_filtered_ann" -> { (s, d) =>
       // FILTERED vector search — the vector-DB primitive behind every
       // "top-k WHERE metadata predicate" endpoint, shown as both
@@ -1638,6 +1675,23 @@ object SimilarityQueries {
          |    ORDER BY dot DESC, cand_id ASC) AS rn FROM scored)
          |SELECT query_id, cand_id, dot, rn FROM ranked WHERE rn <= $K
          |ORDER BY query_id, rn""".stripMargin,
+
+    "d39_centroid_drift" ->
+      s"""WITH e AS (SELECT label, vec_id % 2 AS half,
+         |    unnest($quantDuck) AS x,
+         |    unnest(range(0, len(embedding))) AS dim FROM embeddings),
+         |m AS (SELECT label, half, dim, CAST(SUM(x) AS BIGINT) AS sx,
+         |    COUNT(*) AS n FROM e GROUP BY label, half, dim),
+         |mm AS (SELECT label, half, dim,
+         |    (sx - ((sx % n + n) % n)) // n AS m, n FROM m),
+         |a AS (SELECT label, dim, m AS ma, n AS na FROM mm WHERE half = 0),
+         |b AS (SELECT label, dim, m AS mb, n AS nb FROM mm WHERE half = 1)
+         |SELECT CAST(a.label AS BIGINT) AS label, MAX(na) AS n_a,
+         |  MAX(nb) AS n_b,
+         |  CAST(SUM((ma - mb) * (ma - mb)) AS BIGINT) AS drift_q2,
+         |  CAST(SUM(ma * ma) AS BIGINT) AS norm_a_q2
+         |FROM a JOIN b USING (label, dim)
+         |GROUP BY a.label ORDER BY label""".stripMargin,
 
     "d38_filtered_ann" ->
       s"""WITH e AS (SELECT vec_id, $quantDuck AS q FROM embeddings),

@@ -900,6 +900,43 @@ object TextQueries {
       serveClassifier(feat, s.read.parquet(path)).orderBy("doc_id")
     },
 
+    "t43_classifier_eval" -> { (s, d) =>
+      // The student-vs-teacher EVAL CARD every distilled quality
+      // classifier ships (the FineWeb-Edu accounting step after t36's
+      // distillation): t36's served linear verdict against t22's rule
+      // stack as a 2×2 confusion with integer precision/recall/accuracy
+      // (×1e4, -1 sentinel for empty denominators — the d33 convention).
+      // The number a curator reads before swapping rules for the model:
+      // how much of the rule behavior did the 4-weight student actually
+      // capture. Training runs inline (the self-contained-trainer class,
+      // oracle-replayed per epoch); the confusion is one broadcast join
+      // + a 1-row fold.
+      val docs = Tables.documents(s, d)
+      val feat = classifierFeatures(docs).localCheckpoint()
+      val wFinal = trainPerceptron(feat)
+        .filter(col("epoch") === TrainEpochs.toLong)
+        .select("w_stop", "w_short", "w_mlen", "w_bias")
+      val st = serveClassifier(feat, wFinal)
+        .select(col("doc_id"), col("keep").as("pred"))
+      val kept = gopherKept(docs).select(col("doc_id"))
+        .withColumn("tk", lit(true))
+      st.join(kept, Seq("doc_id"), "left")
+        .select(col("pred"), coalesce(col("tk"), lit(false)).as("t"))
+        .agg(
+          sum(when(col("pred") && col("t"), 1L).otherwise(0L)).as("n_tp"),
+          sum(when(col("pred") && !col("t"), 1L).otherwise(0L)).as("n_fp"),
+          sum(when(!col("pred") && col("t"), 1L).otherwise(0L)).as("n_fn"),
+          sum(when(!col("pred") && !col("t"), 1L).otherwise(0L)).as("n_tn"))
+        .withColumn("precision_e4", expr(
+          "CASE WHEN n_tp + n_fp = 0 THEN CAST(-1 AS BIGINT) " +
+            "ELSE n_tp * 10000 div (n_tp + n_fp) END"))
+        .withColumn("recall_e4", expr(
+          "CASE WHEN n_tp + n_fn = 0 THEN CAST(-1 AS BIGINT) " +
+            "ELSE n_tp * 10000 div (n_tp + n_fn) END"))
+        .withColumn("accuracy_e4", expr(
+          "(n_tp + n_tn) * 10000 div (n_tp + n_fp + n_fn + n_tn)"))
+    },
+
     "t38_classifier_train" -> { (s, d) =>
       // The training twin of t36: the batch-perceptron trajectory itself
       // — one row per epoch with the weight vector and the misclassified
@@ -2225,6 +2262,35 @@ object TextQueries {
          |SELECT f.doc_id, f.n_tok, f.stop_ratio_e4, f.short_ratio_e4,
          |  f.mean_len_e2, $logit AS logit, $logit >= 0 AS keep
          |FROM pfeat f, pe$TrainEpochs w ORDER BY f.doc_id""".stripMargin
+    },
+
+    "t43_classifier_eval" -> {
+      val logit = s"w.w1 * f.stop_ratio_e4 + w.w2 * f.short_ratio_e4 " +
+        s"+ w.w3 * f.mean_len_e2 + w.wb * $BiasX"
+      s"""WITH $perceptronCtes,
+         |st AS (SELECT f.doc_id, $logit >= 0 AS pred
+         |  FROM pfeat f, pe$TrainEpochs w),
+         |${gopherQCtesFor("documents")},
+         |j AS (SELECT st.pred, (gq.doc_id IS NOT NULL) AS t
+         |  FROM st LEFT JOIN gq ON gq.doc_id = st.doc_id),
+         |c AS (SELECT
+         |    CAST(SUM(CASE WHEN pred AND t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_tp,
+         |    CAST(SUM(CASE WHEN pred AND NOT t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fp,
+         |    CAST(SUM(CASE WHEN NOT pred AND t THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_fn,
+         |    CAST(SUM(CASE WHEN NOT pred AND NOT t THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_tn
+         |  FROM j)
+         |SELECT n_tp, n_fp, n_fn, n_tn,
+         |  CASE WHEN n_tp + n_fp = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE n_tp * 10000 // (n_tp + n_fp) END AS precision_e4,
+         |  CASE WHEN n_tp + n_fn = 0 THEN CAST(-1 AS BIGINT)
+         |    ELSE n_tp * 10000 // (n_tp + n_fn) END AS recall_e4,
+         |  (n_tp + n_tn) * 10000 // (n_tp + n_fp + n_fn + n_tn)
+         |    AS accuracy_e4
+         |FROM c""".stripMargin
     },
 
     "t38_classifier_train" ->

@@ -208,6 +208,54 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("d39: per-label centroid drift equals an independent Scala replay") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("d39_centroid_drift")(spark, sfDir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))))
+      .toMap
+    val vecs = Tables.embeddings(spark, sfDir)
+      .withColumn("q", expr(
+        graft.operators.SimilaritySearch.quantizeSql("embedding")))
+      .select("vec_id", "label", "q")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getSeq[Long](2).toArray))
+    def centroid(rows: Seq[Array[Long]]): Array[Long] = {
+      val n = rows.length
+      Array.tabulate(rows.head.length) { d =>
+        val sx = rows.map(_(d)).sum
+        (sx - ((sx % n + n) % n)) / n
+      }
+    }
+    val want = vecs.groupBy(_._2).map { case (label, rows) =>
+      val a = rows.filter(_._1 % 2 == 0).map(_._3).toSeq
+      val b = rows.filter(_._1 % 2 == 1).map(_._3).toSeq
+      val (ca, cb) = (centroid(a), centroid(b))
+      val drift = ca.zip(cb).map { case (x, y) => (x - y) * (x - y) }.sum
+      label -> ((a.size.toLong, b.size.toLong, drift,
+        ca.map(x => x * x).sum))
+    }
+    assert(got == want)
+  }
+
+  test("t43: the confusion cells sum to the corpus and metrics derive " +
+    "from the cells") {
+    val r = SparkEntry.queries("t43_classifier_eval")(spark, sfDir)
+      .collect().head
+    val (tp, fp, fn, tn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val (p, rec, acc) = (r.getLong(4), r.getLong(5), r.getLong(6))
+    assert(tp + fp + fn + tn == Tables.documents(spark, sfDir).count())
+    assert(p == (if (tp + fp == 0) -1L else tp * 10000 / (tp + fp)))
+    assert(rec == (if (tp + fn == 0) -1L else tp * 10000 / (tp + fn)))
+    assert(acc == (tp + tn) * 10000 / (tp + fp + fn + tn))
+    // teacher positives must equal t22's kept count
+    val kept = SparkEntry.queries("t22_gopher_rules")(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("keep")).count()
+    assert(tp + fn == kept)
+  }
+
   test("j43: per-channel segments equal an independent Scala replay") {
     import org.apache.spark.sql.functions._
     val got = SparkEntry.queries("j43_availability")(spark, sfDir)
