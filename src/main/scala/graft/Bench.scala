@@ -85,7 +85,11 @@ object Bench {
       .mkString("[", ",", "]")
     val ok = results.values.filter(_._1 >= 0)
     val total = ok.map(_._1).sum
-    val spreads = ok.map(_._2).toSeq.sorted
+    // capped queries ran once cold and carry a fabricated 0.0 spread —
+    // including them would bias the noise-floor median toward 0
+    val spreads = results.values
+      .collect { case (t, sp, capped) if t >= 0 && !capped => sp }
+      .toSeq.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     // Headline summary as the very LAST field: the driver stores a
     // front-truncated tail of this line, so totals + the slowest-10 must

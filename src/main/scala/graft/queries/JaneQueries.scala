@@ -55,6 +55,15 @@ object JaneQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     EventIndex.attach(Tables.events(s, d))
 
+  /** Aki–Utsu b-value ×1e4 from integer centimag counts — ONE generator
+    * for both dialects and both estimators (j39 full-catalog, j42
+    * weekly), so the Δ/2-corrected formula can never desynchronize.
+    * 434294.4819032518 = 1e4 · 100·log₁₀(e) (centimag units).
+    */
+  private def bE4Sql(n: String, sumC: String, mcBin: String): String =
+    s"CAST(round(434294.4819032518 * $n / " +
+      s"($sumC - $n * ($mcBin * 10 - 5))) AS BIGINT)"
+
   /** j31/j38's shared candidate machinery: (event ≥ 5.5) × station pairs
     * within 3000 km as a covering-cell EQUI-join + exact haversine
     * post-filter — see j31's candidate-cell superset proof. Distance is
@@ -796,9 +805,7 @@ object JaneQueries {
         .agg(count(lit(1)).as("n_above"), sum(col("mag_c")).as("sum_above_c"))
         .select(col("agency"), col("n_events"),
           (col("mc_bin") * 10).as("mc_c"), col("n_above"), col("sum_above_c"),
-          expr("CAST(round(434294.4819032518 * n_above / " +
-            "(sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT)")
-            .as("b_e4"))
+          expr(bE4Sql("n_above", "sum_above_c", "mc_bin")).as("b_e4"))
         .orderBy("agency")
     },
 
@@ -867,9 +874,7 @@ object JaneQueries {
         .agg(count(lit(1)).as("n_above"), sum(col("mag_c")).as("sum_above_c"))
         .select(col("agency"), col("wk"), col("n_events"),
           (col("mc_bin") * 10).as("mc_c"), col("n_above"),
-          expr("CAST(round(434294.4819032518 * n_above / " +
-            "(sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT)")
-            .as("b_e4"))
+          expr(bE4Sql("n_above", "sum_above_c", "mc_bin")).as("b_e4"))
         .orderBy("agency", "wk")
     },
 
@@ -1411,8 +1416,7 @@ object JaneQueries {
          |  FROM m JOIN mc USING (agency) WHERE mag_c >= mc_bin * 10
          |  GROUP BY m.agency, mc_bin, n_events)
          |SELECT agency, n_events, mc_bin * 10 AS mc_c, n_above, sum_above_c,
-         |  CAST(round(434294.4819032518 * n_above /
-         |    (sum_above_c - n_above * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
+         |  ${bE4Sql("n_above", "sum_above_c", "mc_bin")} AS b_e4
          |FROM ab ORDER BY agency""".stripMargin,
 
     "j43_availability" ->
@@ -1453,8 +1457,7 @@ object JaneQueries {
          |    FROM bins) WHERE r = 1)
          |SELECT m.agency, m.wk, n_events, mc_bin * 10 AS mc_c,
          |  COUNT(*) AS n_above,
-         |  CAST(round(434294.4819032518 * COUNT(*) /
-         |    (SUM(mag_c) - COUNT(*) * (mc_bin * 10 - 5))) AS BIGINT) AS b_e4
+         |  ${bE4Sql("COUNT(*)", "SUM(mag_c)", "mc_bin")} AS b_e4
          |FROM m JOIN mc USING (agency, wk) WHERE mag_c >= mc_bin * 10
          |GROUP BY m.agency, m.wk, mc_bin, n_events
          |ORDER BY agency, wk""".stripMargin,

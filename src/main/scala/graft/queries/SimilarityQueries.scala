@@ -421,18 +421,17 @@ object SimilarityQueries {
       val ver = 2 // bump to invalidate stores when the build recipe changes
       val cbPath = s"/tmp/graft_stores/rrfivf${ver}_cb_$sfName"
       val postPath = s"/tmp/graft_stores/rrfivf${ver}_post_$sfName"
-      val metaPath = java.nio.file.Paths
-        .get(s"/tmp/graft_stores/rrfivf${ver}_meta_$sfName.txt")
       val e = quantized(s, d)
-      // metadata-only count (vec_id is dense [0, n)): no corpus scan
-      val want = s"n=${Tables.embeddings(s, d).count() - NQueries}"
-      val valid = java.nio.file.Files.exists(metaPath) &&
-        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8") == want &&
-        new java.io.File(cbPath).exists && new java.io.File(postPath).exists
-      if (!valid) {
+      // metadata-only staleness key: corpus size + the source file
+      // stamp (a regenerated corpus with an unchanged row count would
+      // fool a count-only marker — the r7→r8 events regen pattern)
+      val want = s"n=${Tables.embeddings(s, d).count() - NQueries};" +
+        s"src=${graft.sources.ParquetStore.sourceStamp(s"$d/embeddings.parquet")}"
+      graft.sources.ParquetStore.buildIfStale(
+        s"/tmp/graft_stores/rrfivf${ver}_meta_$sfName.txt", want,
+        Seq(cbPath, postPath)) {
         // nightly build: train on the candidate corpus, persist both
-        // stores, then publish the marker (stores install atomically
-        // first, so a failed build never validates)
+        // stores; the marker publishes last (see buildIfStale)
         val cands = e.filter(col("vec_id") >= NQueries)
         val codebook = graft.operators.KMeans
           .fitQuantizedSampled(cands, TargetClusterSize, SamplePct, IvfIters)
@@ -441,7 +440,6 @@ object SimilarityQueries {
           graft.operators.KMeans.assignQuantized(cands, codebook)
             .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
           postPath)
-        java.nio.file.Files.write(metaPath, want.getBytes("UTF-8"))
       }
       // serving: semantic arm reads ONLY the two stores
       val cb = graft.operators.IvfIndex.load(s, cbPath)
@@ -893,20 +891,19 @@ object SimilarityQueries {
       val ver = 2 // bump to invalidate stores when the build recipe changes
       val cbPath = s"/tmp/graft_stores/ivfapp${ver}_cb_$sfName"
       val postPath = s"/tmp/graft_stores/ivfapp${ver}_post_$sfName"
-      val metaPath = java.nio.file.Paths
-        .get(s"/tmp/graft_stores/ivfapp${ver}_meta_$sfName.txt")
       val e = quantized(s, d)
       val hist = e.filter(col("vec_id") >= 20 && expr("vec_id % 10 <> 9"))
       val delta = e.filter(col("vec_id") >= 20 && expr("vec_id % 10 = 9"))
       // nightly build — runs only when the stores are missing or stale
-      // (d35's marker convention: recipe version + corpus size; the
-      // build is RNG-free, so a valid store serves rows identical to a
-      // fresh build and the oracle's full training replay hash-agrees)
-      val want = s"n=${Tables.embeddings(s, d).count()}"
-      val valid = java.nio.file.Files.exists(metaPath) &&
-        new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8") == want &&
-        new java.io.File(cbPath).exists && new java.io.File(postPath).exists
-      if (!valid) {
+      // (the shared buildIfStale guard: recipe version + corpus size +
+      // source file stamp; the build is RNG-free, so a valid store
+      // serves rows identical to a fresh build and the oracle's full
+      // training replay hash-agrees)
+      val want = s"n=${Tables.embeddings(s, d).count()};" +
+        s"src=${graft.sources.ParquetStore.sourceStamp(s"$d/embeddings.parquet")}"
+      graft.sources.ParquetStore.buildIfStale(
+        s"/tmp/graft_stores/ivfapp${ver}_meta_$sfName.txt", want,
+        Seq(cbPath, postPath)) {
         val codebook = graft.operators.KMeans
           .fitQuantizedSampled(hist, TargetClusterSize, SamplePct, IvfIters)
         graft.operators.IvfIndex.save(codebook, cbPath)
@@ -914,7 +911,6 @@ object SimilarityQueries {
           graft.operators.KMeans.assignQuantized(hist, codebook)
             .select(col("cent_id"), col("vec_id").as("cand_id"), col("q")),
           postPath)
-        java.nio.file.Files.write(metaPath, want.getBytes("UTF-8"))
       }
       // serving: load the store, assign ONLY the delta, append, probe
       val cb = graft.operators.IvfIndex.load(s, cbPath)

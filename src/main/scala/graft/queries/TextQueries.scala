@@ -324,10 +324,16 @@ object TextQueries {
     // capped fps are the boilerplate tail → both broadcast.
     val occ = evFilter match {
       case None =>
-        val fpStats = rarePos.groupBy("fp")
+        // shareable fps only (>= 2 distinct docs, i.e. min < max over
+        // occurrences) via a LEFT-SEMI join shuffled on fp — NOT a
+        // broadcast: the stats table has one row per distinct rare fp
+        // and grows with the corpus (a broadcast here would violate
+        // this function's own no-large-broadcast claim at scale; AQE
+        // still picks a broadcast when the table is actually small)
+        val shareable = rarePos.groupBy("fp")
           .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
-        rarePos.join(broadcast(fpStats), "fp")
-          .filter(col("mn") < col("mx")).select("doc_id", "fp", "gpos")
+          .filter(col("mn") < col("mx")).select("fp")
+        rarePos.join(shareable, Seq("fp"), "left_semi")
       case Some((changed, prevCapped)) =>
         val fset = rarePos
           .join(broadcast(changed), Seq("doc_id"), "left_semi")

@@ -111,6 +111,51 @@ object ParquetStore {
     fs.delete(old, true)
   }
 
+  /** Source-content stamp for store-staleness markers: a digest of the
+    * (name, length, mtime) of every file under the source table —
+    * METADATA-only, no scan. A driver-side regeneration that keeps row
+    * counts but changes bytes (the r7→r8 events.ts pattern) changes the
+    * stamp, where a count-only marker would silently validate a store
+    * built from the previous generation.
+    */
+  def sourceStamp(path: String): String = {
+    val root = java.nio.file.Paths.get(path)
+    if (!java.nio.file.Files.exists(root)) return "missing"
+    val walk = java.nio.file.Files.walk(root)
+    try {
+      val items = walk.iterator()
+      val crc = new java.util.zip.CRC32()
+      val lines = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (items.hasNext) {
+        val f = items.next()
+        if (java.nio.file.Files.isRegularFile(f))
+          lines += s"${root.relativize(f)}:${java.nio.file.Files.size(f)}:" +
+            s"${java.nio.file.Files.getLastModifiedTime(f).toMillis}"
+      }
+      lines.sorted.foreach(l => crc.update(l.getBytes("UTF-8")))
+      java.lang.Long.toHexString(crc.getValue)
+    } finally walk.close()
+  }
+
+  /** The serving-store build-once guard (d34/d35/t36 convention, held in
+    * ONE place): when the marker file matches `want` and every store
+    * path exists, the build is skipped; otherwise `build` runs and the
+    * marker publishes LAST — stores install atomically first, so a
+    * failed build never validates.
+    */
+  def buildIfStale(metaPath: String, want: String, storePaths: Seq[String])(
+      build: => Unit): Unit = {
+    val meta = java.nio.file.Paths.get(metaPath)
+    val valid = java.nio.file.Files.exists(meta) &&
+      new String(java.nio.file.Files.readAllBytes(meta), "UTF-8") == want &&
+      storePaths.forall(p => new java.io.File(p).exists)
+    if (!valid) {
+      build
+      java.nio.file.Files.createDirectories(meta.getParent)
+      java.nio.file.Files.write(meta, want.getBytes("UTF-8"))
+    }
+  }
+
   /** Write a table bucketed (and sorted) on its join key. Two tables
     * bucketed the same way join with NO shuffle on either side — at 100 TB
     * the lineitem⋈orders join becomes a per-bucket sort-merge with zero

@@ -536,24 +536,47 @@ object EventStreams {
     * totals have arrived the emitted leaderboard equals the batch rows
     * (spec-asserted). Emit with OutputMode.Update — each batch re-emits
     * only the leaderboards it changed, latest rows per window win.
+    *
+    * A window's k-triple state is EVICTED after an idle `evictAfter`
+    * (ProcessingTimeTimeout, default 1 hour): inputs are
+    * watermark-finalized, so a window receives its totals shortly after
+    * closing and then never again — without eviction the per-window
+    * states would accumulate for the stream's lifetime (hourly windows
+    * × months of uptime). Timeout firing emits nothing and changes no
+    * emitted row. `evictAfter = None` disables eviction — the
+    * MemoryStream spec harness uses it because timeout-check trigger
+    * batches livelock `processAllAvailable`; eviction is orthogonal to
+    * the ranking semantics the spec asserts.
     */
   def windowedTopK(spark: SparkSession, totals: Dataset[WindowUserTotal],
-      k: Int = 3): Dataset[LeaderRow] = {
+      k: Int = 3,
+      evictAfter: Option[String] = Some("1 hour")): Dataset[LeaderRow] = {
     import spark.implicits._
+    val timeout = if (evictAfter.isDefined)
+      GroupStateTimeout.ProcessingTimeTimeout()
+    else GroupStateTimeout.NoTimeout()
     totals.groupByKey(_.window_s)
       .flatMapGroupsWithState[LeaderState, LeaderRow](
         org.apache.spark.sql.streaming.OutputMode.Update(),
-        GroupStateTimeout.NoTimeout()) { (win, rows, state) =>
-        var top = state.getOption.map(_.rows).getOrElse(Nil)
-        rows.foreach { r =>
-          top = ((r.n, r.value_c, r.user_id) :: top)
-            .sortBy { case (n, _, uid) => (-n, uid) }
-            .take(k)
+        timeout) { (win, rows, state) =>
+        if (state.hasTimedOut) {
+          // idle window: all finalized totals long since arrived — drop
+          // the leaderboard state, emit nothing
+          state.remove()
+          Iterator.empty
+        } else {
+          var top = state.getOption.map(_.rows).getOrElse(Nil)
+          rows.foreach { r =>
+            top = ((r.n, r.value_c, r.user_id) :: top)
+              .sortBy { case (n, _, uid) => (-n, uid) }
+              .take(k)
+          }
+          state.update(LeaderState(top))
+          evictAfter.foreach(state.setTimeoutDuration)
+          top.zipWithIndex.map { case ((n, vc, uid), i) =>
+            LeaderRow(win, uid, n, vc, i + 1L)
+          }.iterator
         }
-        state.update(LeaderState(top))
-        top.zipWithIndex.map { case ((n, vc, uid), i) =>
-          LeaderRow(win, uid, n, vc, i + 1L)
-        }.iterator
       }
   }
 

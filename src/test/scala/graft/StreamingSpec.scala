@@ -214,7 +214,11 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[graft.streaming.WindowUserTotal]
-    val q = EventStreams.windowedTopK(spark, mem.toDS(), k = 3)
+    // evictAfter = None: timeout-check trigger batches livelock
+    // processAllAvailable in this harness; eviction is orthogonal to
+    // the ranking semantics asserted here
+    val q = EventStreams.windowedTopK(spark, mem.toDS(), k = 3,
+      evictAfter = None)
       .writeStream.format("memory").queryName("topk_test")
       .outputMode(OutputMode.Update()).start()
     def table(): Seq[(Long, Long, Long, Long, Long)] = spark.sql(
