@@ -1691,6 +1691,30 @@ object TextQueries {
         .orderBy("doc_id", "frame_id")
     },
 
+    "m14_multimodal_pack" -> { (s, d) =>
+      // Multimodal BATCH PACKING — t13's sequence packing over m07's
+      // training-token equivalents: items stream per modality in doc_id
+      // order, cumulative token-equivalents assign each item to a
+      // ~4096-token training bin (window cumsum, no greedy state), and
+      // the readout carries the FILL ratio per bin — the padding-waste
+      // number packing exists to minimize (oversized single items
+      // overflow their bin and read as fill > 1; a production packer
+      // splits them, the accounting shows exactly where). One
+      // modality-keyed window + one map-side-combined rollup.
+      val w = Window.partitionBy("modality").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Multimodal.withPayload(Tables.documents(s, d))
+        .withColumn("n", octet_length(col("payload")).cast("long"))
+        .withColumn("modality", expr(modalityCase))
+        .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .withColumn("bin", expr("(cum - toks) div 4096"))
+        .groupBy("modality", "bin")
+        .agg(count(lit(1)).as("n_items"), sum(col("toks")).as("bin_tokens"))
+        .withColumn("fill_e4", expr("bin_tokens * 10000 div 4096"))
+        .orderBy("modality", "bin")
+    },
+
     "m13_shot_stats" -> { (s, d) =>
       // Per-video SHOT statistics — the readout a video pipeline derives
       // from m09's boundaries before allocating a per-shot sampling
@@ -2704,6 +2728,22 @@ object TextQueries {
          |  (CAST(round(n_boiler * 10000.0 / n_chunks) AS BIGINT) <= 7000)
          |    AS keep
          |FROM per ORDER BY doc_id""".stripMargin,
+
+    "m14_multimodal_pack" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         |m AS (SELECT doc_id, $modalityCase AS modality,
+         |    CAST(${modalityTokens("n", "//")} AS BIGINT) AS toks FROM b),
+         |c AS (SELECT modality, toks,
+         |    SUM(toks) OVER (PARTITION BY modality ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM m),
+         |g AS (SELECT modality, CAST((cum - toks) // 4096 AS BIGINT) AS bin,
+         |    COUNT(*) AS n_items, CAST(SUM(toks) AS BIGINT) AS bin_tokens
+         |  FROM c GROUP BY modality, bin)
+         |SELECT modality, bin, n_items, bin_tokens,
+         |  bin_tokens * 10000 // 4096 AS fill_e4
+         |FROM g ORDER BY modality, bin""".stripMargin,
 
     "m07_modality_mix" ->
       s"""WITH b AS (SELECT doc_id,

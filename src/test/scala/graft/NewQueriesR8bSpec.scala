@@ -313,6 +313,31 @@ class NewQueriesR8bSpec extends SparkSpec {
     assert(card(2)._3 == graft.operators.Dedup.exact(q).count())
   }
 
+  test("m14: bins partition each modality's token mass and fills " +
+    "derive from bin tokens") {
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("m14_multimodal_pack")(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4))))
+    val byMod = got.groupBy(_._1._1)
+    val mix = SparkEntry.queries("m07_modality_mix")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(3))))
+      .toMap
+    byMod.foreach { case (mod, bins) =>
+      val (nItems, totToks) = mix(mod)
+      assert(bins.map(_._2._1).sum == nItems, s"$mod item count")
+      assert(bins.map(_._2._2).sum == totToks, s"$mod token mass")
+      // bin ids start at 0 and are distinct (oversized items legitimately
+      // SKIP ids — a single video can span many 4096-token bins)
+      val ids = bins.map(_._1._2).sorted.toSeq
+      assert(ids.head == 0L && ids.distinct == ids, s"$mod bin ids")
+      bins.foreach { case ((_, _), (_, toks, fill)) =>
+        assert(fill == toks * 10000 / 4096)
+      }
+    }
+  }
+
   test("m13: shots partition each video's frames and count cuts + 1") {
     val stats = SparkEntry.queries("m13_shot_stats")(spark, sfDir)
       .collect()
