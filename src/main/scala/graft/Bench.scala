@@ -91,6 +91,42 @@ object Bench {
       .collect { case (t, sp, capped) if t >= 0 && !capped => sp }
       .toSeq.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
+    // Regression guard (r9 verdict item 4): compare each warm-min against
+    // the previous committed BENCH_full.json and flag > 1.5x moves. The
+    // threshold is calibrated on r9's zero-code-change round, where pure
+    // reps=2 interleave noise reached ~1.43x on sub-second queries — so a
+    // flag is "look at this", adjudicated against `spread`, not a gate.
+    // Capped entries are excluded on either side (cold single runs).
+    val vsPrev: String = try {
+      val f = java.nio.file.Paths.get("BENCH_full.json")
+      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"flagged":{}}"""
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        val root = om.readTree(java.nio.file.Files.readAllBytes(f))
+        val prevQ = root.path("queries")
+        val prevCapped: Set[String] = {
+          val it = root.path("capped").elements()
+          val b = Set.newBuilder[String]
+          while (it.hasNext) b += it.next().asText()
+          b.result()
+        }
+        val flagged = results.toSeq.collect {
+          case (k, (cur, _, false))
+            if cur >= 0 && prevQ.has(k) && !prevCapped.contains(k) &&
+              prevQ.get(k).asDouble > 0 &&
+              cur > 1.5 * prevQ.get(k).asDouble =>
+            k -> (math.round(cur / prevQ.get(k).asDouble * 100) / 100.0)
+        }.sortBy(-_._2)
+        flagged.foreach { case (k, r) =>
+          System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min") }
+        val fm = flagged.map { case (k, r) => s"\"" + k + "\":" + r }
+          .mkString("{", ",", "}")
+        s"""{"prev_total":${root.path("value").asDouble},"flagged":$fm}"""
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"flagged":{}}"""
+    }
     // Headline summary as the very LAST field: the driver stores a
     // front-truncated tail of this line, so totals + the slowest-10 must
     // sit at the end to survive truncation for cross-round comparison.
@@ -100,7 +136,8 @@ object Bench {
       s""""n_errors":${results.size - ok.size},"slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
-      s""""errors":$errs,"capped":$capped,"spread":${fmtMap(_._2._2)},""" +
+      s""""errors":$errs,"capped":$capped,"vs_prev":$vsPrev,""" +
+      s""""spread":${fmtMap(_._2._2)},""" +
       s""""queries":${fmtMap(_._2._1)},"tail":$tail}"""
     println(line)
     // The driver keeps only a ~2000-char tail of stdout, losing most of

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.HashFunctions
 import graft.functions.TextFunctions._
-import graft.operators.{Dedup, Multimodal}
+import graft.operators.{Dedup, Multimodal, PrefixSum}
 
 /** Text analysis + multimodal metadata (SURVEY.md §2.G, §2.A). */
 object TextQueries {
@@ -1463,12 +1463,16 @@ object TextQueries {
     "t13_sequence_packing" -> { (s, d) =>
       // Deterministic sample packing: documents stream per source in
       // doc_id order; cumulative token counts assign each doc to a
-      // ~1000-token bin (window cumsum, no greedy state).
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      // ~1000-token bin (no greedy state). `source` has O(1) distinct
+      // values, so the running sum runs as PrefixSum's two-phase sharded
+      // plan — (source, doc_id-range-shard) local cumsums + broadcast
+      // offsets — instead of streaming the corpus through ~4 window
+      // tasks; the oracle keeps the global SUM() OVER form, proving the
+      // shapes hash-identical.
+      val base = Tables.documents(s, d)
         .withColumn("n_tok", expr(wsTokensSpark))
-        .withColumn("cum", sum(col("n_tok")).over(w))
+        .select("source", "doc_id", "n_tok")
+      PrefixSum.runningSum(base, Seq("source"), "doc_id", "n_tok", "cum")
         .withColumn("bin", expr("(cum - n_tok) div 1000"))
         .groupBy("source", "bin")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("bin_tokens"))
@@ -1700,14 +1704,16 @@ object TextQueries {
       // number packing exists to minimize (oversized single items
       // overflow their bin and read as fill > 1; a production packer
       // splits them, the accounting shows exactly where). One
-      // modality-keyed window + one map-side-combined rollup.
-      val w = Window.partitionBy("modality").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Multimodal.withPayload(Tables.documents(s, d))
+      // `modality` has 4 distinct values, so the running sum uses
+      // PrefixSum's two-phase sharded plan (t13's fix applied here) —
+      // parallelism |modalities|·64 instead of 4 window tasks; the
+      // oracle keeps the global SUM() OVER form.
+      val base = Multimodal.withPayload(Tables.documents(s, d))
         .withColumn("n", octet_length(col("payload")).cast("long"))
         .withColumn("modality", expr(modalityCase))
         .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
-        .withColumn("cum", sum(col("toks")).over(w))
+        .select("modality", "doc_id", "toks")
+      PrefixSum.runningSum(base, Seq("modality"), "doc_id", "toks", "cum")
         .withColumn("bin", expr("(cum - toks) div 4096"))
         .groupBy("modality", "bin")
         .agg(count(lit(1)).as("n_items"), sum(col("toks")).as("bin_tokens"))

@@ -749,6 +749,44 @@ class PlanShapeSpec extends SparkSpec {
       s"partition-less windows over unbounded input in:\n${offenders.mkString("\n")}")
   }
 
+  test("no registered query windows over a raw scan keyed only by O(1)-cardinality columns") {
+    // the r8 verdict's second scale-killer class (t13/m14 pre-r10): a
+    // window PARTITION BY a corpus-constant key — the testdata's
+    // low-cardinality attributes are source (4 values), modality (4),
+    // lang (4), event_type (5) — over a raw table scan streams the whole
+    // corpus through O(1) tasks at any SF. The syntactic twin of the
+    // partition-less sweep above: flag logical Windows whose partition
+    // spec references ONLY those attributes while the child subtree still
+    // reads a LogicalRelation (a raw scan — aggregates-to-small that were
+    // checkpointed surface as LogicalRDD leaves and pass). PrefixSum's
+    // two-phase sharded running sum is the sanctioned replacement
+    // (PrefixSumSpec asserts its windows always carry the shard key).
+    // s06 is the documented exception: its event_type window sits on the
+    // s01 five-minute-bucket aggregate — rows scale with the time span,
+    // not the corpus, and the rate-anomaly lag needs the full per-type
+    // bucket series in order.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val lowCard = Set("source", "modality", "lang", "event_type")
+    val exceptions = Set("s06_rate_anomaly")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(exceptions.contains)
+      .flatMap { name =>
+        val plan = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.optimizedPlan
+        val bad = plan.collect {
+          case w: LWindow if w.partitionSpec.nonEmpty && {
+            val refs = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+            refs.nonEmpty && refs.subsetOf(lowCard)
+          } && w.child.collectFirst {
+            case r: LogicalRelation => r }.nonEmpty => w
+        }
+        if (bad.isEmpty) None else Some(s"$name: ${bad.head.simpleString(3)}")
+      }
+    assert(offenders.isEmpty,
+      s"O(1)-cardinality window keys over raw scans in:\n${offenders.mkString("\n")}")
+  }
+
   test("r8 additions plan as bounded equi-joins — no nested-loop scans " +
     "outside broadcast-small-side") {
     // j40's space-time join must ride the (day, cell) equi-keys (the j31
