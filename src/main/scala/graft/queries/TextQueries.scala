@@ -340,6 +340,18 @@ object TextQueries {
           .select("fp").unionByName(prevCapped).distinct()
         rarePos.join(broadcast(fset), Seq("fp"), "left_semi")
     }
+    spanConfirmCut(docs, occ)
+  }
+
+  /** The confirm→cut tail of a t37 pass, split from [[spanPass]] (r10):
+    * [[spanRemoval]] builds each pass's evidence `occ` with
+    * delta-restricted scans and feeds only the occ docs' texts here,
+    * while the legacy [[spanPass]] composition keeps the r8 shape for
+    * the ProfileT37* cross-checks. `docs` must cover every doc_id in
+    * `occ` (both the slice join and the cut join are inner on doc_id,
+    * so a superset — e.g. the whole corpus — is output-identical).
+    */
+  private[graft] def spanConfirmCut(docs: DataFrame, occ: DataFrame): DataFrame = {
     // ONE 27-char context slice per occurrence ([max(gpos-WinW,0),
     // gpos+18] covers all WinW aligned window starts behind gpos), cut
     // from each doc's text in a single pass over the docs, then the
@@ -422,14 +434,22 @@ object TextQueries {
     * passes: only pass 1 winnows the whole corpus; pass k+1 re-winnows
     * just the docs pass k changed (~1% and decaying) and anti-joins out
     * their stale fps — identical to a full re-winnow because fps are a
-    * deterministic per-doc function of text. Only the cheap df-cap
-    * groupBy reruns corpus-wide (the cap is global by design). Pass
-    * k >= 2 additionally SKIPS fps that provably cannot yield new
-    * marks (no occurrence in a changed doc, not newly under the df
-    * cap — see spanPass's filter proof), so only pass 1 pays the
-    * corpus-wide grouping; later passes cost ∝ last pass's change.
-    * Output-identical by the skip proof (ProfileT37d replays the
-    * unfiltered loop: byte-identical at all three SFs); gated by the
+    * deterministic per-doc function of text. Pass k >= 2 SKIPS fps that
+    * provably cannot yield new marks (no occurrence in a changed doc,
+    * not newly under the df cap — see spanPass's filter proof), and r10
+    * fused the per-pass machinery around that same proof: pass 1's
+    * df-cap + shareability stats are ONE two-step groupBy (no
+    * occurrence-cardinality `rare` checkpoint), later passes recount df
+    * only over the broadcast candidate-fp set C = changed docs' fps ∪
+    * previously-capped fps (capped status can only change inside C, so
+    * the corpus-wide distinct+groupBy runs exactly once), and the
+    * confirm/cut text joins see only the occ docs' texts
+    * (spanConfirmCut is inner on occ's doc_ids, so the corpus semi-join
+    * is output-neutral). Later passes therefore cost ∝ last pass's
+    * change: two narrow scans of the checkpointed fps table + one
+    * corpus scan for the text semi-join. Output-identical by the skip
+    * proof (ProfileT37h replays the legacy unfiltered capRarePos +
+    * spanPass loop: byte-identical at sf0.001/0.01); gated by the
     * planted all-pairs replay + idempotence specs and the sf hash
     * oracle.
     */
@@ -437,7 +457,11 @@ object TextQueries {
       maxPasses: Int = SpanPasses): DataFrame = {
     graft.plans.GraftFunctions.register(docs0.sparkSession)
     val docs = docs0.select(col("doc_id"), col("text")).localCheckpoint()
-    val ndocs = docs.agg(count(lit(1)).as("n_docs")).localCheckpoint()
+    // the df cap as a driver-side literal (corpus size is fixed for the
+    // whole loop): drops the ndocs checkpoint + a broadcast crossJoin
+    // from every cap filter — same driver-scalar class as the isEmpty
+    // convergence probes
+    val capN = math.max(20L, docs.count() / 100L)
     val fpsBase = winnowFpsPos(docs).localCheckpoint()
     // Changed docs only, latest text — the pass-k corpus is the cheap
     // composition base ⧹ delta-keys ∪ delta, so no pass re-materializes
@@ -462,32 +486,108 @@ object TextQueries {
             expr(s"($WinC - 1) - (key % $WinC)").as("gpos")))
     var pass = 0
     var converged = false
-    // pass-(k-1) state driving pass k's evidence filter (see spanPass):
-    // docs changed last pass + fps df-capped last pass
-    var changedPrev: DataFrame = null
-    var cappedPrev: DataFrame = null
+    // pass-(k-1) state driving pass k's evidence: the checkpointed pass
+    // output (its `keys` are the changed docs' new-text fps), the
+    // capped-fp table WITH its maintained doc frequencies, and the
+    // (fp, lost, gained) doc-membership deltas of last pass's cuts
+    var outPrev: DataFrame = null
+    var cappedPrev: DataFrame = null // fps over the df cap at last pass
     while (pass < maxPasses && !converged) {
-      val (rare, capped) = capRarePos(fpsCur, ndocs)
-      val filter = if (pass == 0) None else Some((changedPrev, cappedPrev))
-      // keys feed only the NEXT pass's capRarePos — on the final pass the
-      // re-winnow is dead work, so it degenerates to an empty array. The
-      // winnow of the cleaned texts rides the same checkpoint job as the
-      // pass output itself (delta-sized; never a separate corpus job).
+      // Per-pass evidence occurrences, r10 fused shape (was capRarePos +
+      // spanPass's internal filter: 2 corpus-wide distinct+groupBy
+      // shuffles, a full-occurrence `rare` checkpoint and 2 more rare
+      // scans per pass — ~5 fps-table passes each round).
+      val occ: DataFrame =
+        if (pass == 0) {
+          // ONE two-step groupBy yields df + shareability per fp
+          // ((fp, doc) partial combine, then fp rollup — both map-side
+          // combinable); capped is the boilerplate tail filter, occ the
+          // occurrences of shareable rare fps. No occurrence-cardinality
+          // checkpoint: stats is fp-cardinality, strictly smaller than
+          // the old `rare` materialization.
+          val stats = fpsBase.groupBy("fp", "doc_id")
+            .agg(count(lit(1)).as("np"))
+            .groupBy("fp").agg(count(lit(1)).as("dfc"),
+              min("doc_id").as("mn"), max("doc_id").as("mx"))
+            .localCheckpoint()
+          cappedPrev = stats.filter(col("dfc") > capN).select("fp")
+          val shareRare = stats
+            .filter(col("dfc") <= capN && col("mn") < col("mx"))
+            .select("fp")
+          // shuffled semi-join, deliberately un-hinted: shareRare is
+          // fp-cardinality (grows with the corpus), AQE broadcasts it
+          // only when actually small (see spanPass's pass-1 note)
+          fpsBase.join(shareRare, Seq("fp"), "left_semi")
+        } else {
+          // Candidate fps C: new-text fps of docs changed last pass
+          // (outPrev's `keys`, winnowed in the checkpoint job) ∪ fps
+          // capped last pass — exactly spanPass's filter-proof set, both
+          // parts broadcast-size (superset-of-fset argument: keys ⊇ the
+          // rare fps of changed docs, extras are capped and die in the
+          // anti-join — identical to spanPass's occ, ProfileT37h replays
+          // the equality).
+          // un-checkpointed and un-distinct'd on purpose: both consumers
+          // broadcast it, the builds read only checkpointed small tables
+          // (outPrev + the capped set), and duplicate fps in a semi/anti
+          // hash build are harmless — a distinct would add a shuffle +
+          // barrier per pass for nothing
+          val fsetC = outPrev
+            .select(explode(col("keys")).as("key"))
+            .select(expr(s"key div $WinC").as("fp"))
+            .unionByName(cappedPrev)
+          // df recount restricted to C (SURVEY §7 r9(a)'s "fold
+          // capRarePos into the evidence scan"): df can only have RISEN
+          // for fps a changed doc gained (⊆ keys) and capped-status can
+          // only turn off for fps that were capped (⊆ cappedPrev), so
+          // the C-restricted recount IS the full new capped set — the
+          // corpus-wide distinct+groupBy is gone from passes >= 2. (An
+          // incremental (fp, dfc) maintenance variant — membership
+          // deltas per pass, no distinct at all — measured SLOWER at
+          // local[32]: its two extra fps-composition scans + checkpoints
+          // cost more than this one C-restricted shuffle. r10 note.)
+          val cappedNow = fpsCur
+            .join(broadcast(fsetC), Seq("fp"), "left_semi")
+            .select("doc_id", "fp").distinct()
+            .groupBy("fp").agg(count(lit(1)).as("dfc"))
+            .filter(col("dfc") > capN)
+            .select("fp").localCheckpoint()
+          cappedPrev = cappedNow
+          // the evidence: now-rare occurrences of C fps — one more
+          // narrow fps scan
+          fpsCur.join(broadcast(fsetC), Seq("fp"), "left_semi")
+            .join(broadcast(cappedNow), Seq("fp"), "left_anti")
+            .localCheckpoint()
+        }
+      // Texts are only needed for docs carrying evidence (the slice join
+      // and the cut join are inner on occ's doc_ids): pass 0 touches
+      // ~every doc, so the corpus goes in directly; later passes
+      // semi-join it down to the delta-bounded occ-doc set first — one
+      // corpus scan instead of two full-text join sides. occDocs is
+      // |occ|-bounded (df-capped), hence the pinned broadcast.
+      // checkpointed: it feeds BOTH inner joins in spanConfirmCut, and
+      // un-materialized each would re-run the corpus semi-join
+      val docsNeeded =
+        if (pass == 0) cur
+        else cur.join(broadcast(occ.select("doc_id").distinct()),
+          Seq("doc_id"), "left_semi").localCheckpoint()
+      // keys feed only the NEXT pass's candidate set — on the final pass
+      // the re-winnow is dead work, so it degenerates to an empty array.
+      // The winnow of the cleaned texts rides the same checkpoint job as
+      // the pass output itself (delta-sized; never a separate corpus
+      // job).
       val keysCol =
         if (pass < maxPasses - 1) expr("graft_winnow13p(text_clean)")
         else expr("CAST(array() AS ARRAY<BIGINT>)")
-      val out = spanPass(cur, rare, filter)
+      val out = spanConfirmCut(docsNeeded, occ)
         .select(col("doc_id"), col("text_clean").as("text"),
           keysCol.as("keys"))
         .localCheckpoint()
-      cappedPrev = capped
       if (out.isEmpty) converged = true
       else {
-        val changed = out.select("doc_id")
         delta = (if (delta == null) out
-          else delta.join(changed, Seq("doc_id"), "left_anti")
+          else delta.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
             .unionByName(out)).localCheckpoint()
-        changedPrev = changed // projection of the checkpointed `out`
+        outPrev = out // checkpointed; its keys drive the next pass
       }
       pass += 1
     }
@@ -1721,6 +1821,38 @@ object TextQueries {
         .orderBy("modality", "bin")
     },
 
+    "m15_pack_split" -> { (s, d) =>
+      // m14's SERVING twin with oversized-item SPLITTING (the r8 verdict
+      // carry): the token stream per modality is cut at every 4096
+      // boundary — an item spanning a boundary contributes one SEGMENT
+      // per bin it touches, so every bin is exactly full (fill_e4 =
+      // 10000) except the final partial per modality, and fill > 1
+      // cannot occur. Same sharded prefix sum as m14, then a per-item
+      // bin-range explode (executor-side, fan-out = ceil(toks/4096), no
+      // extra shuffle) and one map-side-combined rollup. `sequence`
+      // guarded for toks = 0 items (Spark descends on empty ranges).
+      val base = Multimodal.withPayload(Tables.documents(s, d))
+        .withColumn("n", octet_length(col("payload")).cast("long"))
+        .withColumn("modality", expr(modalityCase))
+        .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
+        .select("modality", "doc_id", "toks")
+      PrefixSum.runningSum(base, Seq("modality"), "doc_id", "toks", "cum")
+        .withColumn("b0", expr("(cum - toks) div 4096"))
+        .withColumn("b1", expr(
+          "CASE WHEN toks > 0 THEN (cum - 1) div 4096 ELSE b0 END"))
+        .select(col("modality"), col("toks"), col("cum"),
+          explode(expr("sequence(b0, b1)")).as("bin"))
+        .withColumn("seg_tokens", expr(
+          "least(cum, (bin + 1) * 4096) - greatest(cum - toks, bin * 4096)"))
+        .groupBy("modality", "bin")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(expr("CASE WHEN toks > seg_tokens THEN 1 ELSE 0 END"))
+            .as("n_split_segments"),
+          sum(col("seg_tokens")).as("bin_tokens"))
+        .withColumn("fill_e4", expr("bin_tokens * 10000 div 4096"))
+        .orderBy("modality", "bin")
+    },
+
     "m13_shot_stats" -> { (s, d) =>
       // Per-video SHOT statistics — the readout a video pipeline derives
       // from m09's boundaries before allocating a per-shot sampling
@@ -2748,6 +2880,33 @@ object TextQueries {
          |    COUNT(*) AS n_items, CAST(SUM(toks) AS BIGINT) AS bin_tokens
          |  FROM c GROUP BY modality, bin)
          |SELECT modality, bin, n_items, bin_tokens,
+         |  bin_tokens * 10000 // 4096 AS fill_e4
+         |FROM g ORDER BY modality, bin""".stripMargin,
+
+    "m15_pack_split" ->
+      s"""WITH b AS (SELECT doc_id,
+         |    CAST(octet_length(encode(text)) AS BIGINT) AS n FROM documents),
+         |m AS (SELECT doc_id, $modalityCase AS modality,
+         |    CAST(${modalityTokens("n", "//")} AS BIGINT) AS toks FROM b),
+         |c AS (SELECT modality, doc_id, toks,
+         |    CAST(SUM(toks) OVER (PARTITION BY modality ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM m),
+         |e AS (SELECT modality, toks, cum,
+         |    unnest(range((cum - toks) // 4096,
+         |      CASE WHEN toks > 0 THEN (cum - 1) // 4096 + 1
+         |        ELSE (cum - toks) // 4096 + 1 END)) AS bin
+         |  FROM c),
+         |s AS (SELECT modality, toks, CAST(bin AS BIGINT) AS bin,
+         |    least(cum, (bin + 1) * 4096)
+         |      - greatest(cum - toks, bin * 4096) AS seg_tokens
+         |  FROM e),
+         |g AS (SELECT modality, bin, COUNT(*) AS n_segments,
+         |    CAST(SUM(CASE WHEN toks > seg_tokens THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_split_segments,
+         |    CAST(SUM(seg_tokens) AS BIGINT) AS bin_tokens
+         |  FROM s GROUP BY modality, bin)
+         |SELECT modality, bin, n_segments, n_split_segments, bin_tokens,
          |  bin_tokens * 10000 // 4096 AS fill_e4
          |FROM g ORDER BY modality, bin""".stripMargin,
 
