@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized for the full 194-query bench/verify runs: an 8g heap
+  // measured a 2.6x GLOBAL slowdown late in the run (GC thrash from
+  // accumulated checkpoint blocks; 412 s vs 144 s total, r10).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  // A 194-query run generates thousands of codegen classes; the JDK
+  // default 240 MB code cache fills mid-run and JIT flushing/churn
+  // taxes later multi-job queries (t37 measured +3-6 s in-run vs
+  // isolated before this).
+  "-XX:ReservedCodeCacheSize=1g",
 )
