@@ -53,4 +53,30 @@ class PrefixSumSpec extends SparkSpec {
     val df = Seq.empty[(Long, String, Long)].toDF("id", "key", "v")
     assert(PrefixSum.runningSum(df, Seq("key"), "id", "v", "cum").count() == 0L)
   }
+
+  test("runningSum property sweep: shard counts and id shapes") {
+    import spark.implicits._
+    // deterministic adversarial shapes: sparse ids (shard-span rounding),
+    // all rows in one key, one row per key, single-row input, zero
+    // values, shards = 1 (degenerates to the global window) and shards
+    // far above the row count (most shards empty)
+    val shapes: Seq[(String, Seq[(Long, String, Long)])] = Seq(
+      "sparse-ids" -> (0 until 200)
+        .map(i => (i.toLong * i * 7 % 100000, s"k${i % 5}", (i % 7).toLong))
+        .groupBy(_._1).map(_._2.head).toSeq, // unique ids
+      "one-key" -> (0 until 100).map(i => (i.toLong, "k", 1L)),
+      "key-per-row" -> (0 until 50).map(i => (i.toLong, s"k$i", i.toLong)),
+      "single-row" -> Seq((42L, "k", 9L)),
+      "zero-values" -> (0 until 30).map(i => (i.toLong, s"k${i % 2}", 0L)))
+    for ((label, rows) <- shapes; shards <- Seq(1, 3, 64, 1000)) {
+      val df = rows.toDF("id", "key", "v")
+      val got = PrefixSum.runningSum(df, Seq("key"), "id", "v", "cum", shards)
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      val w = Window.partitionBy("key").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val want = df.withColumn("cum", sum(col("v")).over(w))
+        .select("id", "cum").as[(Long, Long)].collect().toMap
+      assert(got == want, s"$label shards=$shards")
+    }
+  }
 }
