@@ -200,6 +200,34 @@ object TextQueries {
         expr(s"($WinC - 1) - (key % $WinC)").as("gpos"))
   }
 
+  /** [[winnowFpsPos]] with the 27-char confirm CONTEXT SLICE carried per
+    * occurrence (r10, the §7 r11(a) lever): s = text[st, gpos+18] where
+    * st = max(gpos - WinW, 0) — exactly the slice spanConfirmCut's
+    * legacy path cut per occurrence via a per-pass corpus-text join.
+    * Computing it HERE, in the same projection as the winnow explode
+    * (text is still in scope — no join, no codegen variant needed),
+    * deletes that join and the collect_set regroup from every t37 pass.
+    * Space trade: ≤ 27 chars per fingerprint row (~+40%), the standard
+    * store-context-with-the-index trade; the fps table stays
+    * ∝ positions/WinW.
+    */
+  private[graft] def winnowFpsPosS(docs: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(expr("graft_winnow13p(text)")).as("key"))
+      .select(col("doc_id"), col("text"),
+        expr(s"key div $WinC").as("fp"),
+        expr(s"($WinC - 1) - (key % $WinC)").as("gpos"))
+      .select(col("doc_id"), col("fp"), col("gpos"), sliceExpr.as("s"))
+  }
+
+  /** The slice expression shared by [[winnowFpsPosS]] and spanRemoval's
+    * delta-side fps maintenance: requires `text` and `gpos` in scope. */
+  private def sliceExpr = expr(
+    s"substring(text, CAST(greatest(gpos - $WinW, 0L) + 1 AS INT), " +
+      s"CAST(gpos + 19 - greatest(gpos - $WinW, 0L) AS INT))")
+
   /** Positional declarative twin of [[winnowFpsPos]] (the form the
     * DuckDB oracle's selp CTE replays): positional hashes -> packed
     * keys -> per-doc windowed MIN -> distinct (fp, gpos) recovery from
@@ -357,7 +385,7 @@ object TextQueries {
     // from each doc's text in a single pass over the docs, then the
     // k-explode derives the WinW candidate 20-grams per occurrence
     // INSIDE the slice — document bytes are touched exactly once.
-    val cand = occ
+    val sliced = occ
       .groupBy("doc_id")
       .agg(collect_set(struct(col("gpos"), col("fp"))).as("gps"))
       .join(docs, "doc_id")
@@ -367,7 +395,22 @@ object TextQueries {
           s"'s', substring(text, CAST(greatest(gp.gpos - $WinW, 0L) + 1 AS INT), " +
           s"CAST(gp.gpos + 19 - greatest(gp.gpos - $WinW, 0L) AS INT))))")).as("sl"))
       .select(col("doc_id"), col("sl.gpos").as("gpos"), col("sl.fp").as("fp"),
-        (col("sl.gpos") - col("sl.st")).as("r"), col("sl.s").as("s"),
+        col("sl.s").as("s"))
+    spanCutFromSliced(docs, sliced)
+  }
+
+  /** The k-explode → aligned confirm → cut tail, shared by the legacy
+    * [[spanConfirmCut]] (slices joined per pass) and spanRemoval's r10
+    * slice-borne path ([[winnowFpsPosS]] carries s in the fps table).
+    * `sliced` = (doc_id, fp, gpos, s); `docs` need only cover the docs
+    * that can be MARKED (inner cut join — a superset is identical).
+    */
+  private[graft] def spanCutFromSliced(docs: DataFrame,
+      sliced: DataFrame): DataFrame = {
+    val cand = sliced
+      .select(col("doc_id"), col("gpos"), col("fp"),
+        (col("gpos") - greatest(col("gpos") - lit(WinW.toLong), lit(0L)))
+          .as("r"), col("s"),
         explode(expr(s"sequence(1, $WinW)")).as("k"))
       .filter(expr("k <= r AND r - k + 20 <= length(s)"))
       .select(col("doc_id"), col("fp"), col("k"),
@@ -462,7 +505,9 @@ object TextQueries {
     // from every cap filter — same driver-scalar class as the isEmpty
     // convergence probes
     val capN = math.max(20L, docs.count() / 100L)
-    val fpsBase = winnowFpsPos(docs).localCheckpoint()
+    // slice-borne fps (r10): each occurrence carries its 27-char confirm
+    // context, so no pass ever joins corpus text for slicing again
+    val fpsBase = winnowFpsPosS(docs).localCheckpoint()
     // Changed docs only, latest text — the pass-k corpus is the cheap
     // composition base ⧹ delta-keys ∪ delta, so no pass re-materializes
     // the full corpus (the r7 per-pass full localCheckpoint). The ONE
@@ -481,9 +526,11 @@ object TextQueries {
       if (delta == null) fpsBase
       else fpsBase.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
         .unionByName(delta
-          .select(col("doc_id"), explode(col("keys")).as("key"))
-          .select(col("doc_id"), expr(s"key div $WinC").as("fp"),
-            expr(s"($WinC - 1) - (key % $WinC)").as("gpos")))
+          .select(col("doc_id"), col("text"), explode(col("keys")).as("key"))
+          .select(col("doc_id"), col("text"),
+            expr(s"key div $WinC").as("fp"),
+            expr(s"($WinC - 1) - (key % $WinC)").as("gpos"))
+          .select(col("doc_id"), col("fp"), col("gpos"), sliceExpr.as("s")))
     var pass = 0
     var converged = false
     // pass-(k-1) state driving pass k's evidence: the checkpointed pass
@@ -553,32 +600,22 @@ object TextQueries {
             .select("fp").localCheckpoint()
           cappedPrev = cappedNow
           // the evidence: now-rare occurrences of C fps — one more
-          // narrow fps scan
+          // narrow fps scan. Un-checkpointed (r10 slice-borne form):
+          // its only consumer is the out job's candidate explode.
           fpsCur.join(broadcast(fsetC), Seq("fp"), "left_semi")
             .join(broadcast(cappedNow), Seq("fp"), "left_anti")
-            .localCheckpoint()
         }
-      // Texts are only needed for docs carrying evidence (the slice join
-      // and the cut join are inner on occ's doc_ids): pass 0 touches
-      // ~every doc, so the corpus goes in directly; later passes
-      // semi-join it down to the delta-bounded occ-doc set first — one
-      // corpus scan instead of two full-text join sides. occDocs is
-      // |occ|-bounded (df-capped), hence the pinned broadcast.
-      // checkpointed: it feeds BOTH inner joins in spanConfirmCut, and
-      // un-materialized each would re-run the corpus semi-join
-      val docsNeeded =
-        if (pass == 0) cur
-        else cur.join(broadcast(occ.select("doc_id").distinct()),
-          Seq("doc_id"), "left_semi").localCheckpoint()
       // keys feed only the NEXT pass's candidate set — on the final pass
       // the re-winnow is dead work, so it degenerates to an empty array.
       // The winnow of the cleaned texts rides the same checkpoint job as
       // the pass output itself (delta-sized; never a separate corpus
-      // job).
+      // job). Corpus text is touched exactly ONCE per pass now — the cut
+      // join (inner on the marked-doc ps, AQE-broadcast small) — because
+      // occ rows carry their own confirm slices.
       val keysCol =
         if (pass < maxPasses - 1) expr("graft_winnow13p(text_clean)")
         else expr("CAST(array() AS ARRAY<BIGINT>)")
-      val out = spanConfirmCut(docsNeeded, occ)
+      val out = spanCutFromSliced(cur, occ)
         .select(col("doc_id"), col("text_clean").as("text"),
           keysCol.as("keys"))
         .localCheckpoint()

@@ -35,8 +35,11 @@ object ProfileT37g {
         docs0.select(col("doc_id"), col("text")).localCheckpoint()
       }
       val capN = t("capN count") { math.max(20L, docs.count() / 100L) }
+      val sliceSql = s"substring(text, " +
+        s"CAST(greatest(gpos - 8, 0L) + 1 AS INT), " +
+        s"CAST(gpos + 19 - greatest(gpos - 8, 0L) AS INT))"
       val fpsBase = t("fpsBase winnow+ckpt") {
-        tq.winnowFpsPos(docs).localCheckpoint()
+        tq.winnowFpsPosS(docs).localCheckpoint()
       }
       var delta: DataFrame = null
       def cur: DataFrame =
@@ -47,9 +50,12 @@ object ProfileT37g {
         if (delta == null) fpsBase
         else fpsBase.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
           .unionByName(delta
-            .select(col("doc_id"), explode(col("keys")).as("key"))
-            .select(col("doc_id"), expr(s"key div $WinC").as("fp"),
-              expr(s"($WinC - 1) - (key % $WinC)").as("gpos")))
+            .select(col("doc_id"), col("text"), explode(col("keys")).as("key"))
+            .select(col("doc_id"), col("text"),
+              expr(s"key div $WinC").as("fp"),
+              expr(s"($WinC - 1) - (key % $WinC)").as("gpos"))
+            .select(col("doc_id"), col("fp"), col("gpos"),
+              expr(sliceSql).as("s")))
       var pass = 0
       var converged = false
       var outPrev: DataFrame = null
@@ -83,23 +89,14 @@ object ProfileT37g {
                 .select("fp").localCheckpoint()
             }
             cappedPrev = cappedNow
-            t(s"pass $pass occ ckpt") {
-              fpsCur.join(broadcast(fsetC), Seq("fp"), "left_semi")
-                .join(broadcast(cappedNow), Seq("fp"), "left_anti")
-                .localCheckpoint()
-            }
-          }
-        val docsNeeded =
-          if (pass == 0) cur
-          else t(s"pass $pass docsNeeded ckpt") {
-            cur.join(broadcast(occ.select("doc_id").distinct()),
-              Seq("doc_id"), "left_semi").localCheckpoint()
+            fpsCur.join(broadcast(fsetC), Seq("fp"), "left_semi")
+              .join(broadcast(cappedNow), Seq("fp"), "left_anti")
           }
         val keysCol =
           if (pass < tq.SpanPasses - 1) expr("graft_winnow13p(text_clean)")
           else expr("CAST(array() AS ARRAY<BIGINT>)")
-        val out = t(s"pass $pass confirmCut out ckpt") {
-          tq.spanConfirmCut(docsNeeded, occ)
+        val out = t(s"pass $pass cutFromSliced out ckpt") {
+          tq.spanCutFromSliced(cur, occ)
             .select(col("doc_id"), col("text_clean").as("text"),
               keysCol.as("keys"))
             .localCheckpoint()
