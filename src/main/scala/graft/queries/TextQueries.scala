@@ -539,6 +539,7 @@ object TextQueries {
     // (fp, lost, gained) doc-membership deltas of last pass's cuts
     var outPrev: DataFrame = null
     var cappedPrev: DataFrame = null // fps over the df cap at last pass
+    var changedPrevN = 0L // docs changed last pass (drives the fsetC hint)
     while (pass < maxPasses && !converged) {
       // Per-pass evidence occurrences, r10 fused shape (was capRarePos +
       // spanPass's internal filter: 2 corpus-wide distinct+groupBy
@@ -573,15 +574,26 @@ object TextQueries {
           // rare fps of changed docs, extras are capped and die in the
           // anti-join — identical to spanPass's occ, ProfileT37h replays
           // the equality).
-          // un-checkpointed and un-distinct'd on purpose: both consumers
-          // broadcast it, the builds read only checkpointed small tables
-          // (outPrev + the capped set), and duplicate fps in a semi/anti
-          // hash build are harmless — a distinct would add a shuffle +
-          // barrier per pass for nothing
-          val fsetC = outPrev
+          // un-checkpointed and un-distinct'd on purpose: both consumer
+          // joins read only checkpointed small tables (outPrev + the
+          // capped set), and duplicate fps in a semi/anti hash build are
+          // harmless — a distinct would add a shuffle + barrier per pass
+          // for nothing. Broadcast is ADAPTIVE (r10 scale audit):
+          // changed-doc fps are ∝ last pass's delta — ~1% of the corpus
+          // at pass 1 and decaying, which at extreme scale is NOT
+          // broadcast-size — so the hint applies only while the KNOWN
+          // changed-doc count bounds the set. Un-hinted AQE still
+          // broadcasts a small set, but only after materializing the
+          // shuffle stage first (measured +0.85 s/run at sf0.1). The
+          // capped set below is ALWAYS pinned broadcast: #capped fps ≤
+          // sum(df)/cap = 100 × avg fps per doc, scale-invariant.
+          val fsetC0 = outPrev
             .select(explode(col("keys")).as("key"))
             .select(expr(s"key div $WinC").as("fp"))
             .unionByName(cappedPrev)
+          val fsetC =
+            if (changedPrevN <= FsetBroadcastMaxDocs) broadcast(fsetC0)
+            else fsetC0
           // df recount restricted to C (SURVEY §7 r9(a)'s "fold
           // capRarePos into the evidence scan"): df can only have RISEN
           // for fps a changed doc gained (⊆ keys) and capped-status can
@@ -593,7 +605,7 @@ object TextQueries {
           // local[32]: its two extra fps-composition scans + checkpoints
           // cost more than this one C-restricted shuffle. r10 note.)
           val cappedNow = fpsCur
-            .join(broadcast(fsetC), Seq("fp"), "left_semi")
+            .join(fsetC, Seq("fp"), "left_semi")
             .select("doc_id", "fp").distinct()
             .groupBy("fp").agg(count(lit(1)).as("dfc"))
             .filter(col("dfc") > capN)
@@ -602,7 +614,7 @@ object TextQueries {
           // the evidence: now-rare occurrences of C fps — one more
           // narrow fps scan. Un-checkpointed (r10 slice-borne form):
           // its only consumer is the out job's candidate explode.
-          fpsCur.join(broadcast(fsetC), Seq("fp"), "left_semi")
+          fpsCur.join(fsetC, Seq("fp"), "left_semi")
             .join(broadcast(cappedNow), Seq("fp"), "left_anti")
         }
       // keys feed only the NEXT pass's candidate set — on the final pass
@@ -619,7 +631,10 @@ object TextQueries {
         .select(col("doc_id"), col("text_clean").as("text"),
           keysCol.as("keys"))
         .localCheckpoint()
-      if (out.isEmpty) converged = true
+      // count doubles as the convergence probe (d26 discipline: the only
+      // driver-side values are this count and capN)
+      changedPrevN = out.count()
+      if (changedPrevN == 0L) converged = true
       else {
         delta = (if (delta == null) out
           else delta.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -644,6 +659,14 @@ object TextQueries {
   /** Pass cap for [[spanRemoval]] — measured fixed point + 1 at all
     * tested SFs; the oracle unrolls exactly this many passes. */
   private[graft] val SpanPasses = 4
+
+  /** spanRemoval broadcasts the per-pass candidate-fp set only while the
+    * changed-doc count stays under this bound (≈ docs × avg fps/doc ≈
+    * 250k × 40 = 10M 8-byte fps ≈ 80 MB build side — comfortably inside
+    * an executor broadcast budget); beyond it the semi-joins go through
+    * AQE's runtime choice. Join strategy only — outputs are identical
+    * either way. */
+  private val FsetBroadcastMaxDocs = 250000L
 
   // --- t36/t38 quality classifier: trained weights (r7 verdict ask) -----
   // The FineWeb-Edu shape end to end: an expensive rule cascade (t22's
