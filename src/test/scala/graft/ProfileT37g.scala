@@ -76,20 +76,22 @@ object ProfileT37g {
               .select("fp")
             fpsBase.join(shareRare, Seq("fp"), "left_semi")
           } else {
-            val fsetC = outPrev
+            // shipped loop applies the broadcast hint adaptively on the
+            // changed-doc count; at profile SFs it always broadcasts
+            val fsetC = broadcast(outPrev
               .select(explode(col("keys")).as("key"))
               .select(expr(s"key div $WinC").as("fp"))
-              .unionByName(cappedPrev)
+              .unionByName(cappedPrev))
             val cappedNow = t(s"pass $pass cappedNow ckpt") {
               fpsCur
-                .join(broadcast(fsetC), Seq("fp"), "left_semi")
+                .join(fsetC, Seq("fp"), "left_semi")
                 .select("doc_id", "fp").distinct()
                 .groupBy("fp").agg(count(lit(1)).as("dfc"))
                 .filter(col("dfc") > capN)
                 .select("fp").localCheckpoint()
             }
             cappedPrev = cappedNow
-            fpsCur.join(broadcast(fsetC), Seq("fp"), "left_semi")
+            fpsCur.join(fsetC, Seq("fp"), "left_semi")
               .join(broadcast(cappedNow), Seq("fp"), "left_anti")
           }
         val keysCol =
