@@ -8,8 +8,11 @@ import org.apache.spark.sql.SparkSession
   * `spread` = (max-min)/min over the timed runs estimates the noise
   * floor, so a 2x move between rounds is adjudicable as signal vs
   * interleaving noise (round 4 could not tell — e.g. its d12 1.35→2.62).
-  * Key order in the JSON puts `queries`/`spread` LAST: the driver stores
-  * a front-truncated tail, so the per-query data is what survives.
+  * Key order in the JSON puts `queries`/`spread`/`cold` LAST: the driver
+  * stores a front-truncated tail, so the per-query data is what survives.
+  * `cold` (r11) is each query's warmup-min — the in-run first-execution
+  * time that the long-tail cap adjudicates against — recorded so a cap
+  * event is diagnosable from the artifact (the r10 t37 lesson).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -44,10 +47,28 @@ object Bench {
     // noop sink: materializes every output row and expression (count()
     // would let Catalyst prune unreferenced projections and understate
     // expression-heavy queries).
+    //
+    // Block hygiene (r11, the driver-roll t37 cap postmortem): every
+    // execution's localCheckpoint blocks otherwise leak until the
+    // DRIVER JVM happens to GC (ContextCleaner is weak-reference
+    // driven, and the 24g heap makes full GCs rare) — late in a
+    // 194-query run hundreds of dead checkpoint RDDs occupy storage
+    // memory and a big cold allocator pays their eviction/GC bill,
+    // which is exactly where r10's driver roll 7x'd t37's cold pass
+    // (7.9 s builder / 54.9 s driver). Explicit unpersist after each
+    // execution removes the GC-timing dependence; nothing in a query
+    // reuses blocks across executions (each call builds fresh frames;
+    // cross-run reuse goes through /tmp/graft_stores parquet, not
+    // block storage), so this is timing-neutral on the measured work.
+    def freeBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val el = (System.nanoTime() - t0) / 1e9
+      freeBlocks()
+      el
     }
     // Long-tail cap (r7 verdict item): a query whose WARMUP run already
     // exceeds capSec reports that single (cold) time with capped=true and
@@ -55,40 +76,47 @@ object Bench {
     // wall clock and starve the driver's window. Everything under the cap
     // keeps the warm-min protocol unchanged.
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_S", "30").toDouble
-    val results: Map[String, (Double, Double, Boolean)] =
+    // per query: (warm-min, spread, capped, cold) — cold is the warmup
+    // min (the in-run first-execution time; -1 when warmups=0 or the
+    // query errored). Recorded since r11: the r10 verdict's t37 lesson
+    // is that a committed warm-min alone cannot adjudicate a cap event.
+    val results: Map[String, (Double, Double, Boolean, Double)] =
       selected.map { case (name, fn) =>
         try {
           val warmTimes = (0 until warmups).map(_ => once(fn))
-          if (warmTimes.nonEmpty && warmTimes.min > capSec)
-            name -> (warmTimes.min, 0.0, true)
-          else {
+          val cold = if (warmTimes.isEmpty) -1.0 else warmTimes.min
+          if (warmTimes.nonEmpty && warmTimes.min > capSec) {
+            System.err.println(
+              f"BENCH CAPPED $name: warmup ${warmTimes.min}%.2fs > cap ${capSec}%.1fs, skipping timed reps")
+            name -> (warmTimes.min, 0.0, true, cold)
+          } else {
             System.gc()
             val times = (0 until reps).map(_ => once(fn))
             val spread =
               if (times.min > 0) (times.max - times.min) / times.min else 0.0
-            name -> (times.min, spread, false)
+            name -> (times.min, spread, false, cold)
           }
         } catch {
           // sentinel: a crashed query must not read as a fast query
           case e: Throwable =>
             System.err.println(
               s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
-            name -> (-1.0, 0.0, false)
+            name -> (-1.0, 0.0, false, -1.0)
         }
       }
-    def fmtMap(sel: ((String, (Double, Double, Boolean))) => Double): String =
+    def fmtMap(sel: ((String, (Double, Double, Boolean, Double))) => Double): String =
       results.map { case (k, v) => s"\"" + k + "\":" + sel((k, v)) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, (v, _, _)) if v < 0 => "\"" + k + "\"" }
+    val errs = results.collect { case (k, (v, _, _, _)) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val capped = results.collect { case (k, (_, _, true)) => "\"" + k + "\"" }
+    val capped = results.collect { case (k, (_, _, true, _)) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val ok = results.values.filter(_._1 >= 0)
     val total = ok.map(_._1).sum
     // capped queries ran once cold and carry a fabricated 0.0 spread —
     // including them would bias the noise-floor median toward 0
     val spreads = results.values
-      .collect { case (t, sp, capped) if t >= 0 && !capped => sp }
+      .collect { case (t, sp, capped, _) if t >= 0 && !capped => sp }
       .toSeq.sorted
     val noiseMed = if (spreads.isEmpty) 0.0 else spreads(spreads.size / 2)
     // Regression guard (r9 verdict item 4): compare each warm-min against
@@ -96,7 +124,12 @@ object Bench {
     // threshold is calibrated on r9's zero-code-change round, where pure
     // reps=2 interleave noise reached ~1.43x on sub-second queries — so a
     // flag is "look at this", adjudicated against `spread`, not a gate.
-    // Capped entries are excluded on either side (cold single runs).
+    // PREVIOUSLY-capped entries are excluded (no prior warm-min to
+    // compare against); CURRENTLY-capped entries flag UNCONDITIONALLY
+    // with their cold-vs-prior-warm ratio (r10 verdict item 2 / ADVICE:
+    // the old exclusion dropped exactly the query regressing past the
+    // cap — the largest regressions were the ones the guard couldn't
+    // report).
     val vsPrev: String = try {
       val f = java.nio.file.Paths.get("BENCH_full.json")
       if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"flagged":{}}"""
@@ -111,15 +144,16 @@ object Bench {
           b.result()
         }
         val flagged = results.toSeq.collect {
-          case (k, (cur, _, false))
+          case (k, (cur, _, isCapped, _))
             if cur >= 0 && prevQ.has(k) && !prevCapped.contains(k) &&
               prevQ.get(k).asDouble > 0 &&
-              cur > 1.5 * prevQ.get(k).asDouble =>
-            k -> (math.round(cur / prevQ.get(k).asDouble * 100) / 100.0)
+              (isCapped || cur > 1.5 * prevQ.get(k).asDouble) =>
+            (k, math.round(cur / prevQ.get(k).asDouble * 100) / 100.0, isCapped)
         }.sortBy(-_._2)
-        flagged.foreach { case (k, r) =>
-          System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min") }
-        val fm = flagged.map { case (k, r) => s"\"" + k + "\":" + r }
+        flagged.foreach { case (k, r, isCapped) =>
+          val tag = if (isCapped) " (NEWLY CAPPED, ratio is cold-vs-prev-warm)" else ""
+          System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min$tag") }
+        val fm = flagged.map { case (k, r, _) => s"\"" + k + "\":" + r }
           .mkString("{", ",", "}")
         s"""{"prev_total":${root.path("value").asDouble},"flagged":$fm}"""
       }
@@ -131,13 +165,13 @@ object Bench {
     // front-truncated tail of this line, so totals + the slowest-10 must
     // sit at the end to survive truncation for cross-round comparison.
     val slowest10 = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
-      .map { case (k, (v, _, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      .map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
       s""""errors":$errs,"capped":$capped,"vs_prev":$vsPrev,""" +
-      s""""spread":${fmtMap(_._2._2)},""" +
+      s""""spread":${fmtMap(_._2._2)},"cold":${fmtMap(_._2._4)},""" +
       s""""queries":${fmtMap(_._2._1)},"tail":$tail}"""
     println(line)
     // The driver keeps only a ~2000-char tail of stdout, losing most of

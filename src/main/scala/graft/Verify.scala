@@ -26,6 +26,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free this query's localCheckpoint blocks (same hygiene as Bench:
+      // nothing reuses blocks across queries, and leaked blocks taxed
+      // late-run queries with storage eviction/GC in r10's driver roll)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -42,9 +42,18 @@ object PrefixSum {
     * shape a 1000-node job can hold, and the expensive upstream
     * expressions run once instead of three times (measured 2.6x on m14
     * when re-scanned).
+    *
+    * `valCol` must be an INTEGRAL column (the §4 exactness discipline:
+    * running sums are exact BIGINT arithmetic both engines replay).
+    * Both phases cast it to long, so a fractional input would silently
+    * TRUNCATE per row instead of summing — rejected loudly here.
     */
   def runningSum(df: DataFrame, keys: Seq[String], idCol: String,
       valCol: String, cumAs: String, shards: Int = 64): DataFrame = {
+    val vt = df.schema(valCol).dataType
+    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
+      s"PrefixSum.runningSum: valCol '$valCol' must be integral, got $vt " +
+        "(a fractional column would truncate per row under the long cast)")
     val keyCols = keys.map(col)
     val in = df.localCheckpoint()
     // one tiny agg scan fixes the shard span; greatest guards the

@@ -222,11 +222,14 @@ object TextQueries {
       .select(col("doc_id"), col("fp"), col("gpos"), sliceExpr.as("s"))
   }
 
-  /** The slice expression shared by [[winnowFpsPosS]] and spanRemoval's
-    * delta-side fps maintenance: requires `text` and `gpos` in scope. */
-  private def sliceExpr = expr(
+  /** The slice SQL shared by [[winnowFpsPosS]], spanRemoval's delta-side
+    * fps maintenance, and the ProfileT37g per-barrier profiler (which
+    * must replay the SHIPPED expression, not a re-typed copy — r10
+    * ADVICE): requires `text` and `gpos` in scope. */
+  private[graft] def SliceSql: String =
     s"substring(text, CAST(greatest(gpos - $WinW, 0L) + 1 AS INT), " +
-      s"CAST(gpos + 19 - greatest(gpos - $WinW, 0L) AS INT))")
+      s"CAST(gpos + 19 - greatest(gpos - $WinW, 0L) AS INT))"
+  private def sliceExpr = expr(SliceSql)
 
   /** Positional declarative twin of [[winnowFpsPos]] (the form the
     * DuckDB oracle's selp CTE replays): positional hashes -> packed

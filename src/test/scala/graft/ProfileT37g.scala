@@ -35,9 +35,7 @@ object ProfileT37g {
         docs0.select(col("doc_id"), col("text")).localCheckpoint()
       }
       val capN = t("capN count") { math.max(20L, docs.count() / 100L) }
-      val sliceSql = s"substring(text, " +
-        s"CAST(greatest(gpos - 8, 0L) + 1 AS INT), " +
-        s"CAST(gpos + 19 - greatest(gpos - 8, 0L) AS INT))"
+      val sliceSql = tq.SliceSql // the shipped expression, not a copy
       val fpsBase = t("fpsBase winnow+ckpt") {
         tq.winnowFpsPosS(docs).localCheckpoint()
       }
