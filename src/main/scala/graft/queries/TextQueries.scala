@@ -786,6 +786,19 @@ object TextQueries {
       s"ELSE (1 + $n % 24) * $patches END"
   }
 
+  /** The (modality, doc_id, toks) item table m14/m15 pack — one shared
+    * derivation (r11) so the batch queries and the streaming twin's spec
+    * ([[graft.streaming.EventStreams.packSegments]]) provably pack the
+    * SAME items: deterministic modality assignment + per-modality
+    * training-token equivalents over the payload stub.
+    */
+  private[graft] def packItems(s: SparkSession, d: String): DataFrame =
+    Multimodal.withPayload(Tables.documents(s, d))
+      .withColumn("n", octet_length(col("payload")).cast("long"))
+      .withColumn("modality", expr(modalityCase))
+      .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
+      .select("modality", "doc_id", "toks")
+
   // t29 BPE: number of pair-merge iterations learned over the word
   // histogram (each is O(|vocab|) work; the corpus is scanned exactly once)
   private val BpeIters = 6
@@ -1871,12 +1884,8 @@ object TextQueries {
       // PrefixSum's two-phase sharded plan (t13's fix applied here) —
       // parallelism |modalities|·64 instead of 4 window tasks; the
       // oracle keeps the global SUM() OVER form.
-      val base = Multimodal.withPayload(Tables.documents(s, d))
-        .withColumn("n", octet_length(col("payload")).cast("long"))
-        .withColumn("modality", expr(modalityCase))
-        .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
-        .select("modality", "doc_id", "toks")
-      PrefixSum.runningSum(base, Seq("modality"), "doc_id", "toks", "cum")
+      PrefixSum.runningSum(packItems(s, d), Seq("modality"), "doc_id",
+          "toks", "cum")
         .withColumn("bin", expr("(cum - toks) div 4096"))
         .groupBy("modality", "bin")
         .agg(count(lit(1)).as("n_items"), sum(col("toks")).as("bin_tokens"))
@@ -1894,12 +1903,8 @@ object TextQueries {
       // bin-range explode (executor-side, fan-out = ceil(toks/4096), no
       // extra shuffle) and one map-side-combined rollup. `sequence`
       // guarded for toks = 0 items (Spark descends on empty ranges).
-      val base = Multimodal.withPayload(Tables.documents(s, d))
-        .withColumn("n", octet_length(col("payload")).cast("long"))
-        .withColumn("modality", expr(modalityCase))
-        .withColumn("toks", expr(modalityTokens("n", "div")).cast("long"))
-        .select("modality", "doc_id", "toks")
-      PrefixSum.runningSum(base, Seq("modality"), "doc_id", "toks", "cum")
+      PrefixSum.runningSum(packItems(s, d), Seq("modality"), "doc_id",
+          "toks", "cum")
         .withColumn("b0", expr("(cum - toks) div 4096"))
         .withColumn("b1", expr(
           "CASE WHEN toks > 0 THEN (cum - 1) div 4096 ELSE b0 END"))

@@ -387,6 +387,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("packSegments reproduces m15's boundary-cut packing across batches, 1-long state per modality") {
+    // r11 (r10 verdict item 6): m15's incremental/streaming twin — the
+    // online boundary-cut packer over the SAME item derivation
+    // (TextQueries.packItems) must roll up to exactly the batch query's
+    // per-bin card, with state = one running-cum long per modality.
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val items = graft.queries.TextQueries.packItems(spark, sfDir)
+      .as[graft.streaming.PackItem].collect().sortBy(_.doc_id)
+    assert(items.nonEmpty)
+    val mem = MemoryStream[graft.streaming.PackItem]
+    val q = EventStreams.packSegments(spark, mem.toDS()).writeStream
+      .format("memory").queryName("pack_seg_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // three in-order micro-batches (the packer's in-order contract:
+      // doc_id within batch, arrival order across batches)
+      items.grouped(items.length / 3 + 1).foreach { chunk =>
+        mem.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+      val streamed = spark.sql(
+        "SELECT modality, bin, count(1) AS n_segments, " +
+          "sum(CASE WHEN split THEN 1 ELSE 0 END) AS n_split_segments, " +
+          "sum(seg_tokens) AS bin_tokens, " +
+          "sum(seg_tokens) * 10000 div 4096 AS fill_e4 " +
+          "FROM pack_seg_test GROUP BY modality, bin")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      val batch = SparkEntry.queries("m15_pack_split")(spark, sfDir)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+      // the split semantics must actually be exercised at this SF
+      assert(streamed.exists(_._4 > 0), "expected at least one split segment")
+    } finally q.stop()
+  }
+
   test("funnelProgress advances strict-order steps across batches with 2-long state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
