@@ -28,6 +28,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // freeBlocks() below makes Spark WARN once per removed
+    // localCheckpoint RDD ("lineage has been truncated...") — expected
+    // and intended (the blocks are dead), but hundreds of lines per
+    // run; keep the rdd package at ERROR so real failures still print.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     // Session warm-up: JVM/codegen/session init + file listing, so
     // per-query times measure the queries rather than first-action setup.
     try {
