@@ -500,17 +500,21 @@ object TextQueries {
     * oracle.
     */
   private[graft] def spanRemoval(docs0: DataFrame,
-      maxPasses: Int = SpanPasses): DataFrame = {
+      maxPasses: Int = SpanPasses, probe: StepProbe = NoProbe): DataFrame = {
     graft.plans.GraftFunctions.register(docs0.sparkSession)
-    val docs = docs0.select(col("doc_id"), col("text")).localCheckpoint()
+    val docs = probe("docs ckpt") {
+      docs0.select(col("doc_id"), col("text")).localCheckpoint()
+    }
     // the df cap as a driver-side literal (corpus size is fixed for the
     // whole loop): drops the ndocs checkpoint + a broadcast crossJoin
     // from every cap filter — same driver-scalar class as the isEmpty
     // convergence probes
-    val capN = math.max(20L, docs.count() / 100L)
+    val capN = probe("capN count") { math.max(20L, docs.count() / 100L) }
     // slice-borne fps (r10): each occurrence carries its 27-char confirm
     // context, so no pass ever joins corpus text for slicing again
-    val fpsBase = winnowFpsPosS(docs).localCheckpoint()
+    val fpsBase = probe("fpsBase winnow+ckpt") {
+      winnowFpsPosS(docs).localCheckpoint()
+    }
     // Changed docs only, latest text — the pass-k corpus is the cheap
     // composition base ⧹ delta-keys ∪ delta, so no pass re-materializes
     // the full corpus (the r7 per-pass full localCheckpoint). The ONE
@@ -556,11 +560,13 @@ object TextQueries {
           // occurrences of shareable rare fps. No occurrence-cardinality
           // checkpoint: stats is fp-cardinality, strictly smaller than
           // the old `rare` materialization.
-          val stats = fpsBase.groupBy("fp", "doc_id")
-            .agg(count(lit(1)).as("np"))
-            .groupBy("fp").agg(count(lit(1)).as("dfc"),
-              min("doc_id").as("mn"), max("doc_id").as("mx"))
-            .localCheckpoint()
+          val stats = probe("pass 0 stats ckpt") {
+            fpsBase.groupBy("fp", "doc_id")
+              .agg(count(lit(1)).as("np"))
+              .groupBy("fp").agg(count(lit(1)).as("dfc"),
+                min("doc_id").as("mn"), max("doc_id").as("mx"))
+              .localCheckpoint()
+          }
           cappedPrev = stats.filter(col("dfc") > capN).select("fp")
           val shareRare = stats
             .filter(col("dfc") <= capN && col("mn") < col("mx"))
@@ -607,12 +613,14 @@ object TextQueries {
           // deltas per pass, no distinct at all — measured SLOWER at
           // local[32]: its two extra fps-composition scans + checkpoints
           // cost more than this one C-restricted shuffle. r10 note.)
-          val cappedNow = fpsCur
-            .join(fsetC, Seq("fp"), "left_semi")
-            .select("doc_id", "fp").distinct()
-            .groupBy("fp").agg(count(lit(1)).as("dfc"))
-            .filter(col("dfc") > capN)
-            .select("fp").localCheckpoint()
+          val cappedNow = probe(s"pass $pass cappedNow ckpt") {
+            fpsCur
+              .join(fsetC, Seq("fp"), "left_semi")
+              .select("doc_id", "fp").distinct()
+              .groupBy("fp").agg(count(lit(1)).as("dfc"))
+              .filter(col("dfc") > capN)
+              .select("fp").localCheckpoint()
+          }
           cappedPrev = cappedNow
           // the evidence: now-rare occurrences of C fps — one more
           // narrow fps scan. Un-checkpointed (r10 slice-borne form):
@@ -630,18 +638,22 @@ object TextQueries {
       val keysCol =
         if (pass < maxPasses - 1) expr("graft_winnow13p(text_clean)")
         else expr("CAST(array() AS ARRAY<BIGINT>)")
-      val out = spanCutFromSliced(cur, occ)
-        .select(col("doc_id"), col("text_clean").as("text"),
-          keysCol.as("keys"))
-        .localCheckpoint()
+      val out = probe(s"pass $pass cutFromSliced out ckpt") {
+        spanCutFromSliced(cur, occ)
+          .select(col("doc_id"), col("text_clean").as("text"),
+            keysCol.as("keys"))
+          .localCheckpoint()
+      }
       // count doubles as the convergence probe (d26 discipline: the only
       // driver-side values are this count and capN)
-      changedPrevN = out.count()
+      changedPrevN = probe(s"pass $pass count") { out.count() }
       if (changedPrevN == 0L) converged = true
       else {
-        delta = (if (delta == null) out
-          else delta.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
-            .unionByName(out)).localCheckpoint()
+        delta = probe(s"pass $pass delta ckpt") {
+          (if (delta == null) out
+            else delta.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
+              .unionByName(out)).localCheckpoint()
+        }
         outPrev = out // checkpointed; its keys drive the next pass
       }
       pass += 1
@@ -662,6 +674,22 @@ object TextQueries {
   /** Pass cap for [[spanRemoval]] — measured fixed point + 1 at all
     * tested SFs; the oracle unrolls exactly this many passes. */
   private[graft] val SpanPasses = 4
+
+  /** Per-step instrumentation hook for [[spanRemoval]] (r11, the ADVICE
+    * root fix): the ProfileT37g per-barrier profiler passes a timing
+    * probe and thereby measures the SHIPPED loop by construction —
+    * previously it mirrored the loop as a copy that could silently
+    * drift. Production callers use [[NoProbe]] (zero overhead: the
+    * default inlines to the step body).
+    */
+  private[graft] trait StepProbe {
+    def apply[A](label: String)(f: => A): A
+  }
+
+  /** The no-op [[StepProbe]] every query-path caller uses. */
+  private[graft] object NoProbe extends StepProbe {
+    def apply[A](label: String)(f: => A): A = f
+  }
 
   /** spanRemoval broadcasts the per-pass candidate-fp set only while the
     * changed-doc count stays under this bound (≈ docs × avg fps/doc ≈
