@@ -88,9 +88,13 @@ object Bench {
     // is that a committed warm-min alone cannot adjudicate a cap event.
     val results: Map[String, (Double, Double, Boolean, Double)] =
       selected.map { case (name, fn) =>
+        // cold survives a later-rep crash: "ran cold fine, crashed
+        // warm" and "crashed before ever running" must stay
+        // distinguishable in the artifact
+        var cold = -1.0
         try {
           val warmTimes = (0 until warmups).map(_ => once(fn))
-          val cold = if (warmTimes.isEmpty) -1.0 else warmTimes.min
+          if (warmTimes.nonEmpty) cold = warmTimes.min
           if (warmTimes.nonEmpty && warmTimes.min > capSec) {
             System.err.println(
               f"BENCH CAPPED $name: warmup ${warmTimes.min}%.2fs > cap ${capSec}%.1fs, skipping timed reps")
@@ -107,7 +111,7 @@ object Bench {
           case e: Throwable =>
             System.err.println(
               s"BENCH ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
-            name -> (-1.0, 0.0, false, -1.0)
+            name -> (-1.0, 0.0, false, cold)
         }
       }
     def fmtMap(sel: ((String, (Double, Double, Boolean, Double))) => Double): String =
@@ -149,15 +153,27 @@ object Bench {
           while (it.hasNext) b += it.next().asText()
           b.result()
         }
+        // currently-capped queries always flag; a prev-capped prior
+        // stores its COLD time in `queries`, so the ratio for a query
+        // capped in consecutive rolls is cold-vs-cold — without it a
+        // persistently-capped query that keeps regressing would be the
+        // one case the guard still missed. Prev-capped is excluded only
+        // for now-UNCAPPED queries (warm-vs-prior-cold reads as a bogus
+        // improvement, never a regression).
         val flagged = results.toSeq.collect {
           case (k, (cur, _, isCapped, _))
-            if cur >= 0 && prevQ.has(k) && !prevCapped.contains(k) &&
+            if cur >= 0 && prevQ.has(k) &&
+              (isCapped || !prevCapped.contains(k)) &&
               prevQ.get(k).asDouble > 0 &&
               (isCapped || cur > 1.5 * prevQ.get(k).asDouble) =>
             (k, math.round(cur / prevQ.get(k).asDouble * 100) / 100.0, isCapped)
         }.sortBy(-_._2)
         flagged.foreach { case (k, r, isCapped) =>
-          val tag = if (isCapped) " (NEWLY CAPPED, ratio is cold-vs-prev-warm)" else ""
+          val tag =
+            if (isCapped && prevCapped.contains(k))
+              " (STILL CAPPED, ratio is cold-vs-prev-cold)"
+            else if (isCapped) " (NEWLY CAPPED, ratio is cold-vs-prev-warm)"
+            else ""
           System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min$tag") }
         val fm = flagged.map { case (k, r, _) => s"\"" + k + "\":" + r }
           .mkString("{", ",", "}")

@@ -50,10 +50,16 @@ object PrefixSum {
     */
   def runningSum(df: DataFrame, keys: Seq[String], idCol: String,
       valCol: String, cumAs: String, shards: Int = 64): DataFrame = {
-    val vt = df.schema(valCol).dataType
-    require(Seq("byte", "short", "integer", "long").contains(vt.typeName),
-      s"PrefixSum.runningSum: valCol '$valCol' must be integral, got $vt " +
-        "(a fractional column would truncate per row under the long cast)")
+    // resolve the guard's field case-insensitively, matching Spark's own
+    // analyzer; a name only Spark can resolve (e.g. qualified) skips the
+    // guard rather than throwing a misleading lookup error here
+    df.schema.fields.find(_.name.equalsIgnoreCase(valCol)).foreach { f =>
+      require(Seq("byte", "short", "integer", "long")
+          .contains(f.dataType.typeName),
+        s"PrefixSum.runningSum: valCol '$valCol' must be integral, got " +
+          s"${f.dataType} (a fractional column would truncate per row " +
+          "under the long cast)")
+    }
     val keyCols = keys.map(col)
     val in = df.localCheckpoint()
     // one tiny agg scan fixes the shard span; greatest guards the

@@ -222,10 +222,10 @@ object TextQueries {
       .select(col("doc_id"), col("fp"), col("gpos"), sliceExpr.as("s"))
   }
 
-  /** The slice SQL shared by [[winnowFpsPosS]], spanRemoval's delta-side
-    * fps maintenance, and the ProfileT37g per-barrier profiler (which
-    * must replay the SHIPPED expression, not a re-typed copy — r10
-    * ADVICE): requires `text` and `gpos` in scope. */
+  /** The slice SQL shared by [[winnowFpsPosS]] and spanRemoval's
+    * delta-side fps maintenance: requires `text` and `gpos` in scope.
+    * (ProfileT37g no longer needs it — it drives spanRemoval itself
+    * through the [[StepProbe]] hook since r11.) */
   private[graft] def SliceSql: String =
     s"substring(text, CAST(greatest(gpos - $WinW, 0L) + 1 AS INT), " +
       s"CAST(gpos + 19 - greatest(gpos - $WinW, 0L) AS INT))"

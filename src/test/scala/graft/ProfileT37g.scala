@@ -38,6 +38,11 @@ object ProfileT37g {
         println(s"[prof] changed rows: ${res.count()}")
       }
       println(f"[prof] TOTAL: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      // Bench's block hygiene, mirrored: round 2 must run warm but NOT
+      // inherit round 1's dead checkpoint blocks — the exact eviction/GC
+      // distortion the r11 postmortem removed from the bench protocol
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }
