@@ -15,6 +15,35 @@ import org.apache.spark.sql.SparkSession
   * event is diagnosable from the artifact (the r10 t37 lesson).
   */
 object Bench {
+
+  /** The vs_prev regression-flag rule, factored out of main so
+    * BenchGuardSpec can pin it (r11 — this logic has had two blind-spot
+    * bugs across rounds: capped entries silently dropped, then
+    * consecutively-capped entries silently dropped).
+    *
+    * `results` rows are (warm-min, spread, capped, cold); prev maps come
+    * from the committed BENCH_full.json. Returns (name, ratio, capped)
+    * sorted worst-first. Rules: an errored query (warm < 0) never
+    * flags; a currently-CAPPED query flags unconditionally against its
+    * prior committed time (warm-min, or cold if the prior roll also
+    * capped it — prev `queries` stores cold for capped entries);
+    * a now-uncapped query with a prev-capped prior is excluded
+    * (warm-vs-prior-cold reads as a bogus improvement, never a
+    * regression); everything else flags above 1.5x prior warm-min (the
+    * r9-calibrated noise threshold).
+    */
+  private[graft] def vsPrevFlags(
+      results: Map[String, (Double, Double, Boolean, Double)],
+      prevQueries: Map[String, Double],
+      prevCapped: Set[String]): Seq[(String, Double, Boolean)] =
+    results.toSeq.collect {
+      case (k, (cur, _, isCapped, _))
+        if cur >= 0 && prevQueries.get(k).exists(_ > 0) &&
+          (isCapped || !prevCapped.contains(k)) &&
+          (isCapped || cur > 1.5 * prevQueries(k)) =>
+        (k, math.round(cur / prevQueries(k) * 100) / 100.0, isCapped)
+    }.sortBy(-_._2)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -153,21 +182,13 @@ object Bench {
           while (it.hasNext) b += it.next().asText()
           b.result()
         }
-        // currently-capped queries always flag; a prev-capped prior
-        // stores its COLD time in `queries`, so the ratio for a query
-        // capped in consecutive rolls is cold-vs-cold — without it a
-        // persistently-capped query that keeps regressing would be the
-        // one case the guard still missed. Prev-capped is excluded only
-        // for now-UNCAPPED queries (warm-vs-prior-cold reads as a bogus
-        // improvement, never a regression).
-        val flagged = results.toSeq.collect {
-          case (k, (cur, _, isCapped, _))
-            if cur >= 0 && prevQ.has(k) &&
-              (isCapped || !prevCapped.contains(k)) &&
-              prevQ.get(k).asDouble > 0 &&
-              (isCapped || cur > 1.5 * prevQ.get(k).asDouble) =>
-            (k, math.round(cur / prevQ.get(k).asDouble * 100) / 100.0, isCapped)
-        }.sortBy(-_._2)
+        val prevQMap: Map[String, Double] = {
+          val it = prevQ.fieldNames()
+          val b = Map.newBuilder[String, Double]
+          while (it.hasNext) { val k = it.next(); b += k -> prevQ.get(k).asDouble }
+          b.result()
+        }
+        val flagged = vsPrevFlags(results, prevQMap, prevCapped)
         flagged.foreach { case (k, r, isCapped) =>
           val tag =
             if (isCapped && prevCapped.contains(k))

@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins Bench's vs_prev regression-flag rule (r11): this logic has had
+  * two blind-spot bugs across rounds — capped entries dropped from the
+  * flags entirely (r10 ADVICE), then consecutively-capped entries
+  * dropped (r11 review) — so the rule now lives in a pure function with
+  * the failure cases enumerated here.
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private def row(warm: Double, capped: Boolean = false,
+      cold: Double = -1.0): (Double, Double, Boolean, Double) =
+    (warm, 0.0, capped, cold)
+
+  test("a >1.5x warm regression flags with its ratio; smaller moves do not") {
+    val flags = Bench.vsPrevFlags(
+      Map("a" -> row(1.6), "b" -> row(1.4)),
+      Map("a" -> 1.0, "b" -> 1.0), Set.empty)
+    assert(flags == Seq(("a", 1.6, false)))
+  }
+
+  test("a NEWLY capped query flags unconditionally (cold-vs-prev-warm)") {
+    // the r10 ADVICE case: 10s warm -> 40s capped must not vanish
+    val flags = Bench.vsPrevFlags(
+      Map("t37" -> row(40.0, capped = true, cold = 40.0)),
+      Map("t37" -> 10.0), Set.empty)
+    assert(flags == Seq(("t37", 4.0, true)))
+  }
+
+  test("a query capped in CONSECUTIVE rolls still flags (cold-vs-prev-cold)") {
+    // the r11 review case: prev roll stored its 54.9s cold in `queries`
+    val flags = Bench.vsPrevFlags(
+      Map("t37" -> row(120.0, capped = true, cold = 120.0)),
+      Map("t37" -> 54.9), Set("t37"))
+    assert(flags.map(f => (f._1, f._3)) == Seq(("t37", true)))
+    assert(math.abs(flags.head._2 - 120.0 / 54.9) < 0.01)
+  }
+
+  test("a now-UNCAPPED query with a prev-capped prior is excluded") {
+    // warm 12s vs prior 54.9s COLD would read as a (bogus) improvement,
+    // and even a warm above the prior cold must not compare cross-class
+    val flags = Bench.vsPrevFlags(
+      Map("t37" -> row(12.0), "x" -> row(90.0)),
+      Map("t37" -> 54.9, "x" -> 54.9), Set("t37", "x"))
+    assert(flags.isEmpty)
+  }
+
+  test("errored queries and queries without a usable prior never flag") {
+    val flags = Bench.vsPrevFlags(
+      Map("err" -> row(-1.0), "new" -> row(9.9), "zero" -> row(9.9)),
+      Map("err" -> 1.0, "zero" -> 0.0), Set.empty)
+    assert(flags.isEmpty)
+  }
+
+  test("flags sort worst ratio first") {
+    val flags = Bench.vsPrevFlags(
+      Map("a" -> row(2.0), "b" -> row(3.0)),
+      Map("a" -> 1.0, "b" -> 1.0), Set.empty)
+    assert(flags.map(_._1) == Seq("b", "a"))
+  }
+}
