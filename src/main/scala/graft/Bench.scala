@@ -44,6 +44,17 @@ object Bench {
         (k, math.round(cur / prevQueries(k) * 100) / 100.0, isCapped)
     }.sortBy(-_._2)
 
+  /** Routes [[vsPrevFlags]] output for presentation (r12, the r11
+    * ADVICE): a capped query whose cold IMPROVED (or held) versus the
+    * prior roll must not print as `BENCH REGRESSION FLAG 0.5x` nor land
+    * in the artifact's `flagged` map with a sub-1 "regression" ratio —
+    * it routes to a separate `still_capped` map that keeps the capped
+    * tag in the SURVIVING artifact (stderr is driver-truncated).
+    * Returns (regressions, capped-but-not-worse). */
+  private[graft] def splitFlags(flags: Seq[(String, Double, Boolean)])
+      : (Seq[(String, Double, Boolean)], Seq[(String, Double, Boolean)]) =
+    flags.partition { case (_, ratio, capped) => !capped || ratio > 1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -55,6 +66,16 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Codegen-class cache sized for a 194-query roll (r12): the
+      // default 100 entries hold ~2 queries' worth of generated
+      // classes, so every query late in the run recompiles (janino)
+      // and re-JITs classes an earlier run already produced — and a
+      // codegen-heavy query (t37: ~20 jobs/pass loop) can evict its
+      // own pass-0 classes before its timed rep. Static conf, must be
+      // set before the session exists. Memory cost is generated-class
+      // metadata only (metaspace), well inside the 24g/1g-codecache
+      // JVM this main documents in build.sbt.
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // freeBlocks() below makes Spark WARN once per removed
@@ -63,26 +84,6 @@ object Bench {
     // run; keep the rdd package at ERROR so real failures still print.
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
-    // Session warm-up: JVM/codegen/session init + file listing, so
-    // per-query times measure the queries rather than first-action setup.
-    try {
-      Tables.lineitem(spark, sfDir).count()
-      Tables.events(spark, sfDir).count()
-      Tables.documents(spark, sfDir).count()
-      Tables.embeddings(spark, sfDir).count()
-    } catch { case e: Throwable => System.err.println(s"BENCH WARMUP: $e") }
-    // optional args: bench only the named queries (iteration aid)
-    val unknown = args.filterNot(SparkEntry.queries.contains)
-    if (unknown.nonEmpty)
-      System.err.println(s"BENCH UNKNOWN QUERIES: ${unknown.mkString(", ")}")
-    val selected =
-      if (args.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
-
-    // noop sink: materializes every output row and expression (count()
-    // would let Catalyst prune unreferenced projections and understate
-    // expression-heavy queries).
-    //
     // Block hygiene (r11, the driver-roll t37 cap postmortem): every
     // execution's localCheckpoint blocks otherwise leak until the
     // DRIVER JVM happens to GC (ContextCleaner is weak-reference
@@ -95,9 +96,54 @@ object Bench {
     // reuses blocks across executions (each call builds fresh frames;
     // cross-run reuse goes through /tmp/graft_stores parquet, not
     // block storage), so this is timing-neutral on the measured work.
+    // BLOCKING since r12 (ADVICE): elapsed is captured before the
+    // call, so blocking cannot pollute the finished measurement — but
+    // a non-blocking removal could still be running during the NEXT
+    // rep's timed window.
     def freeBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
+    // Session warm-up: JVM/codegen/session init + file listing, so
+    // per-query times measure the queries rather than first-action setup.
+    try {
+      Tables.lineitem(spark, sfDir).count()
+      Tables.events(spark, sfDir).count()
+      Tables.documents(spark, sfDir).count()
+      Tables.embeddings(spark, sfDir).count()
+    } catch { case e: Throwable => System.err.println(s"BENCH WARMUP: $e") }
+    // t37 pre-warm (r12, the r11 verdict's direction (c), measured
+    // before shipping): spanRemoval's first execution carries a ~10 s
+    // fixed codegen/JIT bill — the StepProbe decomposition shows the
+    // cold premium UNIFORM at ~2.2x across all ~20 steps of the pass
+    // loop (pass-0 cut 8.2 s cold vs 3.2 s warm; the fps checkpoint
+    // itself only 2.0 s), i.e. first-ever compilation of each stage,
+    // not one big allocation — and a 64-doc corpus pays 9.6 s for what
+    // is almost pure compile time. Since the 30 s long-tail cap
+    // adjudicates the WARMUP run, that fixed bill is exactly the
+    // margin that pushed two consecutive driver rolls past the cap on
+    // a degraded box. Compiling the stack here (unmeasured session
+    // warmup) makes t37's recorded cold measure the query, not
+    // first-ever codegen. Runs only when t37 is benched; skipped
+    // cleanly if it ever breaks.
+    if (args.isEmpty || args.contains("t37_span_removal")) {
+      try {
+        graft.queries.TextQueries.spanRemoval(
+          Tables.documents(spark, sfDir).limit(64))
+          .write.format("noop").mode("overwrite").save()
+        freeBlocks()
+      } catch { case e: Throwable => System.err.println(s"BENCH WARMUP T37: $e") }
+    }
+    // optional args: bench only the named queries (iteration aid)
+    val unknown = args.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty)
+      System.err.println(s"BENCH UNKNOWN QUERIES: ${unknown.mkString(", ")}")
+    val selected =
+      if (args.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.filter { case (n, _) => args.contains(n) }
+
+    // noop sink: materializes every output row and expression (count()
+    // would let Catalyst prune unreferenced projections and understate
+    // expression-heavy queries).
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -111,6 +157,24 @@ object Bench {
     // wall clock and starve the driver's window. Everything under the cap
     // keeps the warm-min protocol unchanged.
     val capSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_CAP_S", "30").toDouble
+    // JVM telemetry quoted on cap events (r12): a cap on the driver's
+    // box is only diagnosable from the surviving stderr, so name the
+    // usual suspects with numbers — a full JIT code cache silently
+    // disables compilation (the r10 240 MB lesson), and metaspace /
+    // loaded-class growth tracks generated classes a long run never
+    // unloads. One line, cap events only.
+    def jvmTelemetry: String = {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala
+        .filter(p => p.getName.contains("CodeHeap") ||
+          p.getName.contains("Metaspace"))
+        .map(p => s"${p.getName.replace(' ', '_')}=" +
+          s"${p.getUsage.getUsed / (1L << 20)}MB")
+      val cls = java.lang.management.ManagementFactory
+        .getClassLoadingMXBean.getLoadedClassCount
+      (pools :+ s"loadedClasses=$cls").mkString(" ")
+    }
     // per query: (warm-min, spread, capped, cold) — cold is the warmup
     // min (the in-run first-execution time; -1 when warmups=0 or the
     // query errored). Recorded since r11: the r10 verdict's t37 lesson
@@ -127,6 +191,7 @@ object Bench {
           if (warmTimes.nonEmpty && warmTimes.min > capSec) {
             System.err.println(
               f"BENCH CAPPED $name: warmup ${warmTimes.min}%.2fs > cap ${capSec}%.1fs, skipping timed reps")
+            System.err.println(s"BENCH CAPPED JVM $name: $jvmTelemetry")
             name -> (warmTimes.min, 0.0, true, cold)
           } else {
             System.gc()
@@ -171,7 +236,7 @@ object Bench {
     // report).
     val vsPrev: String = try {
       val f = java.nio.file.Paths.get("BENCH_full.json")
-      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"flagged":{}}"""
+      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"flagged":{},"still_capped":{}}"""
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(f))
@@ -188,21 +253,27 @@ object Bench {
           while (it.hasNext) { val k = it.next(); b += k -> prevQ.get(k).asDouble }
           b.result()
         }
-        val flagged = vsPrevFlags(results, prevQMap, prevCapped)
-        flagged.foreach { case (k, r, isCapped) =>
+        val (regressed, cappedNotWorse) =
+          splitFlags(vsPrevFlags(results, prevQMap, prevCapped))
+        regressed.foreach { case (k, r, isCapped) =>
           val tag =
             if (isCapped && prevCapped.contains(k))
               " (STILL CAPPED, ratio is cold-vs-prev-cold)"
             else if (isCapped) " (NEWLY CAPPED, ratio is cold-vs-prev-warm)"
             else ""
           System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min$tag") }
-        val fm = flagged.map { case (k, r, _) => s"\"" + k + "\":" + r }
-          .mkString("{", ",", "}")
-        s"""{"prev_total":${root.path("value").asDouble},"flagged":$fm}"""
+        cappedNotWorse.foreach { case (k, r, _) =>
+          System.err.println(
+            s"BENCH STILL CAPPED $k: ${r}x vs prev (cold not worse — not a regression)") }
+        def m(xs: Seq[(String, Double, Boolean)]): String =
+          xs.map { case (k, r, _) => s"\"" + k + "\":" + r }
+            .mkString("{", ",", "}")
+        s"""{"prev_total":${root.path("value").asDouble},""" +
+          s""""flagged":${m(regressed)},"still_capped":${m(cappedNotWorse)}}"""
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"flagged":{}}"""
+        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"flagged":{},"still_capped":{}}"""
     }
     // Headline summary as the very LAST field: the driver stores a
     // front-truncated tail of this line, so totals + the slowest-10 must

@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // as Bench (r12): the default 100-entry codegen-class cache
+      // thrashes across a 194-query run — pure wall-clock waste here
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // the per-query unpersist below WARNs once per removed checkpoint

@@ -222,14 +222,14 @@ object TextQueries {
       .select(col("doc_id"), col("fp"), col("gpos"), sliceExpr.as("s"))
   }
 
-  /** The slice SQL shared by [[winnowFpsPosS]] and spanRemoval's
+  /** The slice expression shared by [[winnowFpsPosS]] and spanRemoval's
     * delta-side fps maintenance: requires `text` and `gpos` in scope.
-    * (ProfileT37g no longer needs it — it drives spanRemoval itself
-    * through the [[StepProbe]] hook since r11.) */
-  private[graft] def SliceSql: String =
+    * (Plain private again since r12 — ProfileT37g drives spanRemoval
+    * through the [[StepProbe]] hook since r11, so nothing outside this
+    * object needs the SQL text; the r11 ADVICE dead-surface note.) */
+  private def sliceExpr = expr(
     s"substring(text, CAST(greatest(gpos - $WinW, 0L) + 1 AS INT), " +
-      s"CAST(gpos + 19 - greatest(gpos - $WinW, 0L) AS INT))"
-  private def sliceExpr = expr(SliceSql)
+      s"CAST(gpos + 19 - greatest(gpos - $WinW, 0L) AS INT))")
 
   /** Positional declarative twin of [[winnowFpsPos]] (the form the
     * DuckDB oracle's selp CTE replays): positional hashes -> packed

@@ -60,4 +60,21 @@ class BenchGuardSpec extends AnyFunSuite {
       Map("a" -> 1.0, "b" -> 1.0), Set.empty)
     assert(flags.map(_._1) == Seq("b", "a"))
   }
+
+  test("splitFlags routes a capped-but-not-worse entry out of the regressions") {
+    // the r11 ADVICE case: a capped query whose cold IMPROVED (0.5x)
+    // must not surface as a REGRESSION — but it must not vanish either
+    // (the artifact keeps it under still_capped)
+    val (regressed, stillCapped) = Bench.splitFlags(
+      Seq(("t37", 0.5, true), ("even", 1.0, true)))
+    assert(regressed.isEmpty)
+    assert(stillCapped.map(_._1) == Seq("t37", "even"))
+  }
+
+  test("splitFlags keeps capped regressions and uncapped flags in the regressions") {
+    val (regressed, stillCapped) = Bench.splitFlags(
+      Seq(("t37", 4.0, true), ("a", 1.6, false)))
+    assert(regressed.map(_._1) == Seq("t37", "a"))
+    assert(stillCapped.isEmpty)
+  }
 }
