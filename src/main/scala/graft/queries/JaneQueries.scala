@@ -446,6 +446,56 @@ object JaneQueries {
         .orderBy("doc_id")
     },
 
+    "j44_store_maintenance" -> { (s, d) =>
+      // The store MAINTENANCE lifecycle as one audited query (SURVEY §7
+      // r12 depth item: the spec-only maintenance operators — upsert,
+      // vacuum, install/compact — exercised end to end UNDER THE
+      // ORACLE): a versioned document store (j08's derived version
+      // groups) takes an in-place re-upload batch (upsert keyed by
+      // doc_id: version-2 payloads revised), is vacuumed to the newest
+      // 2 versions per group with tombstoned groups reaped (every 7th
+      // group's final upload is a delete marker), and the survivor set
+      // is installed DELIBERATELY FRAGMENTED (16 files) then compacted
+      // to size-targeted files (ParquetStore.compact — pure layout,
+      // rename-aside swap). The card reports each stage's row/group
+      // counts and an integer content checksum; the '03_compacted' row
+      // is computed FROM THE POST-SWAP STORE READ, so compact's
+      // content-identity and the atomic install are what the oracle
+      // hash actually checks (the oracle replays the logical pipeline
+      // and expects vacuum's numbers for both final stages). Scale
+      // shape: vacuum rides ONE group-keyed window shuffle; upsert is
+      // the key-shuffled anti-join + union; compact is a ceil(bytes /
+      // target)-file rewrite — no driver-side content materializes.
+      val versioned = Tables.documents(s, d)
+        .withColumn("group_id", expr("doc_id div 5"))
+        .withColumn("version", expr("doc_id % 5"))
+        .select("doc_id", "group_id", "version", "n_chars")
+      val revised = versioned.filter(col("version") === 2)
+        .withColumn("n_chars", col("n_chars") + 1000)
+      val upserted = DocumentStore.upsert(versioned, revised, "doc_id")
+      val vacuumed = DocumentStore.vacuum(
+        upserted.withColumn("is_tomb",
+          col("version") === 4 && col("group_id") % 7 === 0),
+        Seq("group_id"), "version", keep = 2, tombstoneCol = Some("is_tomb"))
+        .drop("is_tomb")
+      val path = s"/tmp/graft_stores/maint_${new java.io.File(d).getName}"
+      graft.sources.ParquetStore.installOverwrite(vacuumed.repartition(16), path)
+      graft.sources.ParquetStore.compact(s, path)
+      val compacted = s.read.parquet(path)
+      def card(stage: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+            countDistinct(col("group_id")).as("n_groups"),
+            sum(expr("(CAST(doc_id AS BIGINT) * 31 + version * 7 + n_chars)" +
+              " % 1000003")).as("checksum"))
+          .select(lit(stage).as("stage"), col("n_rows"), col("n_groups"),
+            col("checksum"))
+      card("00_raw", versioned)
+        .unionByName(card("01_upserted", upserted))
+        .unionByName(card("02_vacuumed", vacuumed))
+        .unionByName(card("03_compacted", compacted))
+        .orderBy("stage")
+    },
+
     "j20_geo_grid" -> { (s, d) =>
       // Spatial grid binning: 10°×10° cells as integer keys (the heatmap /
       // density-map REST output). The cell id is also the 100 TB layout
@@ -1168,6 +1218,33 @@ object JaneQueries {
         |  CASE WHEN doc_id % 7 = 0 THEN 'reupload' ELSE source END AS source,
         |  CASE WHEN doc_id % 7 = 0 THEN n_chars + 1000 ELSE n_chars END AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "j44_store_maintenance" ->
+      """WITH v AS (SELECT doc_id, doc_id // 5 AS group_id,
+        |    doc_id % 5 AS version, n_chars FROM documents),
+        |up AS (SELECT doc_id, group_id, version,
+        |    CASE WHEN version = 2 THEN n_chars + 1000 ELSE n_chars END
+        |      AS n_chars FROM v),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY group_id
+        |      ORDER BY version DESC) AS rn FROM up),
+        |vac AS (SELECT doc_id, group_id, version, n_chars FROM rk
+        |  WHERE rn <= 2 AND group_id NOT IN (
+        |    SELECT group_id FROM rk
+        |    WHERE rn = 1 AND version = 4 AND group_id % 7 = 0))
+        |SELECT '00_raw' AS stage, COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT group_id) AS n_groups,
+        |  CAST(SUM((CAST(doc_id AS BIGINT) * 31 + version * 7 + n_chars)
+        |    % 1000003) AS BIGINT) AS checksum FROM v
+        |UNION ALL SELECT '01_upserted', COUNT(*), COUNT(DISTINCT group_id),
+        |  CAST(SUM((CAST(doc_id AS BIGINT) * 31 + version * 7 + n_chars)
+        |    % 1000003) AS BIGINT) FROM up
+        |UNION ALL SELECT '02_vacuumed', COUNT(*), COUNT(DISTINCT group_id),
+        |  CAST(SUM((CAST(doc_id AS BIGINT) * 31 + version * 7 + n_chars)
+        |    % 1000003) AS BIGINT) FROM vac
+        |UNION ALL SELECT '03_compacted', COUNT(*), COUNT(DISTINCT group_id),
+        |  CAST(SUM((CAST(doc_id AS BIGINT) * 31 + version * 7 + n_chars)
+        |    % 1000003) AS BIGINT) FROM vac
+        |ORDER BY stage""".stripMargin,
 
     "j20_geo_grid" ->
       s"""WITH ev AS ($evCte)
