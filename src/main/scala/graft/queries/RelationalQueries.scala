@@ -678,6 +678,53 @@ object RelationalQueries {
       hllServe(s, path)
     },
 
+    "q45_bucketed_join_serve" -> { (s, d) =>
+      // The pay-once-at-write JOIN STRATEGY under the oracle (r12; the
+      // j44 pattern applied to the last spec-only source operator —
+      // ParquetStoreSpec proves writeBucketed's zero-Exchange plan, this
+      // query RUNS the lifecycle): lineitem and orders are written ONCE
+      // as co-bucketed narrow projections (16 buckets on the order key,
+      // guarded by buildIfStale with content stamps on BOTH source
+      // tables), re-attached to each fresh session's catalog by a
+      // metadata-only CREATE TABLE, and the priority-revenue rollup is
+      // answered from the stores — the fact-fact join reads both sides
+      // pre-partitioned (zero Exchange under the sort-merge plan,
+      // PlanShapeSpec-asserted on this exact subplan), so the only
+      // shuffle left is the 5-row priority rollup. At 100 TB this is
+      // the difference between shuffling the fact table per query and
+      // never shuffling it again. Revenue is quantized to cents AT
+      // WRITE (the narrow store carries exact integers); the oracle
+      // replays the same per-row round against the raw tables.
+      val sfTag = new java.io.File(d).getName.replace('.', '_')
+      val base = s"/tmp/graft_stores/bucketed_$sfTag"
+      val (liPath, ordPath) = (s"$base/lineitem", s"$base/orders")
+      val (liTab, ordTab) = (s"lineitem_bkt_$sfTag", s"orders_bkt_$sfTag")
+      val liDf = Tables.lineitem(s, d).select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("disc_price_c"))
+      val ordDf = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val want = "bucketed-v1|16|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/lineitem.parquet") + "|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/orders.parquet")
+      graft.sources.ParquetStore.buildIfStale(
+        s"$base/_marker", want, Seq(liPath, ordPath)) {
+        graft.sources.ParquetStore.writeBucketedAt(liDf, liPath, "l_orderkey", 16)
+        graft.sources.ParquetStore.writeBucketedAt(ordDf, ordPath, "o_orderkey", 16)
+      }
+      graft.sources.ParquetStore.registerBucketed(
+        s, liTab, liPath, liDf.schema.toDDL, "l_orderkey", 16)
+      graft.sources.ParquetStore.registerBucketed(
+        s, ordTab, ordPath, ordDf.schema.toDDL, "o_orderkey", 16)
+      s.table(liTab)
+        .join(s.table(ordTab), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_items"),
+          sum(col("disc_price_c")).as("revenue_c"))
+        .orderBy("o_orderpriority")
+    },
+
     "q31_hll_distinct" -> { (s, d) =>
       // HyperLogLog cardinality — with the SKETCH ITSELF oracle-checked,
       // not just rows-only like q18's opaque sketches: the register table
@@ -1155,6 +1202,16 @@ object RelationalQueries {
         |  CASE WHEN est_raw <= 160 AND v_empty > 0 THEN est_lc ELSE est_raw END
         |    AS est_used
         |FROM est""".stripMargin,
+
+    "q45_bucketed_join_serve" ->
+      """SELECT o_orderpriority,
+        |  COUNT(DISTINCT o_orderkey) AS n_orders,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
 
     "q31_hll_distinct" ->
       """WITH h0 AS (SELECT (user_id * 2654435761) % 2147483647 AS h1 FROM events),

@@ -168,4 +168,57 @@ object ParquetStore {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
+
+  /** [[writeBucketed]] to an EXPLICIT location with the rename-aside
+    * install discipline (the r12 serving-store form): the bucketed
+    * writer only runs through `saveAsTable`, so the files are written
+    * via a throwaway catalog entry pointing at a unique temp dir, the
+    * entry is dropped (external — metadata only, the files stay), and
+    * the dir is published with the same atomic swap as
+    * [[installOverwrite]] — no reader window without a complete store,
+    * interrupted swaps heal by [[compact]]'s rule. Bucket-id file
+    * naming survives the rename, so [[registerBucketed]] can attach
+    * the layout in any later session. Pairs with [[buildIfStale]] for
+    * the pay-once-at-write lifecycle.
+    */
+  def writeBucketedAt(df: DataFrame, path: String, bucketCol: String,
+      buckets: Int): Unit = {
+    val s = df.sparkSession
+    val scratch = s"graft_bucketed_build_${java.util.UUID.randomUUID().toString.take(8).replace('-', '_')}"
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"$path.install-${java.util.UUID.randomUUID().toString.take(8)}")
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    df.write.mode(SaveMode.Overwrite)
+      .format("parquet")
+      .option("path", tmp.toString)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(scratch)
+    s.sql(s"DROP TABLE IF EXISTS $scratch")
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(p) && !fs.rename(p, old))
+      throw new java.io.IOException(s"writeBucketedAt: cannot move $path aside")
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"writeBucketedAt: cannot install $tmp at $path")
+    fs.delete(old, true)
+  }
+
+  /** Attach an existing [[writeBucketedAt]] store to THIS session's
+    * catalog (the in-memory catalog forgets tables between JVMs; the
+    * bucketed layout on disk does not). Metadata-only — no scan, no
+    * write: the CREATE TABLE declares the same CLUSTERED/SORTED spec
+    * the files were written with, so co-bucketed joins plan with zero
+    * Exchange in every session that reads the store. No-op when the
+    * table is already registered.
+    */
+  def registerBucketed(spark: SparkSession, table: String, path: String,
+      schemaDdl: String, bucketCol: String, buckets: Int): Unit =
+    if (!spark.catalog.tableExists(table))
+      spark.sql(
+        s"""CREATE TABLE $table ($schemaDdl) USING PARQUET
+           |CLUSTERED BY ($bucketCol) SORTED BY ($bucketCol) INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
 }

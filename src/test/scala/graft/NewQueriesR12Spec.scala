@@ -28,4 +28,36 @@ class NewQueriesR12Spec extends SparkSpec {
     assert(comp == vac.copy(_1 = "03_compacted"),
       s"compact changed content: $vac vs $comp")
   }
+
+  test("q45 serves from the co-bucketed stores: zero-Exchange join, no corpus rescan") {
+    val conf = spark.conf
+    val aqe = conf.get("spark.sql.adaptive.enabled")
+    val bjt = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the sort-merge shape the 100 TB claim is about
+      conf.set("spark.sql.adaptive.enabled", "false")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val card = SparkEntry.queries("q45_bucketed_join_serve")(spark, sfDir)
+      // the returned (serve) plan reads ONLY the bucketed stores — the
+      // raw tables are touched at build time, never at serve time
+      val scans = card.queryExecution.executedPlan.toString.linesIterator
+        .filter(_.contains("FileScan")).mkString("\n")
+      assert(scans.contains("bucketed_sf0_001"), s"serve must read the store:\n$scans")
+      assert(!scans.contains("testdata"), s"serve must not rescan the corpus:\n$scans")
+      // the fact-fact join itself moves nothing: the only Exchanges in
+      // the whole card are the 5-row priority rollup's (+ its sort)
+      import org.apache.spark.sql.functions.col
+      val join = spark.table("lineitem_bkt_sf0_001")
+        .join(spark.table("orders_bkt_sf0_001"),
+          col("l_orderkey") === col("o_orderkey"))
+      val jp = join.queryExecution.executedPlan.toString
+      assert(!jp.contains("Exchange"),
+        s"co-bucketed join must not shuffle either side:\n$jp")
+      // and the store answers the same rows as the logical join
+      assert(card.count() == 5)
+    } finally {
+      conf.set("spark.sql.adaptive.enabled", aqe)
+      conf.set("spark.sql.autoBroadcastJoinThreshold", bjt)
+    }
+  }
 }
