@@ -55,6 +55,24 @@ object JaneQueries {
   private def ev(s: SparkSession, d: String): DataFrame =
     EventIndex.attach(Tables.events(s, d))
 
+  /** j45's CSV feed, rendered from the events table: every
+    * `event_id % 13 = 0` row gets a deliberately unparseable value field
+    * (the typed read quarantines it). Doubles are rendered with Spark's
+    * shortest-round-trip cast, so the good rows' values survive the text
+    * round trip bit-exact. Shared with the streaming twin's spec
+    * ([[graft.streaming.EventStreams.ingestQuarantineStream]]) so the
+    * corruption rule can never desynchronize between the two.
+    */
+  private[graft] def ingestFeed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id").cast("string").as("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("user_id").cast("string").as("user_id"),
+      col("event_type"),
+      when(col("event_id") % 13 === 0, lit("CORRUPT"))
+        .otherwise(col("value").cast("string")).as("value"),
+      lit(null).cast("string").as("props"))
+
   /** Aki–Utsu b-value ×1e4 from integer centimag counts — ONE generator
     * for both dialects and both estimators (j39 full-catalog, j42
     * weekly), so the Δ/2-corrected formula can never desynchronize.
@@ -494,6 +512,52 @@ object JaneQueries {
         .unionByName(card("02_vacuumed", vacuumed))
         .unionByName(card("03_compacted", compacted))
         .orderBy("stage")
+    },
+
+    "j45_ingest_quarantine" -> { (s, d) =>
+      // INGEST with reject-but-continue quarantine UNDER THE ORACLE (r12
+      // depth item; jane's upload endpoint rejects malformed documents and
+      // keeps serving — graft.sources.Ingest mirrors that with PERMISSIVE
+      // + _corrupt_record, previously spec-only in IngestSpec). Lifecycle:
+      // a CSV feed is RENDERED from the events table (rows with
+      // event_id % 13 = 0 get a deliberately unparseable value field),
+      // written once behind buildIfStale (content stamp on the source),
+      // then ingested through the shipped Ingest.readCsvEvents — good
+      // rows aggregate per type over the PARSED typed columns (the
+      // double survives the text round trip bit-exact: Spark's
+      // cast-to-string is shortest-round-trip and the CSV parser is its
+      // inverse), quarantined rows are TRIAGED from the raw rejected
+      // line (recover the id from the line text — what a reprocessing
+      // job does). The oracle never sees the CSV: it replays the
+      // corruption rule directly over the parquet table, so the hash
+      // check proves parse + quarantine routing end to end. Scale
+      // shape: ingest is an embarrassingly parallel per-file scan; the
+      // parsed narrow projection is checkpointed ONCE so the two
+      // consumers (good agg, quarantine triage) don't re-ingest the
+      // feed (and a corrupt-column-only branch is legal post-
+      // materialization — Spark forbids it straight off a CSV scan).
+      val feedPath = s"/tmp/graft_stores/ingest_feed_${new java.io.File(d).getName}"
+      val feed = ingestFeed(s, d)
+      val want = "ingest-feed-v1|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/events.parquet")
+      graft.sources.ParquetStore.buildIfStale(
+        s"$feedPath.marker", want, Seq(feedPath)) {
+        graft.sources.ParquetStore.installOverwriteCsv(feed, feedPath)
+      }
+      val raw = graft.sources.Ingest.readCsvEvents(s, feedPath)
+        .select(col("event_type"), col("value"), col("_corrupt_record"))
+        .localCheckpoint()
+      val good = raw.filter(col("_corrupt_record").isNull)
+        .groupBy(col("event_type").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("value"))).as("checksum"))
+      val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(split(col("_corrupt_record"), ",").getItem(0).cast("long"))
+            .as("checksum"))
+        .select(lit("__quarantined__").as("bucket"),
+          col("n_rows"), col("checksum"))
+      good.unionByName(quarantined).orderBy("bucket")
     },
 
     "j20_geo_grid" -> { (s, d) =>
@@ -1245,6 +1309,18 @@ object JaneQueries {
         |  CAST(SUM((CAST(doc_id AS BIGINT) * 31 + version * 7 + n_chars)
         |    % 1000003) AS BIGINT) FROM vac
         |ORDER BY stage""".stripMargin,
+
+    "j45_ingest_quarantine" ->
+      """WITH feed AS (SELECT event_id, event_type, value,
+        |    event_id % 13 = 0 AS is_corrupt FROM events)
+        |SELECT event_type AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM feed WHERE NOT is_corrupt GROUP BY event_type
+        |UNION ALL
+        |SELECT '__quarantined__' AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS checksum
+        |FROM feed WHERE is_corrupt
+        |ORDER BY bucket""".stripMargin,
 
     "j20_geo_grid" ->
       s"""WITH ev AS ($evCte)

@@ -95,14 +95,28 @@ object ParquetStore {
     * interrupted swap leaves `path` or `path.old` holding a complete
     * store (healed by [[compact]]'s rule).
     */
-  def installOverwrite(df: DataFrame, path: String): Unit = {
+  def installOverwrite(df: DataFrame, path: String): Unit =
+    installVia(df, path)(tmp =>
+      df.write.mode(SaveMode.Overwrite).parquet(tmp))
+
+  /** [[installOverwrite]] for a TEXT feed: CSV with a per-file header
+    * (the reader's `header=true` skips one line per part file, so a
+    * header written per file is the only layout that survives an
+    * arbitrary partition count). Same rename-aside swap.
+    */
+  def installOverwriteCsv(df: DataFrame, path: String): Unit =
+    installVia(df, path)(tmp =>
+      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp))
+
+  private def installVia(df: DataFrame, path: String)(
+      writeTo: String => Unit): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path.install-${java.util.UUID.randomUUID().toString.take(8)}")
     val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    df.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    writeTo(tmp.toString)
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(p) && !fs.rename(p, old))
       throw new java.io.IOException(s"install: cannot move $path aside")

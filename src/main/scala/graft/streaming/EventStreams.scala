@@ -125,6 +125,41 @@ object EventStreams {
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** j45's STREAMING twin — continuous file-feed ingest with
+    * reject-but-continue quarantine (jane's upload loop as a stream):
+    * the same explicit schema + PERMISSIVE `_corrupt_record` contract as
+    * [[graft.sources.Ingest.readCsvEvents]], over a feed DIRECTORY where
+    * new files become new micro-batches. Rows route to per-type good
+    * buckets or one `__quarantined__` bucket, each carrying the batch
+    * card's checksum (cents over the parsed value for good rows, the id
+    * recovered from the raw rejected line for quarantined ones) — the
+    * monitoring readout an ingest pipeline alarms on, rollup-equal to
+    * the batch j45 card by construction. State: one counter row per
+    * bucket (O(#event_types)) forever — the complete-mode aggregate
+    * never grows with the feed. `maxFilesPerTrigger > 0` bounds each
+    * micro-batch (the backpressure knob; 0 = Spark's default).
+    */
+  def ingestQuarantineStream(spark: SparkSession, feedDir: String,
+      maxFilesPerTrigger: Int = 0): DataFrame = {
+    val reader = spark.readStream
+      .schema(graft.sources.Ingest.eventSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("header", "true")
+    val tuned = if (maxFilesPerTrigger > 0)
+      reader.option("maxFilesPerTrigger", maxFilesPerTrigger) else reader
+    tuned.csv(feedDir)
+      .select(
+        when(col("_corrupt_record").isNull, col("event_type"))
+          .otherwise(lit("__quarantined__")).as("bucket"),
+        when(col("_corrupt_record").isNull, cents(col("value")))
+          .otherwise(split(col("_corrupt_record"), ",").getItem(0)
+            .cast("long")).as("item_check"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), sum(col("item_check")).as("checksum"))
+  }
+
   /** Stream-STATIC enrichment join: the live event stream joined to the
     * station index table (a batch DataFrame). Spark plans the static side
     * as a broadcast re-evaluated per micro-batch, so a re-written index

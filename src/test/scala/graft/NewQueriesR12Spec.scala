@@ -29,6 +29,28 @@ class NewQueriesR12Spec extends SparkSpec {
       s"compact changed content: $vac vs $comp")
   }
 
+  test("j45 quarantine is reject-but-continue: routing exact, raw line preserved") {
+    import org.apache.spark.sql.functions.{col, sum}
+    val card = SparkEntry.queries("j45_ingest_quarantine")(spark, sfDir)
+      .collect()
+    val quar = card.filter(_.getString(0) == "__quarantined__")
+    assert(quar.length == 1 && quar(0).getLong(1) > 0,
+      "the % 13 rule must quarantine some rows at sf0.001")
+    // nothing is dropped: good + quarantined partition the corpus
+    val events = Tables.events(spark, sfDir)
+    assert(card.map(_.getLong(1)).sum == events.count())
+    // triage recovered every rejected id from the raw line text
+    val expect = events.filter(col("event_id") % 13 === 0)
+      .agg(sum(col("event_id"))).head.getLong(0)
+    assert(quar(0).getLong(2) == expect, "recovered-id checksum mismatch")
+    // PERMISSIVE shape: a rejected row keeps its raw line, typed field null
+    val raw = graft.sources.Ingest.readCsvEvents(spark,
+      s"/tmp/graft_stores/ingest_feed_${new java.io.File(sfDir).getName}")
+      .select(col("value"), col("_corrupt_record")).localCheckpoint()
+    assert(raw.filter(col("_corrupt_record").isNotNull &&
+      col("value").isNotNull).count() == 0)
+  }
+
   test("q45 serves from the co-bucketed stores: zero-Exchange join, no corpus rescan") {
     val conf = spark.conf
     val aqe = conf.get("spark.sql.adaptive.enabled")

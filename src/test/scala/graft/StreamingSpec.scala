@@ -424,6 +424,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingestQuarantineStream rolls up equal to the batch j45 card across micro-batches") {
+    // r12: j45's streaming twin — the same feed recipe written as 3
+    // files, streamed one file per trigger (3 REAL micro-batches), must
+    // route and checksum exactly like the batch card; state is one
+    // counter row per bucket regardless of feed size.
+    val dir = "/tmp/graft_stores/ingest_feed_stream_test"
+    graft.sources.ParquetStore.installOverwriteCsv(
+      graft.queries.JaneQueries.ingestFeed(spark, sfDir).repartition(3), dir)
+    val q = EventStreams.ingestQuarantineStream(spark, dir, maxFilesPerTrigger = 1)
+      .writeStream.format("memory").queryName("ingest_q_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.batchId >= 2,
+        s"expected >= 3 micro-batches, got ${q.lastProgress.batchId + 1}")
+      val streamed = spark.table("ingest_q_test")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = SparkEntry.queries("j45_ingest_quarantine")(spark, sfDir)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed == batch,
+        s"missing=${(batch -- streamed).take(3)} extra=${(streamed -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("funnelProgress advances strict-order steps across batches with 2-long state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
