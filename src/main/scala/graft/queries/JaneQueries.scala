@@ -484,18 +484,25 @@ object JaneQueries {
       // shape: vacuum rides ONE group-keyed window shuffle; upsert is
       // the key-shuffled anti-join + union; compact is a ceil(bytes /
       // target)-file rewrite — no driver-side content materializes.
+      // each stage feeds 2+ consumers (the next stage + its card row,
+      // vacuumed also the install write) — a scan-rooted subtree
+      // re-executes per consumer, so checkpoint each NARROW stage once
+      // (r13 ADVICE; the CLAUDE.md multi-consumer recompute rule)
       val versioned = Tables.documents(s, d)
         .withColumn("group_id", expr("doc_id div 5"))
         .withColumn("version", expr("doc_id % 5"))
         .select("doc_id", "group_id", "version", "n_chars")
+        .localCheckpoint()
       val revised = versioned.filter(col("version") === 2)
         .withColumn("n_chars", col("n_chars") + 1000)
-      val upserted = DocumentStore.upsert(versioned, revised, "doc_id")
+      val upserted =
+        DocumentStore.upsert(versioned, revised, "doc_id").localCheckpoint()
       val vacuumed = DocumentStore.vacuum(
         upserted.withColumn("is_tomb",
           col("version") === 4 && col("group_id") % 7 === 0),
         Seq("group_id"), "version", keep = 2, tombstoneCol = Some("is_tomb"))
         .drop("is_tomb")
+        .localCheckpoint()
       val path = s"/tmp/graft_stores/maint_${new java.io.File(d).getName}"
       graft.sources.ParquetStore.installOverwrite(vacuumed.repartition(16), path)
       graft.sources.ParquetStore.compact(s, path)
@@ -551,9 +558,14 @@ object JaneQueries {
         .groupBy(col("event_type").as("bucket"))
         .agg(count(lit(1)).as("n_rows"),
           sum(cents(col("value"))).as("checksum"))
+      // id recovery anchored to ^\d+ (r13 ADVICE): the feed renderer
+      // writes event_id as the first UNQUOTED field, and the anchor
+      // keeps the recovery honest if a future feed variant quotes or
+      // reorders fields — a non-match yields null and the count row
+      // would desynchronize from the oracle loudly instead of silently
       val quarantined = raw.filter(col("_corrupt_record").isNotNull)
         .agg(count(lit(1)).as("n_rows"),
-          sum(split(col("_corrupt_record"), ",").getItem(0).cast("long"))
+          sum(regexp_extract(col("_corrupt_record"), "^\\d+", 0).cast("long"))
             .as("checksum"))
         .select(lit("__quarantined__").as("bucket"),
           col("n_rows"), col("checksum"))

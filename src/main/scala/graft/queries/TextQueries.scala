@@ -508,7 +508,10 @@ object TextQueries {
     // the df cap as a driver-side literal (corpus size is fixed for the
     // whole loop): drops the ndocs checkpoint + a broadcast crossJoin
     // from every cap filter — same driver-scalar class as the isEmpty
-    // convergence probes
+    // convergence probes. NB the literal is INLINED into the generated
+    // filter code, so a pre-warm slice with a different corpus size can
+    // never hit cache for the cap-filter classes (ProfileT37k/l, r13) —
+    // one of the reasons Bench's pre-warm runs the FULL corpus.
     val capN = probe("capN count") { math.max(20L, docs.count() / 100L) }
     // slice-borne fps (r10): each occurrence carries its 27-char confirm
     // context, so no pass ever joins corpus text for slicing again
@@ -1419,7 +1422,22 @@ object TextQueries {
       // ships. All semantics + the scale argument live on
       // [[spanRemoval]]; DedupSpec asserts the independent Scala replay
       // (conservation) and idempotence (a second pass removes nothing).
-      spanRemoval(Tables.documents(s, d))
+      // SPARK_GRAFT_T37_PROBE (r13, verdict item 1b): prints the
+      // per-step wall decomposition to stderr so a FULL dev roll can
+      // name which step amplifies in the in-run cold pass — the r12
+      // StepProbe evidence only existed isolated / in 13-query context.
+      // Unset (every production/driver run) this is NoProbe: zero
+      // overhead, identical plan.
+      val probe: StepProbe =
+        if (sys.env.contains("SPARK_GRAFT_T37_PROBE")) new StepProbe {
+          def apply[A](label: String)(f: => A): A = {
+            val t0 = System.nanoTime(); val r = f
+            System.err.println(
+              f"T37PROBE $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+            r
+          }
+        } else NoProbe
+      spanRemoval(Tables.documents(s, d), probe = probe)
     },
 
     "t27_bm25" -> { (s, d) =>

@@ -116,13 +116,19 @@ object ParquetStore {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path.install-${java.util.UUID.randomUUID().toString.take(8)}")
     val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    writeTo(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new java.io.IOException(s"install: cannot move $path aside")
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"install: cannot install $tmp at $path")
-    fs.delete(old, true)
+    // tmp is deleted on ANY failure path (r13 ADVICE: a write that
+    // throws before the swap must not leak .install-<uuid> scratch
+    // dirs under /tmp/graft_stores); after a successful swap the
+    // rename has consumed tmp and the finally is a no-op.
+    try {
+      writeTo(tmp.toString)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(p) && !fs.rename(p, old))
+        throw new java.io.IOException(s"install: cannot move $path aside")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"install: cannot install $tmp at $path")
+      fs.delete(old, true)
+    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
   }
 
   /** Source-content stamp for store-staleness markers: a digest of the
@@ -167,6 +173,16 @@ object ParquetStore {
       build
       java.nio.file.Files.createDirectories(meta.getParent)
       java.nio.file.Files.write(meta, want.getBytes("UTF-8"))
+      // A rebuild swaps the files under storePaths; any table already
+      // registered over one of them (registerBucketed) would keep a
+      // cached file index pointing at the deleted generation — a later
+      // serve could FileNotFound or read stale data (r13 ADVICE).
+      // refreshByPath invalidates exactly the relations rooted at the
+      // swapped paths; no-op when nothing is registered.
+      org.apache.spark.sql.SparkSession.getActiveSession.foreach { s =>
+        storePaths.foreach(p =>
+          s.catalog.refreshByPath(new java.io.File(p).getAbsolutePath))
+      }
     }
   }
 
@@ -205,19 +221,29 @@ object ParquetStore {
     val tmp = new org.apache.hadoop.fs.Path(
       s"$path.install-${java.util.UUID.randomUUID().toString.take(8)}")
     val old = new org.apache.hadoop.fs.Path(s"$path.old")
-    df.write.mode(SaveMode.Overwrite)
-      .format("parquet")
-      .option("path", tmp.toString)
-      .bucketBy(buckets, bucketCol)
-      .sortBy(bucketCol)
-      .saveAsTable(scratch)
-    s.sql(s"DROP TABLE IF EXISTS $scratch")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(p) && !fs.rename(p, old))
-      throw new java.io.IOException(s"writeBucketedAt: cannot move $path aside")
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"writeBucketedAt: cannot install $tmp at $path")
-    fs.delete(old, true)
+    // the throwaway catalog entry and the scratch dir are both dropped
+    // on ANY failure path (r13 ADVICE: repeated failed builds must not
+    // accumulate junk in the session catalog or under /tmp); after a
+    // successful swap the rename has consumed tmp and both finally
+    // actions are no-ops.
+    try {
+      df.write.mode(SaveMode.Overwrite)
+        .format("parquet")
+        .option("path", tmp.toString)
+        .bucketBy(buckets, bucketCol)
+        .sortBy(bucketCol)
+        .saveAsTable(scratch)
+      s.sql(s"DROP TABLE IF EXISTS $scratch")
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(p) && !fs.rename(p, old))
+        throw new java.io.IOException(s"writeBucketedAt: cannot move $path aside")
+      if (!fs.rename(tmp, p))
+        throw new java.io.IOException(s"writeBucketedAt: cannot install $tmp at $path")
+      fs.delete(old, true)
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $scratch")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
   }
 
   /** Attach an existing [[writeBucketedAt]] store to THIS session's

@@ -62,19 +62,30 @@ class BenchGuardSpec extends AnyFunSuite {
   }
 
   test("splitFlags routes a capped-but-not-worse entry out of the regressions") {
-    // the r11 ADVICE case: a capped query whose cold IMPROVED (0.5x)
-    // must not surface as a REGRESSION — but it must not vanish either
-    // (the artifact keeps it under still_capped)
+    // the r11 ADVICE case: a CONSECUTIVELY capped query whose cold
+    // IMPROVED (0.5x) must not surface as a REGRESSION — but it must
+    // not vanish either (the artifact keeps it under still_capped)
     val (regressed, stillCapped) = Bench.splitFlags(
-      Seq(("t37", 0.5, true), ("even", 1.0, true)))
+      Seq(("t37", 0.5, true), ("even", 1.0, true)), Set("t37", "even"))
     assert(regressed.isEmpty)
     assert(stillCapped.map(_._1) == Seq("t37", "even"))
   }
 
   test("splitFlags keeps capped regressions and uncapped flags in the regressions") {
     val (regressed, stillCapped) = Bench.splitFlags(
-      Seq(("t37", 4.0, true), ("a", 1.6, false)))
+      Seq(("t37", 4.0, true), ("a", 1.6, false)), Set("t37"))
     assert(regressed.map(_._1) == Seq("t37", "a"))
+    assert(stillCapped.isEmpty)
+  }
+
+  test("splitFlags keeps a NEWLY capped ratio<=1 entry in the regressions") {
+    // the r12 ADVICE case: lowering SPARK_GRAFT_BENCH_CAP_S between
+    // rolls can cap a query whose cold-vs-prev-warm ratio is <= 1; the
+    // prior roll did NOT cap it, so it is a fresh cap event, not a
+    // "still capped, not a regression"
+    val (regressed, stillCapped) = Bench.splitFlags(
+      Seq(("q", 0.9, true)), Set.empty)
+    assert(regressed.map(_._1) == Seq("q"))
     assert(stillCapped.isEmpty)
   }
 }
