@@ -73,6 +73,27 @@ object JaneQueries {
         .otherwise(col("value").cast("string")).as("value"),
       lit(null).cast("string").as("props"))
 
+  /** j46's JSON-lines feed, rendered from the events table: every
+    * `event_id % 17 = 0` row is STRUCTURALLY corrupted (the closing
+    * brace is cut, so the line is not valid JSON — the CSV twin j45
+    * corrupts a field VALUE instead; the two exercise the reader's two
+    * distinct reject paths). Doubles are rendered by `to_json`
+    * (Java's round-trippable Double.toString), so good rows' values
+    * survive the text round trip bit-exact, same as j45's CSV proof.
+    */
+  private[graft] def ingestJsonFeed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("line", to_json(struct(
+        col("event_id"),
+        date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+        col("user_id"),
+        col("event_type"),
+        col("value"))))
+      .select(
+        when(col("event_id") % 17 === 0,
+          expr("substring(line, 1, length(line) - 1)"))
+          .otherwise(col("line")).as("line"))
+
   /** Aki–Utsu b-value ×1e4 from integer centimag counts — ONE generator
     * for both dialects and both estimators (j39 full-catalog, j42
     * weekly), so the Δ/2-corrected formula can never desynchronize.
@@ -567,6 +588,49 @@ object JaneQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(regexp_extract(col("_corrupt_record"), "^\\d+", 0).cast("long"))
             .as("checksum"))
+        .select(lit("__quarantined__").as("bucket"),
+          col("n_rows"), col("checksum"))
+      good.unionByName(quarantined).orderBy("bucket")
+    },
+
+    "j46_ingest_json_quarantine" -> { (s, d) =>
+      // j45's lifecycle on the JSON reader arm (r13 depth item — closes
+      // the Ingest family: every reader's reject-but-continue path now
+      // runs under the oracle). Same shape, different reject CLASS: the
+      // CSV twin corrupts a field VALUE (type-mismatch reject); this
+      // feed cuts the closing brace off every event_id % 17 = 0 line,
+      // so the reader's MALFORMED-document path quarantines it — jane's
+      // "unparseable upload" case. Triage recovers the id from the
+      // broken line with a regexp over the raw text (a parser can't
+      // touch it — exactly what a reprocessing job does with a morgue
+      // file). The oracle replays the corruption rule over parquet, so
+      // the hash check proves JSON parse + quarantine routing + the
+      // double's to_json/parse round trip end to end. Scale shape:
+      // identical to j45 — per-file parallel scan, one checkpoint of
+      // the narrow projection for the two consumers.
+      val feedPath =
+        s"/tmp/graft_stores/ingest_feed_json_${new java.io.File(d).getName}"
+      val want = "ingest-feed-json-v1|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/events.parquet")
+      graft.sources.ParquetStore.buildIfStale(
+        s"$feedPath.marker", want, Seq(feedPath)) {
+        graft.sources.ParquetStore.installOverwriteText(
+          ingestJsonFeed(s, d), feedPath)
+      }
+      val raw = graft.sources.Ingest.readJsonEvents(s, feedPath)
+        .select(col("event_type"), col("value"), col("_corrupt_record"))
+        .localCheckpoint()
+      val good = raw.filter(col("_corrupt_record").isNull)
+        .groupBy(col("event_type").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("value"))).as("checksum"))
+      // the broken line still contains the rendered "event_id":<id>
+      // prefix — anchor on the KEY, not a position, since JSON field
+      // order is the renderer's choice
+      val quarantined = raw.filter(col("_corrupt_record").isNotNull)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(regexp_extract(col("_corrupt_record"),
+            "\"event_id\":(\\d+)", 1).cast("long")).as("checksum"))
         .select(lit("__quarantined__").as("bucket"),
           col("n_rows"), col("checksum"))
       good.unionByName(quarantined).orderBy("bucket")
@@ -1325,6 +1389,18 @@ object JaneQueries {
     "j45_ingest_quarantine" ->
       """WITH feed AS (SELECT event_id, event_type, value,
         |    event_id % 13 = 0 AS is_corrupt FROM events)
+        |SELECT event_type AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM feed WHERE NOT is_corrupt GROUP BY event_type
+        |UNION ALL
+        |SELECT '__quarantined__' AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS checksum
+        |FROM feed WHERE is_corrupt
+        |ORDER BY bucket""".stripMargin,
+
+    "j46_ingest_json_quarantine" ->
+      """WITH feed AS (SELECT event_id, event_type, value,
+        |    event_id % 17 = 0 AS is_corrupt FROM events)
         |SELECT event_type AS bucket, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS checksum
         |FROM feed WHERE NOT is_corrupt GROUP BY event_type

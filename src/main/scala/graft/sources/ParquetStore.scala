@@ -108,6 +108,14 @@ object ParquetStore {
     installVia(df, path)(tmp =>
       df.write.mode(SaveMode.Overwrite).option("header", "true").csv(tmp))
 
+  /** [[installOverwrite]] for a raw LINE feed (one record per line —
+    * the JSON-lines ingest shape): `df` must be a single STRING column.
+    * No per-file header concerns (text has no header row), same
+    * rename-aside swap. */
+  def installOverwriteText(df: DataFrame, path: String): Unit =
+    installVia(df, path)(tmp =>
+      df.write.mode(SaveMode.Overwrite).text(tmp))
+
   private def installVia(df: DataFrame, path: String)(
       writeTo: String => Unit): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
