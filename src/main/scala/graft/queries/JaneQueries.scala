@@ -391,6 +391,45 @@ object JaneQueries {
         .orderBy("group_id")
     },
 
+    "j47_time_travel_served" -> { (s, d) =>
+      // j37's SERVING twin (r13 depth item): the time-travel scan
+      // predicate made PHYSICAL. j37's scale note claims "the T cutoff
+      // is a scan predicate — partition pruning in a day-partitioned
+      // store"; this query RUNS that lifecycle: the version history is
+      // persisted once behind `buildIfStale`, PARTITIONED BY ingest day
+      // (version order IS ingest order in the j37 model, so day = the
+      // version slot), and the snapshot-at-T1=3 is served from the
+      // store with `ingest_day <= 3` as a PARTITION filter —
+      // NewQueriesR13Spec asserts the scan's PartitionFilters carry the
+      // cutoff, exactly 4 of the 8 day directories are listed into the
+      // plan, and the serve never rescans the documents corpus. At
+      // 100 TB this is the difference between reading |T| days of
+      // history and filtering all of it. Same derivation + snapshot
+      // semantics as j37's T1 half, so the DuckDB oracle replays it
+      // logically over parquet (latest-wins over version <= 3).
+      val path =
+        s"/tmp/graft_stores/ttravel_days_${new java.io.File(d).getName}"
+      val want = "ttravel-days-v1|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/documents.parquet")
+      graft.sources.ParquetStore.buildIfStale(
+        s"$path.marker", want, Seq(path)) {
+        graft.sources.ParquetStore.installOverwritePartitioned(
+          Tables.documents(s, d)
+            .filter(expr("((doc_id * 2654435761) % 1000000007) % 3 = 0"))
+            .select(col("doc_id"), expr("doc_id div 8").as("group_id"),
+              expr("doc_id % 8").as("version"),
+              expr("doc_id % 8").as("ingest_day")),
+          path, "ingest_day")
+      }
+      // serve: the cutoff prunes day directories before any row is read
+      s.read.parquet(path)
+        .filter(col("ingest_day") <= 3)
+        .groupBy("group_id")
+        .agg(expr("max_by(doc_id, version)").as("doc_t1"),
+          max(col("version")).as("v_t1"))
+        .orderBy("group_id")
+    },
+
     "j09_pagination" -> { (s, d) =>
       DocumentStore.page(Tables.documents(s, d),
         Seq(col("n_chars").desc, col("doc_id").asc), offset = 20, limit = 10)
@@ -1205,6 +1244,16 @@ object JaneQueries {
         |         THEN 'same'
         |       ELSE 'updated' END AS change
         |FROM v GROUP BY group_id ORDER BY group_id""".stripMargin,
+
+    "j47_time_travel_served" ->
+      """WITH v AS (SELECT doc_id, doc_id // 8 AS group_id,
+        |    doc_id % 8 AS version
+        |  FROM documents
+        |  WHERE ((doc_id * 2654435761) % 1000000007) % 3 = 0)
+        |SELECT group_id, arg_max(doc_id, version) AS doc_t1,
+        |  max(version) AS v_t1
+        |FROM v WHERE version <= 3
+        |GROUP BY group_id ORDER BY group_id""".stripMargin,
 
     "j36_version_history" ->
       """SELECT group_id, doc_id, version,

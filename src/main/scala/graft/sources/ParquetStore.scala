@@ -116,6 +116,18 @@ object ParquetStore {
     installVia(df, path)(tmp =>
       df.write.mode(SaveMode.Overwrite).text(tmp))
 
+  /** [[installOverwrite]] PARTITIONED by a column (hive-style
+    * `col=value/` subdirectories): the layout that turns a time-travel
+    * or day-scoped predicate into PARTITION PRUNING at the scan — the
+    * pruned directories are never listed into the plan, so a query for
+    * day <= T reads |T| partitions of a 100 TB store instead of
+    * filtering all of it. Same rename-aside swap (the partition dirs
+    * move with their parent). */
+  def installOverwritePartitioned(df: DataFrame, path: String,
+      partitionCol: String): Unit =
+    installVia(df, path)(tmp =>
+      df.write.mode(SaveMode.Overwrite).partitionBy(partitionCol).parquet(tmp))
+
   private def installVia(df: DataFrame, path: String)(
       writeTo: String => Unit): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -38,4 +38,46 @@ class NewQueriesR13Spec extends SparkSpec {
     assert(raw.filter(col("_corrupt_record").isNull &&
       (col("value").isNull || col("event_id").isNull)).count() == 0)
   }
+
+  test("j47 serves the snapshot via PARTITION PRUNING: 4 of 8 day dirs, no corpus rescan") {
+    import org.apache.spark.sql.functions.col
+    val df = SparkEntry.queries("j47_time_travel_served")(spark, sfDir)
+    // AQE wraps the plan in AdaptiveSparkPlanExec (a leaf to collect):
+    // unwrap to its current inner plan before looking for the scan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "serve plan must contain a FileScan")
+    // the serve reads ONLY the partitioned store, never the corpus
+    scans.foreach { f =>
+      val loc = f.relation.location.rootPaths.mkString(",")
+      assert(loc.contains("ttravel_days"), s"serve must read the store: $loc")
+      assert(!loc.contains("testdata"), s"serve must not rescan the corpus: $loc")
+      // the T cutoff is a PARTITION filter (pruned before any row read),
+      // not a post-scan data filter
+      assert(f.partitionFilters.exists(_.toString.contains("ingest_day")),
+        s"cutoff must be a partition filter: ${f.partitionFilters}")
+      // 8 day slots exist (version = doc_id % 8); T1 = 3 lists exactly
+      // the 4 surviving directories into the plan
+      assert(f.selectedPartitions.partitionCount == 4,
+        s"expected 4 pruned day partitions, got ${f.selectedPartitions.partitionCount}")
+    }
+    // and the pruned serve still answers exactly j37's T1 snapshot half
+    import org.apache.spark.sql.functions.{expr, max}
+    val expect = Tables.documents(spark, sfDir)
+      .filter(expr("((doc_id * 2654435761) % 1000000007) % 3 = 0"))
+      .select(col("doc_id"), expr("doc_id div 8").as("group_id"),
+        expr("doc_id % 8").as("version"))
+      .filter(col("version") <= 3)
+      .groupBy("group_id")
+      .agg(expr("max_by(doc_id, version)").as("doc_t1"),
+        max(col("version")).as("v_t1"))
+    assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty,
+      "served snapshot must equal the logical replay")
+  }
 }
