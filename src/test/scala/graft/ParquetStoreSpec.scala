@@ -150,4 +150,35 @@ class ParquetStoreSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq)
     assert(!new java.io.File(dir + ".old").exists())
   }
+
+  test("a failed install leaves no scratch dirs and no catalog junk (r13 ADVICE)") {
+    val parent = Files.createTempDirectory("graft_failinst").toString
+    val path = parent + "/store"
+    // a df that throws mid-write: the install must surface the error
+    // AND delete its .install-<uuid> scratch dir
+    val bad = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        expr("CAST(raise_error('boom') AS STRING)").as("x"))
+    intercept[Exception] { ParquetStore.installOverwrite(bad, path) }
+    def leftovers = new java.io.File(parent).listFiles().toSeq.map(_.getName)
+    assert(!new java.io.File(path).exists(), "failed install must not publish")
+    assert(!leftovers.exists(_.contains(".install-")),
+      s"scratch dir leaked: $leftovers")
+    // same for the bucketed writer: scratch dir AND the throwaway
+    // catalog entry must both be gone after a failed build
+    intercept[Exception] {
+      ParquetStore.writeBucketedAt(bad, path, "doc_id", buckets = 4)
+    }
+    assert(!leftovers.exists(_.contains(".install-")),
+      s"bucketed scratch dir leaked: $leftovers")
+    val tables = spark.sessionState.catalog.listTables("default").map(_.table)
+    assert(!tables.exists(_.startsWith("graft_bucketed_build_")),
+      s"throwaway catalog entry leaked: $tables")
+    // and a SUCCESSFUL install still works after the failures
+    ParquetStore.installOverwrite(
+      Tables.documents(spark, sfDir).select("doc_id"), path)
+    assert(spark.read.parquet(path).count() ==
+      Tables.documents(spark, sfDir).count())
+    assert(!leftovers.exists(_.contains(".install-")), s"leftovers: $leftovers")
+  }
 }
