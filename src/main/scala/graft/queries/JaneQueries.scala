@@ -675,6 +675,39 @@ object JaneQueries {
       good.unionByName(quarantined).orderBy("bucket")
     },
 
+    "j48_orc_interchange" -> { (s, d) =>
+      // ORC interchange under the oracle (r13; the last Ingest reader
+      // arm — CSV has j45, JSON j46): events are EXPORTED once to a
+      // columnar ORC store (`installOverwriteOrc` behind buildIfStale,
+      // stamp on the source) and read back through the shipped
+      // `Ingest.readOrcEvents`; the per-type audit card (counts, cents
+      // sums, floor-second time range, distinct users) must hash-equal
+      // the oracle computed over the ORIGINAL parquet — proving the
+      // long/timestamp/double/string round trip through the second
+      // columnar format exact (no corrupt-record path exists for a
+      // binary columnar format: a bad ORC file fails the scan, it does
+      // not quarantine rows — which is why this is an interchange
+      // audit, not a quarantine twin). Scale shape: one map-side-
+      // combined groupBy over an embarrassingly parallel columnar scan.
+      val path =
+        s"/tmp/graft_stores/orc_events_${new java.io.File(d).getName}"
+      val want = "orc-events-v1|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/events.parquet")
+      graft.sources.ParquetStore.buildIfStale(
+        s"$path.marker", want, Seq(path)) {
+        graft.sources.ParquetStore.installOverwriteOrc(
+          Tables.events(s, d), path)
+      }
+      graft.sources.Ingest.readOrcEvents(s, path)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("value"))).as("value_c"),
+          min(unix_timestamp(col("ts"))).as("ts_min_s"),
+          max(unix_timestamp(col("ts"))).as("ts_max_s"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type")
+    },
+
     "j20_geo_grid" -> { (s, d) =>
       // Spatial grid binning: 10°×10° cells as integer keys (the heatmap /
       // density-map REST output). The cell id is also the 100 TB layout
@@ -1254,6 +1287,14 @@ object JaneQueries {
         |  max(version) AS v_t1
         |FROM v WHERE version <= 3
         |GROUP BY group_id ORDER BY group_id""".stripMargin,
+
+    "j48_orc_interchange" ->
+      """SELECT event_type, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+        |  CAST(floor(epoch(MIN(ts))) AS BIGINT) AS ts_min_s,
+        |  CAST(floor(epoch(MAX(ts))) AS BIGINT) AS ts_max_s,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "j36_version_history" ->
       """SELECT group_id, doc_id, version,

@@ -116,6 +116,12 @@ object ParquetStore {
     installVia(df, path)(tmp =>
       df.write.mode(SaveMode.Overwrite).text(tmp))
 
+  /** [[installOverwrite]] to ORC (the columnar interchange format
+    * [[Ingest.readOrcEvents]] reads back): same rename-aside swap. */
+  def installOverwriteOrc(df: DataFrame, path: String): Unit =
+    installVia(df, path)(tmp =>
+      df.write.mode(SaveMode.Overwrite).orc(tmp))
+
   /** [[installOverwrite]] PARTITIONED by a column (hive-style
     * `col=value/` subdirectories): the layout that turns a time-travel
     * or day-scoped predicate into PARTITION PRUNING at the scan — the

@@ -80,4 +80,23 @@ class NewQueriesR13Spec extends SparkSpec {
     assert(df.exceptAll(expect).isEmpty && expect.exceptAll(df).isEmpty,
       "served snapshot must equal the logical replay")
   }
+
+  test("j48 reads the ORC export, never the parquet corpus") {
+    val df = SparkEntry.queries("j48_orc_interchange")(spark, sfDir)
+    val plan = (df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(plan.nonEmpty)
+    plan.foreach { f =>
+      val loc = f.relation.location.rootPaths.mkString(",")
+      assert(loc.contains("orc_events"), s"must read the ORC store: $loc")
+      assert(!loc.contains("testdata"), s"must not rescan the corpus: $loc")
+      assert(f.relation.fileFormat.toString.toLowerCase.contains("orc"),
+        s"store must actually be ORC: ${f.relation.fileFormat}")
+    }
+  }
 }
