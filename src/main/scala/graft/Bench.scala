@@ -323,9 +323,15 @@ object Bench {
     val slowest10 = results.toSeq.filter(_._2._1 >= 0).sortBy(-_._2._1).take(10)
       .map { case (k, (v, _, _, _)) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
     // cap_jvm rides the tail (the most truncation-survivable spot):
-    // empty on a clean roll, one short string per capped query otherwise
+    // empty on a clean roll, one short string per capped query
+    // otherwise. Values are JSON-escaped — the telemetry string is
+    // free-form (JVM pool names vary across JDKs), and a stray quote
+    // would corrupt exactly the artifact a cap event exists to
+    // diagnose, then break the NEXT roll's vs_prev parse.
+    def jsonEsc(s: String): String =
+      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val capJvmJson = capJvm
-      .map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .map { case (k, v) => s"\"" + k + "\":\"" + jsonEsc(v) + "\"" }
       .mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"cap_jvm":$capJvmJson,""" +

@@ -145,7 +145,9 @@ object ParquetStore {
     // tmp is deleted on ANY failure path (r13 ADVICE: a write that
     // throws before the swap must not leak .install-<uuid> scratch
     // dirs under /tmp/graft_stores); after a successful swap the
-    // rename has consumed tmp and the finally is a no-op.
+    // rename has consumed tmp and the finally is a no-op. The cleanup
+    // itself is guarded so a delete failure (file still held by a
+    // terminating task) can never REPLACE the primary exception.
     try {
       writeTo(tmp.toString)
       if (fs.exists(old)) fs.delete(old, true)
@@ -154,7 +156,11 @@ object ParquetStore {
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"install: cannot install $tmp at $path")
       fs.delete(old, true)
-    } finally if (fs.exists(tmp)) fs.delete(tmp, true)
+    } finally {
+      try if (fs.exists(tmp)) fs.delete(tmp, true)
+      catch { case e: Throwable =>
+        System.err.println(s"install cleanup ($tmp): $e") }
+    }
   }
 
   /** Source-content stamp for store-staleness markers: a digest of the
@@ -251,7 +257,9 @@ object ParquetStore {
     // on ANY failure path (r13 ADVICE: repeated failed builds must not
     // accumulate junk in the session catalog or under /tmp); after a
     // successful swap the rename has consumed tmp and both finally
-    // actions are no-ops.
+    // actions are no-ops. Each cleanup is independently guarded: a
+    // DROP TABLE on a broken/stopped session must neither mask the
+    // primary exception nor skip the tmp delete.
     try {
       df.write.mode(SaveMode.Overwrite)
         .format("parquet")
@@ -267,8 +275,12 @@ object ParquetStore {
         throw new java.io.IOException(s"writeBucketedAt: cannot install $tmp at $path")
       fs.delete(old, true)
     } finally {
-      s.sql(s"DROP TABLE IF EXISTS $scratch")
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      try s.sql(s"DROP TABLE IF EXISTS $scratch")
+      catch { case e: Throwable =>
+        System.err.println(s"writeBucketedAt cleanup ($scratch): $e") }
+      try if (fs.exists(tmp)) fs.delete(tmp, true)
+      catch { case e: Throwable =>
+        System.err.println(s"writeBucketedAt cleanup ($tmp): $e") }
     }
   }
 
