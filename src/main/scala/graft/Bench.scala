@@ -62,6 +62,80 @@ object Bench {
     flags.partition { case (k, ratio, capped) =>
       !capped || ratio > 1.0 || !prevCapped.contains(k) }
 
+  /** JSON string escaping for free-form telemetry values (JVM pool
+    * names vary across JDKs). Control chars < 0x20 are escaped too
+    * (r13 ADVICE): a newline/tab would otherwise corrupt exactly the
+    * artifact a cap event exists to diagnose, then break the NEXT
+    * roll's vs_prev parse. BenchGuardSpec pins the behavior. */
+  private[graft] def jsonEsc(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case c if c < 0x20 => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  /** Fixed-seed xorshift64* mix — the box probe's unit of CPU work.
+    * Pure integer ALU, no allocation, no memory traffic beyond the two
+    * locals: measures clock/turbo state, not cache or GC. The returned
+    * accumulator is consumed by the caller so the loop can't be DCE'd.
+    */
+  private def cpuWork(iters: Long, seed: Long): Long = {
+    var x = seed | 1L; var acc = 0L; var i = 0L
+    while (i < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x * 0x2545F4914F6CDD1DL
+      i += 1
+    }
+    acc
+  }
+
+  /** Box-speed probe (r14, the r13 verdict item 1): the driver box has
+    * run t37 at up to 2.7x the builder's committed number with
+    * compilation ruled out (zero residual compiles), and nothing in the
+    * artifact could adjudicate "slow box" vs "new mechanism". This
+    * fixed, deterministic workload measures the BOX, in-roll, and rides
+    * the JSON tail at roll start and end:
+    *  - st_ms: single-thread integer mix (2^27 xorshift64* steps) —
+    *    CPU clock/turbo state;
+    *  - mt_ms: the same per-thread workload on `nThreads` concurrent
+    *    threads — effective parallel capacity (a cgroup CPU quota or
+    *    noisy neighbor shows here even when st_ms looks healthy);
+    *  - spark_ms: a fixed spark.range fold through codegen'd xxhash64
+    *    (second run of two, so plan compilation is excluded) — the
+    *    Spark executor path itself.
+    * Builder-box reference values live in SURVEY §6b next to the roll;
+    * a driver roll's t37 (or total) premium is adjudicated by the
+    * probe ratio: probe slow too => box; probe healthy => mechanism.
+    * Costs ~1-2 s per invocation — outside every timed window.
+    */
+  private def boxProbe(spark: SparkSession, nThreads: Int): String = {
+    val iters = 1L << 27
+    var sink = cpuWork(1L << 20, 7) // JIT-warm the loop before timing
+    val t0 = System.nanoTime()
+    sink += cpuWork(iters, 7)
+    val stMs = (System.nanoTime() - t0) / 1e6
+    val acc = new java.util.concurrent.atomic.AtomicLong(sink)
+    val ths = (1 to nThreads).map { k =>
+      new Thread(() => { acc.addAndGet(cpuWork(iters, k.toLong + 1)): Unit })
+    }
+    val t1 = System.nanoTime()
+    ths.foreach(_.start()); ths.foreach(_.join())
+    val mtMs = (System.nanoTime() - t1) / 1e6
+    import org.apache.spark.sql.functions.{col, lit, shiftright, sum, xxhash64}
+    def sparkOnce(): Double = {
+      val t = System.nanoTime()
+      // shiftright keeps the 2^23-row sum inside a long under ANSI mode
+      spark.range(1L << 23)
+        .select(sum(shiftright(xxhash64(col("id"), lit(42)), 32))).head()
+      (System.nanoTime() - t) / 1e6
+    }
+    sparkOnce() // first run carries codegen compile; discard
+    val spMs = math.min(sparkOnce(), sparkOnce()) // min sheds JIT ramp
+    if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
+    s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
+      s""""spark_ms":${math.round(spMs)}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -219,6 +293,23 @@ object Bench {
     // line is driver-truncated — a cap event must arrive self-described
     // in the JSON the driver keeps.
     val capJvm = scala.collection.mutable.Map.empty[String, String]
+    // Per-query COLD-run attribution (r14, verdict item 1): how many
+    // first-ever generated-class compiles and how much accumulated JIT
+    // time landed inside each query's warmup (cold) slot. On a healthy
+    // pre-warmed roll t37's compile delta is ~0 (ProfileT37m) — so a
+    // driver-box cold premium with compiles≈0 is BOX, and one with a
+    // large compile delta is the compilation mechanism resurfacing.
+    // Cheap (two counter reads per query), carried in the artifact.
+    val coldDiag = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
+      .METRIC_COMPILATION_TIME.getCount
+    def jitMs: Long = java.lang.management.ManagementFactory
+      .getCompilationMXBean.getTotalCompilationTime
+    // roll-start box state, measured after session warmup so JVM
+    // startup/classloading noise stays out of the probe
+    val probeStart = try boxProbe(spark, cpus.toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH PROBE: $e"); "null" }
     val results: Map[String, (Double, Double, Boolean, Double)] =
       selected.map { case (name, fn) =>
         // cold survives a later-rep crash: "ran cold fine, crashed
@@ -226,7 +317,9 @@ object Bench {
         // distinguishable in the artifact
         var cold = -1.0
         try {
+          val (cg0, jit0) = (cgCount, jitMs)
           val warmTimes = (0 until warmups).map(_ => once(fn))
+          coldDiag(name) = (cgCount - cg0, jitMs - jit0)
           if (warmTimes.nonEmpty) cold = warmTimes.min
           if (warmTimes.nonEmpty && warmTimes.min > capSec) {
             System.err.println(
@@ -328,17 +421,34 @@ object Bench {
     // free-form (JVM pool names vary across JDKs), and a stray quote
     // would corrupt exactly the artifact a cap event exists to
     // diagnose, then break the NEXT roll's vs_prev parse.
-    def jsonEsc(s: String): String =
-      s.replace("\\", "\\\\").replace("\"", "\\\"")
     val capJvmJson = capJvm
       .map { case (k, v) => s"\"" + k + "\":\"" + jsonEsc(v) + "\"" }
       .mkString("{", ",", "}")
+    // roll-end box state: a box that degraded MID-roll (the r11
+    // observed pattern) shows as start healthy / end slow
+    val probeEnd = try boxProbe(spark, cpus.toInt)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH PROBE: $e"); "null" }
+    // cold_diag in the TAIL for the queries a cap/cold debate is ever
+    // about (t37 + anything capped); the full per-query maps ride as
+    // normal fields below. Format: name -> [cold_compiles, cold_jit_ms].
+    val diagKeys = (capJvm.keys.toSet + "t37_span_removal")
+      .filter(coldDiag.contains).toSeq.sorted
+    val coldDiagJson = diagKeys
+      .map(k => s"\"" + k + s"""\":[${coldDiag(k)._1},${coldDiag(k)._2}]""")
+      .mkString("{", ",", "}")
+    def fmtLongMap(sel: ((Long, Long)) => Long): String =
+      coldDiag.map { case (k, v) => s"\"" + k + "\":" + sel(v) }
+        .mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"cap_jvm":$capJvmJson,""" +
-      s""""slowest10":$slowest10}"""
+      s""""box":{"start":$probeStart,"end":$probeEnd},""" +
+      s""""cold_diag":$coldDiagJson,"slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
       s""""errors":$errs,"capped":$capped,"vs_prev":$vsPrev,""" +
+      s""""cold_compiles":${fmtLongMap(_._1)},""" +
+      s""""cold_jit_ms":${fmtLongMap(_._2)},""" +
       s""""spread":${fmtMap(_._2._2)},"cold":${fmtMap(_._2._4)},""" +
       s""""queries":${fmtMap(_._2._1)},"tail":$tail}"""
     println(line)

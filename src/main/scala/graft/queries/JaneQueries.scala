@@ -83,16 +83,35 @@ object JaneQueries {
     */
   private[graft] def ingestJsonFeed(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // ignoreNullFields OFF (r14, the r13 ADVICE): to_json's default
+      // silently OMITS null fields — if the events generator ever
+      // emitted a null in one of the five rendered fields, the key
+      // would vanish, the line would still parse as 'good', and the
+      // checksum desync would surface only at the hash check. Rendering
+      // explicit nulls keeps structural truncation the ONLY reject
+      // source and makes a null input fail the spec's
+      // every-field-parses assert at the feed instead.
       .withColumn("line", to_json(struct(
         col("event_id"),
         date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
         col("user_id"),
         col("event_type"),
-        col("value"))))
+        col("value")), Map("ignoreNullFields" -> "false")))
       .select(
         when(col("event_id") % 17 === 0,
           expr("substring(line, 1, length(line) - 1)"))
           .otherwise(col("line")).as("line"))
+
+  /** j46's feed directory — ONE symbol shared with NewQueriesR13Spec so
+    * a store rename cannot silently decouple the spec's raw-line asserts
+    * from the shipped feed (r13 verdict item 4). */
+  private[graft] def jsonFeedPath(d: String): String =
+    s"/tmp/graft_stores/ingest_feed_json_${new java.io.File(d).getName}"
+
+  /** j47's day-partitioned snapshot store directory (shared with
+    * NewQueriesR13Spec for the same single-symbol reason). */
+  private[graft] def ttravelStorePath(d: String): String =
+    s"/tmp/graft_stores/ttravel_days_${new java.io.File(d).getName}"
 
   /** Aki–Utsu b-value ×1e4 from integer centimag counts — ONE generator
     * for both dialects and both estimators (j39 full-catalog, j42
@@ -407,8 +426,7 @@ object JaneQueries {
       // history and filtering all of it. Same derivation + snapshot
       // semantics as j37's T1 half, so the DuckDB oracle replays it
       // logically over parquet (latest-wins over version <= 3).
-      val path =
-        s"/tmp/graft_stores/ttravel_days_${new java.io.File(d).getName}"
+      val path = ttravelStorePath(d)
       val want = "ttravel-days-v1|" +
         graft.sources.ParquetStore.sourceStamp(s"$d/documents.parquet")
       graft.sources.ParquetStore.buildIfStale(
@@ -647,8 +665,7 @@ object JaneQueries {
       // double's to_json/parse round trip end to end. Scale shape:
       // identical to j45 — per-file parallel scan, one checkpoint of
       // the narrow projection for the two consumers.
-      val feedPath =
-        s"/tmp/graft_stores/ingest_feed_json_${new java.io.File(d).getName}"
+      val feedPath = jsonFeedPath(d)
       val want = "ingest-feed-json-v1|" +
         graft.sources.ParquetStore.sourceStamp(s"$d/events.parquet")
       graft.sources.ParquetStore.buildIfStale(

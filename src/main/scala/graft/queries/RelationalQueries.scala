@@ -350,16 +350,34 @@ object RelationalQueries {
         .orderBy("user_id", "sec", "event_id")
     },
 
-    // Sketch-based approximations for 100 TB interactive use: HLL++
-    // distinct counts and quantile sketches. Sketch internals differ
-    // across engines, so this is intentionally rows-only checked; the
-    // exact twins are q07 (distinct) and q15 (percentile).
+    // Sketch-based approximations for 100 TB interactive use — Spark's
+    // NATIVE HLL++ (approx_count_distinct, rsd 0.02) and
+    // approx_percentile stay in the plan, but since r14 (the r13
+    // verdict's item 2) the key is oracle-checked via the
+    // estimate-beside-exact audit card proven by q31/q32/q44: the
+    // hashed output carries only engine-portable columns — the exact
+    // values plus integer VERDICT columns asserting each estimate
+    // landed within its documented tolerance band (HLL++ ±10% at
+    // rsd 0.02 ≈ 5σ; approx_percentile ±1 quantity unit, generous vs
+    // the ~n/10000 rank error). The oracle replays the exact twins and
+    // emits constant-1 verdicts, so a sketch drifting out of band
+    // breaks the hash — the approximate arm is CHECKED, not declared.
+    // Determinism: HLL++ register max-merge is order-independent; the
+    // verdict band absorbs approx_percentile's merge-order sensitivity.
     "q18_approx_stats" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          expr("approx_percentile(l_quantity, 0.5)").as("approx_median"))
+          countDistinct(col("l_partkey")).as("n_parts_exact"),
+          expr("CAST(round(percentile(l_quantity, 0.5) * 2) AS BIGINT)")
+            .as("median_x2"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+          expr("approx_percentile(l_quantity, 0.5, 10000)").as("am"))
+        .select(col("l_returnflag"), col("n_parts_exact"), col("median_x2"),
+          expr("CASE WHEN abs(ap - n_parts_exact) * 10 <= n_parts_exact " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("parts_ok"),
+          expr("CASE WHEN abs(am * 2 - median_x2) <= 2 " +
+            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("median_ok"))
         .orderBy("l_returnflag")
     },
 
@@ -1494,6 +1512,19 @@ object RelationalQueries {
         |      FROM range(5) t(i)) bins
         |  ON value >= lo AND value < hi
         |GROUP BY bin ORDER BY bin""".stripMargin,
+
+    // q18's verdicts are CONSTANT 1 here by design: the oracle replays
+    // the exact twins, and Spark's side computes the verdicts from its
+    // native sketches — an estimate outside the tolerance band flips a
+    // verdict to 0 and fails the hash (the q31 estimate-beside-exact
+    // pattern applied to engine-native sketches).
+    "q18_approx_stats" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts_exact,
+        |  CAST(round(quantile_cont(l_quantity, 0.5) * 2) AS BIGINT) AS median_x2,
+        |  CAST(1 AS BIGINT) AS parts_ok,
+        |  CAST(1 AS BIGINT) AS median_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q15_percentile" ->
       """SELECT l_returnflag,

@@ -148,8 +148,15 @@ object ParquetStore {
     // rename has consumed tmp and the finally is a no-op. The cleanup
     // itself is guarded so a delete failure (file still held by a
     // terminating task) can never REPLACE the primary exception.
+    // EXCEPT (r14, the r13 ADVICE): if the failure happened AFTER the
+    // live store was renamed aside — `path` absent, fully-written tmp
+    // present — tmp is the freshest complete copy and deleting it would
+    // leave only `.old`; keep it and log its path so recovery doesn't
+    // depend solely on compact's heal rule or a rebuild.
+    var written = false // tmp is COMPLETE only once writeTo returned
     try {
       writeTo(tmp.toString)
+      written = true
       if (fs.exists(old)) fs.delete(old, true)
       if (fs.exists(p) && !fs.rename(p, old))
         throw new java.io.IOException(s"install: cannot move $path aside")
@@ -157,8 +164,12 @@ object ParquetStore {
         throw new java.io.IOException(s"install: cannot install $tmp at $path")
       fs.delete(old, true)
     } finally {
-      try if (fs.exists(tmp)) fs.delete(tmp, true)
-      catch { case e: Throwable =>
+      try if (fs.exists(tmp)) {
+        if (!written || fs.exists(p)) fs.delete(tmp, true)
+        else System.err.println(
+          s"install: swap failed after move-aside; keeping fresh build at " +
+            s"$tmp (prior generation at $old)")
+      } catch { case e: Throwable =>
         System.err.println(s"install cleanup ($tmp): $e") }
     }
   }

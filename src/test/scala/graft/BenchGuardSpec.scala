@@ -88,4 +88,17 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(regressed.map(_._1) == Seq("q"))
     assert(stillCapped.isEmpty)
   }
+
+  test("jsonEsc neutralizes quotes, backslashes, and control chars") {
+    // the r13 ADVICE case: a control character in free-form JVM
+    // telemetry (pool names vary across JDKs) must not corrupt the
+    // BENCH_full.json artifact nor break the next roll's vs_prev parse
+    assert(Bench.jsonEsc("""a"b\c""") == """a\"b\\c""")
+    assert(Bench.jsonEsc("x\ny\tz\u0000") == "x\\u000ay\\u0009z\\u0000")
+    // the escaped value must round-trip through a real JSON parser
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = "CodeHeap 'non-profiled nmethods'=12MB\nMetaspace=97MB\t\"q\""
+    val node = om.readTree(s"""{"v":"${Bench.jsonEsc(raw)}"}""")
+    assert(node.get("v").asText() == raw)
+  }
 }

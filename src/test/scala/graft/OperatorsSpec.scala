@@ -688,15 +688,13 @@ class PlanShapeSpec extends SparkSpec {
     // rows-only float vector.
     val allowedCols = Set("latitude", "longitude", "depth", "elat", "elon")
     // grandfathered round(·,n) double outputs, §4-audited in rounds 1–5
-    // and hash-stable across every driver compare since; q18 is declared
-    // rows-only (no hash compare). New queries must NOT join this list —
-    // use integer quantization (see CLAUDE.md).
+    // and hash-stable across every driver compare since. New queries
+    // must NOT join this list — use integer quantization (see CLAUDE.md).
     val legacy = Map(
       "d02_ngram_jaccard" -> Set("j4"),
       "d08_embed_neardup" -> Set("cos2_4"),
       "j02_geo_radius" -> Set("dist_km2"),
       "j13_nearest_events" -> Set("dist_km2"),
-      "q18_approx_stats" -> Set("approx_median"),
       "q29_parts_analysis" -> Set("avg_size"),
       "t02_quality_score" -> Set("quality"),
       "t11_tfidf" -> Set("tfidf4"))
