@@ -427,6 +427,14 @@ object TextQueries {
     // and the shuffle is skew-free. (For k <= WinW-1 the gram CONTAINS
     // the selected 13-shingle, so fp in the key is redundant but free —
     // it keeps k = WinW exact too, where the shingle overhangs.)
+    // Shape note (r14, measured and REJECTED alternative): folding the
+    // keep-lowest into one groupBy(fp,k,g).agg(min, collect_list) +
+    // in-group filter + explode — "one shuffle, no sort" on paper —
+    // ran pass 0 at 5.5-7.0 s vs 2.6-3.1 s for this window form at
+    // sf0.1: ObjectHashAggregate falls back to sort-based at 128
+    // distinct keys per partition (this key space is huge), so it pays
+    // the same sort PLUS per-group list-object churn. The window's
+    // single sort-shuffle is the cheaper physical plan here.
     val wg = Window.partitionBy("fp", "k", "g")
     val marked = cand
       .withColumn("mn", min(col("doc_id")).over(wg))
