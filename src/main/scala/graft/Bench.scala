@@ -303,8 +303,17 @@ object Bench {
     val coldDiag = scala.collection.mutable.Map.empty[String, (Long, Long)]
     def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getCount
-    def jitMs: Long = java.lang.management.ManagementFactory
-      .getCompilationMXBean.getTotalCompilationTime
+    // the bean is null on JVMs without a compilation system (-Xint) and
+    // getTotalCompilationTime throws when monitoring is unsupported —
+    // resolved ONCE with a 0 fallback so a diagnostics-only counter can
+    // never error 200 queries into -1 and clobber BENCH_full.json
+    val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+    def jitMs: Long =
+      try {
+        if (jitBean != null && jitBean.isCompilationTimeMonitoringSupported)
+          jitBean.getTotalCompilationTime
+        else 0L
+      } catch { case _: Throwable => 0L }
     // roll-start box state, measured after session warmup so JVM
     // startup/classloading noise stays out of the probe
     val probeStart = try boxProbe(spark, cpus.toInt)
@@ -317,9 +326,16 @@ object Bench {
         // distinguishable in the artifact
         var cold = -1.0
         try {
+          // delta captured around warmup rep 0 ONLY: `cold` is the
+          // warmup MIN, and with WARMUP>=2 attributing later reps'
+          // (compile-free) time against rep 0's compile bill would
+          // pair the wrong numbers in the artifact
           val (cg0, jit0) = (cgCount, jitMs)
-          val warmTimes = (0 until warmups).map(_ => once(fn))
-          coldDiag(name) = (cgCount - cg0, jitMs - jit0)
+          val warmTimes = (0 until warmups).map { i =>
+            val t = once(fn)
+            if (i == 0) coldDiag(name) = (cgCount - cg0, jitMs - jit0)
+            t
+          }
           if (warmTimes.nonEmpty) cold = warmTimes.min
           if (warmTimes.nonEmpty && warmTimes.min > capSec) {
             System.err.println(

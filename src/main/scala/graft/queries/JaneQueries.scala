@@ -666,7 +666,11 @@ object JaneQueries {
       // identical to j45 — per-file parallel scan, one checkpoint of
       // the narrow projection for the two consumers.
       val feedPath = jsonFeedPath(d)
-      val want = "ingest-feed-json-v1|" +
+      // v2 (r14): the renderer changed (ignoreNullFields=false) — the
+      // output is byte-identical on null-free inputs, but the marker
+      // rule is builder-change => version bump, so a feed written by
+      // pre-change code can never validate against post-change specs
+      val want = "ingest-feed-json-v2|" +
         graft.sources.ParquetStore.sourceStamp(s"$d/events.parquet")
       graft.sources.ParquetStore.buildIfStale(
         s"$feedPath.marker", want, Seq(feedPath)) {

@@ -163,6 +163,19 @@ object ParquetStore {
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"install: cannot install $tmp at $path")
       fs.delete(old, true)
+      // the new generation is live: sweep any recovery copy a PRIOR
+      // run's failed swap left behind (the keep-fresh-tmp rule below
+      // preserves it across the failure, but once a later install
+      // succeeds it is stale and would otherwise leak a full store
+      // copy under /tmp/graft_stores forever)
+      try {
+        val parent = p.getParent
+        if (parent != null && fs.exists(parent))
+          fs.listStatus(parent).map(_.getPath)
+            .filter(_.getName.startsWith(s"${p.getName}.install-"))
+            .foreach(st => fs.delete(st, true))
+      } catch { case e: Throwable =>
+        System.err.println(s"install stale-scratch sweep ($path): $e") }
     } finally {
       try if (fs.exists(tmp)) {
         if (!written || fs.exists(p)) fs.delete(tmp, true)

@@ -56,6 +56,13 @@ class NewQueriesR13Spec extends SparkSpec {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }
     assert(scans.nonEmpty, "serve plan must contain a FileScan")
+    // loop-invariant: one full-store day listing, not one per scan
+    val daysOnDisk = spark.read.parquet(
+        graft.queries.JaneQueries.ttravelStorePath(sfDir))
+      .select("ingest_day").distinct().collect()
+      .map(_.get(0).toString.toInt).toSet // partition col type is inferred
+    val expectDays = daysOnDisk.count(_ <= 3)
+    assert(expectDays >= 1, s"store must have day dirs <= 3: $daysOnDisk")
     // the serve reads ONLY the partitioned store, never the corpus
     scans.foreach { f =>
       val loc = f.relation.location.rootPaths.mkString(",")
@@ -71,12 +78,6 @@ class NewQueriesR13Spec extends SparkSpec {
       // survive the %3 hash filter at whatever SF the spec runs on; a
       // smaller corpus or regenerated ids could drop a day directory
       // and fail the spec without any product bug)
-      val daysOnDisk = spark.read.parquet(
-          graft.queries.JaneQueries.ttravelStorePath(sfDir))
-        .select("ingest_day").distinct().collect()
-        .map(_.get(0).toString.toInt).toSet // partition col type is inferred
-      val expectDays = daysOnDisk.count(_ <= 3)
-      assert(expectDays >= 1, s"store must have day dirs <= 3: $daysOnDisk")
       assert(f.selectedPartitions.partitionCount == expectDays,
         s"expected $expectDays pruned day partitions, got " +
           s"${f.selectedPartitions.partitionCount}")
