@@ -181,4 +181,23 @@ class ParquetStoreSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
     assert(!leftovers.exists(_.contains(".install-")), s"leftovers: $leftovers")
   }
+
+  test("a successful install sweeps a prior run's kept recovery copy (r14)") {
+    // installVia keeps a FULLY-WRITTEN tmp when the swap failed after
+    // the live store was moved aside (the r13 ADVICE: the fresh build
+    // must not be the copy that's deleted) — but once a LATER install
+    // succeeds, that recovery copy is stale and must be reclaimed, or
+    // a full store copy leaks under /tmp/graft_stores forever.
+    val parent = Files.createTempDirectory("graft_sweepinst").toString
+    val path = parent + "/store"
+    val stale = new java.io.File(path + ".install-deadbeef")
+    assert(stale.mkdirs())
+    Files.write(stale.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+    ParquetStore.installOverwrite(
+      Tables.documents(spark, sfDir).select("doc_id"), path)
+    assert(spark.read.parquet(path).count() ==
+      Tables.documents(spark, sfDir).count())
+    assert(!stale.exists(), "stale recovery copy must be swept")
+    assert(!new java.io.File(path + ".old").exists())
+  }
 }
