@@ -167,13 +167,20 @@ object ParquetStore {
       // run's failed swap left behind (the keep-fresh-tmp rule below
       // preserves it across the failure, but once a later install
       // succeeds it is stale and would otherwise leak a full store
-      // copy under /tmp/graft_stores forever)
+      // copy under /tmp/graft_stores forever). AGE-GATED to 1 h: a
+      // sibling .install-<uuid> younger than that could be another
+      // JVM's IN-FLIGHT write for the same path (Verify and Bench can
+      // race on a shared store), and deleting it mid-write would fail
+      // that installer — a true stale recovery copy is by definition
+      // from a past run, so the gate costs nothing but one run's delay.
       try {
         val parent = p.getParent
+        val cutoff = System.currentTimeMillis() - 3600L * 1000
         if (parent != null && fs.exists(parent))
-          fs.listStatus(parent).map(_.getPath)
-            .filter(_.getName.startsWith(s"${p.getName}.install-"))
-            .foreach(st => fs.delete(st, true))
+          fs.listStatus(parent)
+            .filter(st => st.getPath.getName.startsWith(
+              s"${p.getName}.install-") && st.getModificationTime < cutoff)
+            .foreach(st => fs.delete(st.getPath, true))
       } catch { case e: Throwable =>
         System.err.println(s"install stale-scratch sweep ($path): $e") }
     } finally {

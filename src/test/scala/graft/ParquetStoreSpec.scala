@@ -193,11 +193,19 @@ class ParquetStoreSpec extends SparkSpec {
     val stale = new java.io.File(path + ".install-deadbeef")
     assert(stale.mkdirs())
     Files.write(stale.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+    // the sweep is AGE-GATED (1 h) so it can never race another JVM's
+    // in-flight install of the same path — age the fake copy past it
+    assert(stale.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000))
+    // a FRESH sibling (another installer's live tmp) must survive
+    val live = new java.io.File(path + ".install-cafebabe")
+    assert(live.mkdirs())
     ParquetStore.installOverwrite(
       Tables.documents(spark, sfDir).select("doc_id"), path)
     assert(spark.read.parquet(path).count() ==
       Tables.documents(spark, sfDir).count())
     assert(!stale.exists(), "stale recovery copy must be swept")
+    assert(live.exists(), "a fresh sibling tmp must never be touched")
+    live.delete()
     assert(!new java.io.File(path + ".old").exists())
   }
 }
