@@ -103,12 +103,30 @@ object Bench {
     *  - spark_ms: a fixed spark.range fold through codegen'd xxhash64
     *    (second run of two, so plan compilation is excluded) — the
     *    Spark executor path itself.
+    * r15 (the r14 verdict item 1 — the three CPU arms came back HEALTHY
+    * on a driver roll whose t37 still ran 2.0x, so the probe must also
+    * see the axes t37 uniquely stresses: shuffle disk, page-cache state
+    * on the corpus input, and multi-stage job-submission latency):
+    *  - shuf_ms: a fixed two-stage shuffle job — 2^22 rows hashed into
+    *    a 64-partition repartition Exchange (~64 MB shuffle write+read
+    *    through local disk) then a 997-key aggregate — min of 2 after a
+    *    compile-discard run; slow shuffle spill devices and scheduler
+    *    latency show here while the pure-compute arms stay green;
+    *  - scan1_ms / scan_ms: a full scan of the roll's REAL
+    *    documents.parquet text column (sum of lengths — forces column
+    *    read + decompression). scan1 is the FIRST read (page-cache
+    *    state: by probe time the session warmup + t37 pre-warm have
+    *    read the corpus, so a big scan1 means the cache was evicted —
+    *    memory pressure); scan_ms is the min of the next two (steady
+    *    scan throughput).
     * Builder-box reference values live in SURVEY §6b next to the roll;
     * a driver roll's t37 (or total) premium is adjudicated by the
-    * probe ratio: probe slow too => box; probe healthy => mechanism.
-    * Costs ~1-2 s per invocation — outside every timed window.
+    * probe ratio: probe slow too => box (now with the failing axis
+    * named); probe healthy => mechanism. Costs ~3-4 s per invocation —
+    * outside every timed window.
     */
-  private def boxProbe(spark: SparkSession, nThreads: Int): String = {
+  private def boxProbe(spark: SparkSession, nThreads: Int,
+      sfDir: String): String = {
     val iters = 1L << 27
     var sink = cpuWork(1L << 20, 7) // JIT-warm the loop before timing
     val t0 = System.nanoTime()
@@ -131,9 +149,30 @@ object Bench {
     }
     sparkOnce() // first run carries codegen compile; discard
     val spMs = math.min(sparkOnce(), sparkOnce()) // min sheds JIT ramp
+    import org.apache.spark.sql.functions.{length, pmod}
+    def shufOnce(): Double = {
+      val t = System.nanoTime()
+      spark.range(1L << 22)
+        .select(pmod(col("id"), lit(997L)).as("k"), col("id"))
+        .repartition(64, col("k"))
+        .groupBy("k").agg(sum(col("id")).as("s"))
+        .select(sum(col("s"))).head()
+      (System.nanoTime() - t) / 1e6
+    }
+    shufOnce() // compile discard
+    val shufMs = math.min(shufOnce(), shufOnce())
+    def scanOnce(): Double = {
+      val t = System.nanoTime()
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(sum(length(col("text")))).head()
+      (System.nanoTime() - t) / 1e6
+    }
+    val scan1Ms = scanOnce() // page-cache state (see Scaladoc)
+    val scanMs = math.min(scanOnce(), scanOnce())
     if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
     s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
-      s""""spark_ms":${math.round(spMs)}}"""
+      s""""spark_ms":${math.round(spMs)},"shuf_ms":${math.round(shufMs)},""" +
+      s""""scan1_ms":${math.round(scan1Ms)},"scan_ms":${math.round(scanMs)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -316,7 +355,7 @@ object Bench {
       } catch { case _: Throwable => 0L }
     // roll-start box state, measured after session warmup so JVM
     // startup/classloading noise stays out of the probe
-    val probeStart = try boxProbe(spark, cpus.toInt)
+    val probeStart = try boxProbe(spark, cpus.toInt, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"BENCH PROBE: $e"); "null" }
     val results: Map[String, (Double, Double, Boolean, Double)] =
@@ -332,7 +371,19 @@ object Bench {
           // pair the wrong numbers in the artifact
           val (cg0, jit0) = (cgCount, jitMs)
           val warmTimes = (0 until warmups).map { i =>
-            val t = once(fn)
+            // t37's cold slot additionally collects per-pass wall times
+            // (r15, verdict item 1): the tail's `t37_passes` localizes
+            // a driver-box cold premium along the pass axis. Armed for
+            // rep 0 only — the timed reps run the plain un-probed path.
+            val collectPasses = name == "t37_span_removal" && i == 0
+            if (collectPasses) {
+              graft.queries.TextQueries.PassWall.reset()
+              graft.queries.TextQueries.PassWall.armed = true
+            }
+            val t =
+              try once(fn)
+              finally if (collectPasses)
+                graft.queries.TextQueries.PassWall.armed = false
             if (i == 0) coldDiag(name) = (cgCount - cg0, jitMs - jit0)
             t
           }
@@ -442,9 +493,20 @@ object Bench {
       .mkString("{", ",", "}")
     // roll-end box state: a box that degraded MID-roll (the r11
     // observed pattern) shows as start healthy / end slow
-    val probeEnd = try boxProbe(spark, cpus.toInt)
+    val probeEnd = try boxProbe(spark, cpus.toInt, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"BENCH PROBE: $e"); "null" }
+    // t37 per-pass wall times from its COLD slot (r15, verdict item 1):
+    // "setup" = the pre-loop winnow/checkpoint steps, "pN" = pass N's
+    // probed materializations; the cold total minus the sum is the
+    // post-loop assembly join + noop write (unprobed by construction —
+    // it is the returned lazy frame). A driver-box premium now
+    // localizes: uniform across passes = box/JIT-wide, concentrated in
+    // p0 = the full-scale join stage, concentrated in setup = corpus
+    // scan/winnow (page cache — read against the probe's scan arms).
+    val t37Passes = graft.queries.TextQueries.PassWall.snapshot
+      .map { case (k, v) => s"\"" + k + "\":" + math.round(v * 1000) / 1000.0 }
+      .mkString("{", ",", "}")
     // cold_diag in the TAIL for the queries a cap/cold debate is ever
     // about (t37 + anything capped); the full per-query maps ride as
     // normal fields below. Format: name -> [cold_compiles, cold_jit_ms].
@@ -459,7 +521,8 @@ object Bench {
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"cap_jvm":$capJvmJson,""" +
       s""""box":{"start":$probeStart,"end":$probeEnd},""" +
-      s""""cold_diag":$coldDiagJson,"slowest10":$slowest10}"""
+      s""""cold_diag":$coldDiagJson,"t37_passes":$t37Passes,""" +
+      s""""slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
       s""""errors":$errs,"capped":$capped,"vs_prev":$vsPrev,""" +

@@ -19,6 +19,24 @@ object RelationalQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** q18's sketch-verdict expressions, shared with the tripwire spec
+    * (r15 ADVICE): the oracle emits CONSTANT-1 verdicts by design, so
+    * the hash compare can confirm an estimate is in-band but cannot
+    * detect a verdict expression degenerating to always-true (a
+    * band-widening typo would silently stop checking the sketches while
+    * the hash stays green). Q18VerdictSpec feeds these exact strings
+    * out-of-band estimates and asserts the verdict flips to 0 — shared
+    * symbols so the spec can never drift from the shipped expressions
+    * (the j46/j47 lesson). Bands: HLL++ at rsd 0.02 → ±10% ≈ 5σ;
+    * approx_percentile ±1 quantity unit (±2 on the ×2-quantized scale).
+    */
+  private[graft] val Q18PartsOkExpr: String =
+    "CASE WHEN abs(ap - n_parts_exact) * 10 <= n_parts_exact " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+  private[graft] val Q18MedianOkExpr: String =
+    "CASE WHEN abs(am * 2 - median_x2) <= 2 " +
+      "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+
   // q32 CMS row hashes: (a, b) pairs for ((a·u + b) % P) % 256
   private val CmsRows: Seq[(Long, Long)] =
     Seq((2654435761L, 17L), (2246822519L, 101L),
@@ -385,10 +403,8 @@ object RelationalQueries {
           expr("approx_percentile(l_quantity, 0.5, 10000)").as("am"))
       parts.join(quants, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("n_parts_exact"), col("median_x2"),
-          expr("CASE WHEN abs(ap - n_parts_exact) * 10 <= n_parts_exact " +
-            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("parts_ok"),
-          expr("CASE WHEN abs(am * 2 - median_x2) <= 2 " +
-            "THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END").as("median_ok"))
+          expr(Q18PartsOkExpr).as("parts_ok"),
+          expr(Q18MedianOkExpr).as("median_ok"))
         .orderBy("l_returnflag")
     },
 

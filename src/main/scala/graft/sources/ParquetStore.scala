@@ -163,35 +163,109 @@ object ParquetStore {
       if (!fs.rename(tmp, p))
         throw new java.io.IOException(s"install: cannot install $tmp at $path")
       fs.delete(old, true)
-      // the new generation is live: sweep any recovery copy a PRIOR
-      // run's failed swap left behind (the keep-fresh-tmp rule below
-      // preserves it across the failure, but once a later install
-      // succeeds it is stale and would otherwise leak a full store
-      // copy under /tmp/graft_stores forever). AGE-GATED to 1 h: a
-      // sibling .install-<uuid> younger than that could be another
-      // JVM's IN-FLIGHT write for the same path (Verify and Bench can
-      // race on a shared store), and deleting it mid-write would fail
-      // that installer — a true stale recovery copy is by definition
-      // from a past run, so the gate costs nothing but one run's delay.
-      try {
-        val parent = p.getParent
-        val cutoff = System.currentTimeMillis() - 3600L * 1000
-        if (parent != null && fs.exists(parent))
-          fs.listStatus(parent)
-            .filter(st => st.getPath.getName.startsWith(
-              s"${p.getName}.install-") && st.getModificationTime < cutoff)
-            .foreach(st => fs.delete(st.getPath, true))
-      } catch { case e: Throwable =>
-        System.err.println(s"install stale-scratch sweep ($path): $e") }
+      // the new generation is live: reclaim stale install scratch (a
+      // prior failed swap's kept recovery copy, age-expired siblings)
+      sweepInstallScratch(fs, p)
     } finally {
       try if (fs.exists(tmp)) {
         if (!written || fs.exists(p)) fs.delete(tmp, true)
-        else System.err.println(
-          s"install: swap failed after move-aside; keeping fresh build at " +
-            s"$tmp (prior generation at $old)")
+        else {
+          System.err.println(
+            s"install: swap failed after move-aside; keeping fresh build at " +
+              s"$tmp (prior generation at $old)")
+          // record WHICH sibling is the kept recovery copy (r15 ADVICE):
+          // a later successful install (or a valid-marker serve) can
+          // then reclaim exactly this dir REGARDLESS of age — within
+          // the 1 h gate the common failed-swap-then-quick-rebuild
+          // sequence otherwise leaks the full-store copy forever once
+          // the store's staleness marker validates. The marker is
+          // written only for a COMPLETE tmp (written = true), so the
+          // recorded dir can never be an in-flight write.
+          try {
+            val out = fs.create(keptMarker(p), true)
+            try out.write(tmp.getName.getBytes("UTF-8")) finally out.close()
+          } catch { case e: Throwable =>
+            System.err.println(s"install kept-copy marker ($tmp): $e") }
+        }
       } catch { case e: Throwable =>
         System.err.println(s"install cleanup ($tmp): $e") }
     }
+  }
+
+  /** `$path.install-kept` — names the recovery copy a failed swap kept. */
+  private def keptMarker(p: org.apache.hadoop.fs.Path) =
+    new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.install-kept")
+
+  /** Newest modification time at or under `p` (r15 ADVICE): the stale-
+    * scratch age gate keys off the RECURSIVE max, not the top-level dir
+    * mtime — during a long Spark write the task output lands under
+    * `_temporary/` while the `.install-` dir keeps its creation mtime,
+    * so a legitimately slow (>1 h) concurrent write would otherwise
+    * look age-expired and get swept mid-write. Cost is bounded: scratch
+    * trees are one store's part files, and the sweep only recurses into
+    * `.install-` siblings (normally none exist).
+    */
+  private def newestMtime(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Long = {
+    val st = fs.getFileStatus(p)
+    var mx = st.getModificationTime
+    if (st.isDirectory)
+      fs.listStatus(p).foreach { c =>
+        mx = math.max(mx, newestMtime(fs, c.getPath))
+      }
+    mx
+  }
+
+  /** Reclaim stale install scratch next to store path `p`. Two classes:
+    * (a) the recovery copy a prior run's failed swap KEPT — its name is
+    * recorded in the `.install-kept` marker, and since the caller holds
+    * a complete live store at `p`, that copy is provably stale and is
+    * reclaimed regardless of age (the r15 ADVICE leak: a quick rebuild
+    * after the failure left the copy younger than the age gate, and the
+    * now-valid staleness marker meant no later install ever swept it);
+    * (b) any other `.install-` sibling older than 1 h by NEWEST
+    * RECURSIVE mtime (see [[newestMtime]]) — an unrecorded leak from a
+    * crashed JVM. A sibling younger than the gate could be another
+    * JVM's in-flight write for the same path (Verify and Bench can race
+    * on a shared store) and is never touched. Never throws: scratch
+    * reclamation must not fail an install or a serve.
+    */
+  private[sources] def sweepInstallScratch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    try {
+      val kept = keptMarker(p)
+      if (fs.exists(kept)) {
+        val in = fs.open(kept)
+        val name = try {
+          val buf = new Array[Byte](256)
+          val n = math.max(0, in.read(buf))
+          new String(buf, 0, n, "UTF-8").trim
+        } finally in.close()
+        // the recorded name is installer-generated (`<store>.install-<8
+        // hex>`); the prefix check keeps a corrupt marker from ever
+        // deleting something that is not this store's install scratch
+        if (name.startsWith(s"${p.getName}.install-")) {
+          val dir = new org.apache.hadoop.fs.Path(p.getParent, name)
+          if (fs.exists(dir)) fs.delete(dir, true)
+        }
+        fs.delete(kept, false)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"install kept-copy sweep ($p): $e") }
+    try {
+      val parent = p.getParent
+      val cutoff = System.currentTimeMillis() - 3600L * 1000
+      if (parent != null && fs.exists(parent))
+        fs.listStatus(parent)
+          .filter { st =>
+            val n = st.getPath.getName
+            n.startsWith(s"${p.getName}.install-") && n != keptMarker(p).getName
+          }
+          .filter(st => newestMtime(fs, st.getPath) < cutoff)
+          .foreach(st => fs.delete(st.getPath, true))
+    } catch { case e: Throwable =>
+      System.err.println(s"install stale-scratch sweep ($p): $e") }
   }
 
   /** Source-content stamp for store-staleness markers: a digest of the
@@ -246,6 +320,28 @@ object ParquetStore {
         storePaths.foreach(p =>
           s.catalog.refreshByPath(new java.io.File(p).getAbsolutePath))
       }
+    } else {
+      // valid-marker (no-rebuild) path: a failed swap's kept recovery
+      // copy is reclaimed HERE too (r15 ADVICE) — in the common
+      // sequence (swap fails, the next run rebuilds within the age
+      // gate's hour) the copy survives the install-time sweep, and
+      // with the marker now valid no further install would ever run
+      // for this store, leaking a full store copy until the next
+      // source regen. A valid marker + existing store proves the kept
+      // copy stale, so the serve-time sweep closes the leak. Guarded
+      // + metadata-only (one listStatus per store path, recursion only
+      // into `.install-` siblings, which normally don't exist).
+      try {
+        val conf = org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sparkContext.hadoopConfiguration)
+          .getOrElse(new org.apache.hadoop.conf.Configuration())
+        storePaths.foreach { sp =>
+          val p = new org.apache.hadoop.fs.Path(
+            new java.io.File(sp).getAbsolutePath)
+          sweepInstallScratch(p.getFileSystem(conf), p)
+        }
+      } catch { case e: Throwable =>
+        System.err.println(s"buildIfStale scratch sweep ($metaPath): $e") }
     }
   }
 

@@ -101,4 +101,28 @@ class BenchGuardSpec extends AnyFunSuite {
     val node = om.readTree(s"""{"v":"${Bench.jsonEsc(raw)}"}""")
     assert(node.get("v").asText() == raw)
   }
+
+  test("PassWall buckets t37 step labels by pass and aggregates wall time") {
+    // the r15 probe extension: Bench arms this collector around t37's
+    // cold slot and emits the snapshot as the tail's `t37_passes` — the
+    // label→bucket mapping and the per-bucket accumulation are what
+    // make the artifact field readable, so they are pinned here
+    import graft.queries.TextQueries.PassWall
+    assert(PassWall.bucket("docs ckpt") == "setup")
+    assert(PassWall.bucket("capN count") == "setup")
+    assert(PassWall.bucket("fpsBase winnow+ckpt") == "setup")
+    assert(PassWall.bucket("pass 0 stats ckpt") == "p0")
+    assert(PassWall.bucket("pass 0 cutFromSliced out ckpt") == "p0")
+    assert(PassWall.bucket("pass 3 delta ckpt") == "p3")
+    assert(PassWall.bucket("pass 12 count") == "p12")
+    PassWall.reset()
+    PassWall.record("pass 0 stats ckpt", 1500000000L)
+    PassWall.record("pass 0 count", 500000000L)
+    PassWall.record("docs ckpt", 250000000L)
+    val snap = PassWall.snapshot.toMap
+    assert(math.abs(snap("p0") - 2.0) < 1e-9, s"p0 must aggregate: $snap")
+    assert(math.abs(snap("setup") - 0.25) < 1e-9)
+    PassWall.reset()
+    assert(PassWall.snapshot.isEmpty)
+  }
 }

@@ -194,18 +194,84 @@ class ParquetStoreSpec extends SparkSpec {
     assert(stale.mkdirs())
     Files.write(stale.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
     // the sweep is AGE-GATED (1 h) so it can never race another JVM's
-    // in-flight install of the same path — age the fake copy past it
-    assert(stale.setLastModified(System.currentTimeMillis() - 2 * 3600L * 1000))
+    // in-flight install of the same path — age the fake copy past it.
+    // The gate keys off the NEWEST RECURSIVE mtime (r15 ADVICE), so
+    // every entry must be aged, not just the top-level dir
+    val aged = System.currentTimeMillis() - 2 * 3600L * 1000
+    assert(stale.toPath.resolve("part-junk").toFile.setLastModified(aged))
+    assert(stale.setLastModified(aged))
     // a FRESH sibling (another installer's live tmp) must survive
     val live = new java.io.File(path + ".install-cafebabe")
     assert(live.mkdirs())
+    // ... and so must an old-looking dir whose CONTENTS are fresh — the
+    // long-write shape (top-level .install- mtime is set at creation,
+    // task output lands under _temporary/ later), which the r14
+    // top-level-mtime gate would have deleted mid-write (r15 ADVICE)
+    val slow = new java.io.File(path + ".install-0badc0de")
+    assert(new java.io.File(slow, "_temporary").mkdirs())
+    Files.write(slow.toPath.resolve("_temporary").resolve("task-part"),
+      "y".getBytes("UTF-8")) // fresh mtime
+    assert(slow.setLastModified(aged)) // top level looks age-expired
     ParquetStore.installOverwrite(
       Tables.documents(spark, sfDir).select("doc_id"), path)
     assert(spark.read.parquet(path).count() ==
       Tables.documents(spark, sfDir).count())
     assert(!stale.exists(), "stale recovery copy must be swept")
     assert(live.exists(), "a fresh sibling tmp must never be touched")
+    assert(slow.exists(),
+      "an in-flight write (fresh contents under an old dir) must survive")
     live.delete()
+    org.apache.commons.io.FileUtils.deleteDirectory(slow)
     assert(!new java.io.File(path + ".old").exists())
+  }
+
+  test("a recorded kept recovery copy is reclaimed regardless of age (r15 ADVICE)") {
+    // the r14 leak: swap fails (copy kept), the next run rebuilds WITHIN
+    // the 1 h gate — the copy is younger than the gate, survives the
+    // install-time sweep, and buildIfStale's now-valid marker means no
+    // further install ever runs, so the full-store copy leaks forever.
+    // The fix records the kept copy's name in a `.install-kept` marker;
+    // a later SUCCESS proves it stale and reclaims it regardless of age.
+    val parent = Files.createTempDirectory("graft_keptinst").toString
+    val path = parent + "/store"
+    val kept = new java.io.File(path + ".install-12ab34cd")
+    assert(kept.mkdirs())
+    Files.write(kept.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(path + ".install-kept"),
+      "store.install-12ab34cd".getBytes("UTF-8"))
+    // fresh mtime on purpose: the age gate must NOT protect it
+    ParquetStore.installOverwrite(
+      Tables.documents(spark, sfDir).select("doc_id"), path)
+    assert(!kept.exists(), "recorded kept copy must be reclaimed on success")
+    assert(!new java.io.File(path + ".install-kept").exists(),
+      "the kept-copy marker must be consumed")
+
+    // ... and on buildIfStale's VALID-marker (no-rebuild) path too: the
+    // serve-time sweep is what closes the leak once the marker validates
+    val kept2 = new java.io.File(path + ".install-56ef78ab")
+    assert(kept2.mkdirs())
+    Files.write(kept2.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+    Files.write(java.nio.file.Paths.get(path + ".install-kept"),
+      "store.install-56ef78ab".getBytes("UTF-8"))
+    val meta = parent + "/store.meta"
+    Files.write(java.nio.file.Paths.get(meta), "v1".getBytes("UTF-8"))
+    var built = false
+    ParquetStore.buildIfStale(meta, "v1", Seq(path)) { built = true }
+    assert(!built, "valid marker + existing store must not rebuild")
+    assert(!kept2.exists(),
+      "valid-marker serve must reclaim the recorded kept copy")
+    assert(!new java.io.File(path + ".install-kept").exists())
+
+    // a corrupt marker naming something that is NOT this store's
+    // install scratch must never delete it
+    val bystander = new java.io.File(parent + "/other-dir")
+    assert(bystander.mkdirs())
+    Files.write(java.nio.file.Paths.get(path + ".install-kept"),
+      "other-dir".getBytes("UTF-8"))
+    ParquetStore.buildIfStale(meta, "v1", Seq(path)) { built = true }
+    assert(!built)
+    assert(bystander.exists(), "a corrupt marker must not delete bystanders")
+    assert(!new java.io.File(path + ".install-kept").exists(),
+      "a corrupt marker is still consumed")
   }
 }
