@@ -74,6 +74,56 @@ object Bench {
     case c => c.toString
   }
 
+  /** Scheduler/task telemetry for t37's cold slot (r15, the r14 verdict
+    * item 1's last unprobed axis): accumulates job/stage/task counts and
+    * the tasks' wall (`task_ms` = sum of TaskInfo.duration), executor
+    * run (`run_ms` = executorRunTime), and GC (`gc_ms`) time over the
+    * window it is registered for. The decisive split for a driver-box
+    * premium: cold wall 2x with run_ms FLAT = the time went to GAPS
+    * (job submission, task launch, inter-stage idle — scheduler axis,
+    * read with the probe's jobs_ms arm); run_ms itself 2x = the tasks
+    * computed slower (CPU/IO axis, read with st/shuf/scan). Events post
+    * async on the listener bus, so the reader polls until counts
+    * stabilize before snapshotting — telemetry-grade, not a barrier.
+    */
+  private[graft] final class SchedStats extends org.apache.spark.scheduler.SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val taskMs = new java.util.concurrent.atomic.AtomicLong
+    val runMs = new java.util.concurrent.atomic.AtomicLong
+    val gcMs = new java.util.concurrent.atomic.AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      jobs.incrementAndGet(); ()
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+      stages.incrementAndGet(); ()
+    }
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      if (t.taskInfo != null) { taskMs.addAndGet(t.taskInfo.duration); () }
+      if (t.taskMetrics != null) {
+        runMs.addAndGet(t.taskMetrics.executorRunTime)
+        gcMs.addAndGet(t.taskMetrics.jvmGCTime); ()
+      }
+    }
+    /** Wait (bounded) for the async bus to drain: two consecutive
+      * identical task counts 50 ms apart, up to ~2 s. */
+    def settle(): Unit = {
+      var prev = -1L; var spins = 0
+      while (tasks.get() != prev && spins < 40) {
+        prev = tasks.get(); Thread.sleep(50); spins += 1
+      }
+    }
+    def json: String =
+      s"""{"jobs":${jobs.get()},"stages":${stages.get()},""" +
+        s""""tasks":${tasks.get()},"task_ms":${taskMs.get()},""" +
+        s""""run_ms":${runMs.get()},"gc_ms":${gcMs.get()}}"""
+  }
+
   /** Fixed-seed xorshift64* mix — the box probe's unit of CPU work.
     * Pure integer ALU, no allocation, no memory traffic beyond the two
     * locals: measures clock/turbo state, not cache or GC. The returned
@@ -169,10 +219,26 @@ object Bench {
     }
     val scan1Ms = scanOnce() // page-cache state (see Scaladoc)
     val scanMs = math.min(scanOnce(), scanOnce())
+    // jobs_ms (r15): 20 consecutive trivial actions on one cached plan —
+    // pure per-job fixed cost (DAG submit, task scheduling/launch IPC,
+    // result fetch), no codegen (same generated class every iteration)
+    // and ~zero compute. t37 is the roll's most job-intensive query
+    // (~20 jobs/pass x 4 passes), so a driver box whose premium lives in
+    // job-submission latency shows here at 80x the per-job delta while
+    // every other arm stays green.
+    def jobsOnce(): Double = {
+      val t = System.nanoTime()
+      var i = 0
+      while (i < 20) { spark.range(1024).selectExpr("sum(id)").head(); i += 1 }
+      (System.nanoTime() - t) / 1e6
+    }
+    jobsOnce() // compile discard
+    val jobsMs = math.min(jobsOnce(), jobsOnce())
     if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
     s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
       s""""spark_ms":${math.round(spMs)},"shuf_ms":${math.round(shufMs)},""" +
-      s""""scan1_ms":${math.round(scan1Ms)},"scan_ms":${math.round(scanMs)}}"""
+      s""""scan1_ms":${math.round(scan1Ms)},"scan_ms":${math.round(scanMs)},""" +
+      s""""jobs_ms":${math.round(jobsMs)}}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -340,6 +406,8 @@ object Bench {
     // large compile delta is the compilation mechanism resurfacing.
     // Cheap (two counter reads per query), carried in the artifact.
     val coldDiag = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    // registered around t37's cold slot only (see the warmup loop)
+    val t37Sched = new SchedStats
     def cgCount: Long = org.apache.spark.metrics.source.CodegenMetrics
       .METRIC_COMPILATION_TIME.getCount
     // the bean is null on JVMs without a compilation system (-Xint) and
@@ -379,11 +447,15 @@ object Bench {
             if (collectPasses) {
               graft.queries.TextQueries.PassWall.reset()
               graft.queries.TextQueries.PassWall.armed = true
+              spark.sparkContext.addSparkListener(t37Sched)
             }
             val t =
               try once(fn)
-              finally if (collectPasses)
+              finally if (collectPasses) {
                 graft.queries.TextQueries.PassWall.armed = false
+                t37Sched.settle()
+                spark.sparkContext.removeSparkListener(t37Sched)
+              }
             if (i == 0) coldDiag(name) = (cgCount - cg0, jitMs - jit0)
             t
           }
@@ -522,7 +594,7 @@ object Bench {
       s""""n_errors":${results.size - ok.size},"cap_jvm":$capJvmJson,""" +
       s""""box":{"start":$probeStart,"end":$probeEnd},""" +
       s""""cold_diag":$coldDiagJson,"t37_passes":$t37Passes,""" +
-      s""""slowest10":$slowest10}"""
+      s""""t37_sched":${t37Sched.json},"slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
       s""""errors":$errs,"capped":$capped,"vs_prev":$vsPrev,""" +

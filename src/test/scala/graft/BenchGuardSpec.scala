@@ -125,4 +125,26 @@ class BenchGuardSpec extends AnyFunSuite {
     PassWall.reset()
     assert(PassWall.snapshot.isEmpty)
   }
+
+  test("SchedStats accumulates job/stage/task telemetry and renders JSON") {
+    // the r15 t37_sched field: a driver-box cold premium decomposes into
+    // "task time grew" (run_ms tracks the wall) vs "gaps grew" (run_ms
+    // flat while wall doubles — the scheduler axis). The accumulator and
+    // its JSON shape are what the adjudication reads, so pin them.
+    val spark = SparkSpec.session
+    val s = new Bench.SchedStats
+    spark.sparkContext.addSparkListener(s)
+    try {
+      spark.range(1L << 16).selectExpr("sum(id)").head()
+      s.settle()
+    } finally spark.sparkContext.removeSparkListener(s)
+    assert(s.jobs.get() >= 1 && s.stages.get() >= 1 && s.tasks.get() >= 1,
+      s"telemetry must accumulate: ${s.json}")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(s.json)
+    assert(node.get("tasks").asLong() == s.tasks.get())
+    assert(node.get("task_ms").asLong() >= 0 && node.get("gc_ms").asLong() >= 0)
+    // a fresh instance renders all-zero (the not-benched shape in the tail)
+    assert(om.readTree(new Bench.SchedStats().json).get("jobs").asLong() == 0)
+  }
 }
