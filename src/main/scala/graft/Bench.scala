@@ -190,6 +190,15 @@ object Bench {
     ths.foreach(_.start()); ths.foreach(_.join())
     val mtMs = (System.nanoTime() - t1) / 1e6
     import org.apache.spark.sql.functions.{col, lit, shiftright, sum, xxhash64}
+    // each Spark arm degrades independently to -1 (r15 review): the
+    // scan arm reads $sfDir data and the shuffle arm touches local
+    // disk, and one failing arm (e.g. a mid-regen testdata dir) must
+    // not null the whole probe — the pure-compute anchors are exactly
+    // what a slow-roll adjudication needs most
+    def arm(f: => Double): Long =
+      try math.round(f)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH PROBE ARM: $e"); -1L }
     def sparkOnce(): Double = {
       val t = System.nanoTime()
       // shiftright keeps the 2^23-row sum inside a long under ANSI mode
@@ -197,8 +206,10 @@ object Bench {
         .select(sum(shiftright(xxhash64(col("id"), lit(42)), 32))).head()
       (System.nanoTime() - t) / 1e6
     }
-    sparkOnce() // first run carries codegen compile; discard
-    val spMs = math.min(sparkOnce(), sparkOnce()) // min sheds JIT ramp
+    val spMs = arm {
+      sparkOnce() // first run carries codegen compile; discard
+      math.min(sparkOnce(), sparkOnce()) // min sheds JIT ramp
+    }
     import org.apache.spark.sql.functions.{length, pmod}
     def shufOnce(): Double = {
       val t = System.nanoTime()
@@ -209,16 +220,23 @@ object Bench {
         .select(sum(col("s"))).head()
       (System.nanoTime() - t) / 1e6
     }
-    shufOnce() // compile discard
-    val shufMs = math.min(shufOnce(), shufOnce())
+    val shufMs = arm {
+      shufOnce() // compile discard
+      math.min(shufOnce(), shufOnce())
+    }
     def scanOnce(): Double = {
       val t = System.nanoTime()
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select(sum(length(col("text")))).head()
       (System.nanoTime() - t) / 1e6
     }
-    val scan1Ms = scanOnce() // page-cache state (see Scaladoc)
-    val scanMs = math.min(scanOnce(), scanOnce())
+    // page-cache state (see Scaladoc). NB the START probe's scan1 also
+    // carries the scan plan's one-time codegen compile (~0.1 s healthy)
+    // — the END probe's scan1 reuses the cached generated class, so the
+    // clean page-cache read is END scan1 vs scan_ms; a START-only scan1
+    // premium of ~compile size is the compiler, not the cache.
+    val scan1Ms = arm(scanOnce())
+    val scanMs = arm(math.min(scanOnce(), scanOnce()))
     // jobs_ms (r15): 20 consecutive trivial actions on one cached plan —
     // pure per-job fixed cost (DAG submit, task scheduling/launch IPC,
     // result fetch), no codegen (same generated class every iteration)
@@ -232,13 +250,15 @@ object Bench {
       while (i < 20) { spark.range(1024).selectExpr("sum(id)").head(); i += 1 }
       (System.nanoTime() - t) / 1e6
     }
-    jobsOnce() // compile discard
-    val jobsMs = math.min(jobsOnce(), jobsOnce())
+    val jobsMs = arm {
+      jobsOnce() // compile discard
+      math.min(jobsOnce(), jobsOnce())
+    }
     if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
     s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
-      s""""spark_ms":${math.round(spMs)},"shuf_ms":${math.round(shufMs)},""" +
-      s""""scan1_ms":${math.round(scan1Ms)},"scan_ms":${math.round(scanMs)},""" +
-      s""""jobs_ms":${math.round(jobsMs)}}"""
+      s""""spark_ms":$spMs,"shuf_ms":$shufMs,""" +
+      s""""scan1_ms":$scan1Ms,"scan_ms":$scanMs,""" +
+      s""""jobs_ms":$jobsMs}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -450,13 +470,19 @@ object Bench {
               spark.sparkContext.addSparkListener(t37Sched)
             }
             val t =
-              try once(fn)
-              finally if (collectPasses) {
+              try {
+                val el = once(fn)
+                // delta read BEFORE the finally's settle() below: the
+                // 0.1-2 s bus-drain sleep would otherwise add post-run
+                // background JIT to exactly the artifact field the
+                // cold-premium adjudication reads, and only for t37
+                if (i == 0) coldDiag(name) = (cgCount - cg0, jitMs - jit0)
+                el
+              } finally if (collectPasses) {
                 graft.queries.TextQueries.PassWall.armed = false
                 t37Sched.settle()
                 spark.sparkContext.removeSparkListener(t37Sched)
               }
-            if (i == 0) coldDiag(name) = (cgCount - cg0, jitMs - jit0)
             t
           }
           if (warmTimes.nonEmpty) cold = warmTimes.min

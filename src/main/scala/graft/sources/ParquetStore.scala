@@ -180,9 +180,22 @@ object ParquetStore {
           // sequence otherwise leaks the full-store copy forever once
           // the store's staleness marker validates. The marker is
           // written only for a COMPLETE tmp (written = true), so the
-          // recorded dir can never be an in-flight write.
+          // recorded dir can never be an in-flight write. A SECOND
+          // consecutive failed swap must not orphan the first kept
+          // copy by overwriting its record (r15 review): this newer
+          // complete tmp supersedes it, so the previously recorded
+          // copy is reclaimed before the marker is rewritten.
           try {
-            val out = fs.create(keptMarker(p), true)
+            val marker = keptMarker(p)
+            if (fs.exists(marker)) {
+              val prev = readKeptMarker(fs, marker)
+              if (prev.startsWith(s"${p.getName}.install-") &&
+                  prev != tmp.getName) {
+                val dir = new org.apache.hadoop.fs.Path(p.getParent, prev)
+                if (fs.exists(dir)) fs.delete(dir, true)
+              }
+            }
+            val out = fs.create(marker, true)
             try out.write(tmp.getName.getBytes("UTF-8")) finally out.close()
           } catch { case e: Throwable =>
             System.err.println(s"install kept-copy marker ($tmp): $e") }
@@ -195,6 +208,17 @@ object ParquetStore {
   /** `$path.install-kept` — names the recovery copy a failed swap kept. */
   private def keptMarker(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.install-kept")
+
+  /** The dir name a kept-copy marker records ("" when unreadable). */
+  private def readKeptMarker(fs: org.apache.hadoop.fs.FileSystem,
+      kept: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(kept)
+    try {
+      val buf = new Array[Byte](256)
+      val n = math.max(0, in.read(buf))
+      new String(buf, 0, n, "UTF-8").trim
+    } finally in.close()
+  }
 
   /** Newest modification time at or under `p` (r15 ADVICE): the stale-
     * scratch age gate keys off the RECURSIVE max, not the top-level dir
@@ -236,27 +260,35 @@ object ParquetStore {
     try {
       val kept = keptMarker(p)
       if (fs.exists(kept)) {
-        val in = fs.open(kept)
-        val name = try {
-          val buf = new Array[Byte](256)
-          val n = math.max(0, in.read(buf))
-          new String(buf, 0, n, "UTF-8").trim
-        } finally in.close()
+        val name = readKeptMarker(fs, kept)
         // the recorded name is installer-generated (`<store>.install-<8
         // hex>`); the prefix check keeps a corrupt marker from ever
-        // deleting something that is not this store's install scratch
+        // deleting something that is not this store's install scratch.
+        // The live store is re-checked IMMEDIATELY before the delete
+        // (r15 review): between the caller's staleness check and this
+        // sweep, a concurrent installer can move the live store aside
+        // and fail ITS swap — at which point the recorded copy may be
+        // the freshest complete data again and must survive (marker
+        // kept too, so a later healthy serve retries the reclaim).
         if (name.startsWith(s"${p.getName}.install-")) {
-          val dir = new org.apache.hadoop.fs.Path(p.getParent, name)
-          if (fs.exists(dir)) fs.delete(dir, true)
-        }
-        fs.delete(kept, false)
+          if (fs.exists(p)) {
+            val dir = new org.apache.hadoop.fs.Path(p.getParent, name)
+            if (fs.exists(dir)) fs.delete(dir, true)
+            fs.delete(kept, false)
+          }
+        } else fs.delete(kept, false) // corrupt marker: consume, touch nothing
       }
     } catch { case e: Throwable =>
       System.err.println(s"install kept-copy sweep ($p): $e") }
     try {
       val parent = p.getParent
       val cutoff = System.currentTimeMillis() - 3600L * 1000
-      if (parent != null && fs.exists(parent))
+      // like the kept-copy branch, the age sweep only runs beside a
+      // LIVE store (r15 review): in the mid-recovery state (store moved
+      // aside by a failed concurrent swap) an aged sibling can be the
+      // freshest complete copy, and reclamation can always wait for the
+      // next healthy serve/install
+      if (parent != null && fs.exists(p) && fs.exists(parent))
         fs.listStatus(parent)
           .filter { st =>
             val n = st.getPath.getName
