@@ -62,6 +62,44 @@ object Bench {
     flags.partition { case (k, ratio, capped) =>
       !capped || ratio > 1.0 || !prevCapped.contains(k) }
 
+  /** Box fingerprint (r16, the r15 verdict item 2): the in-repo
+    * `BENCH_full.json` baseline is whatever roll was committed last —
+    * driver rolls and builder rolls alternate, so every round the
+    * vs_prev flags' meaning silently flipped between same-box and
+    * cross-box ratios and §6b had to re-explain it in prose. Each roll
+    * now stamps a short hostname digest (`box_fp`) into its artifact;
+    * the next roll compares fingerprints and self-labels its flags
+    * (`cross_box`). A DIGEST, not the raw hostname: the artifact is
+    * committed, and the fingerprint only needs equality, not identity.
+    */
+  private[graft] def boxFingerprint(host: String): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.digest(host.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+  }
+
+  /** The vs_prev baseline label (r16, verdict item 2): given this
+    * roll's box fingerprint + START-probe CPU anchors and the committed
+    * baseline roll's, returns
+    *  - `cross_box`: Some(true/false) when the baseline carries a
+    *    fingerprint (rolls before r16 do not → None = unknown);
+    *  - `box_ratio`: (st, mt) = current/baseline start-probe ratios,
+    *    2 dp — the box-STATE axis, meaningful even same-box (a degraded
+    *    start window shows as st/mt ratios off 1.0; the r15 driver
+    *    roll's shuf-only degradation is why the probe keeps st_ms as
+    *    the stability anchor). None when either side lacks a probe.
+    */
+  private[graft] def baselineLabel(curFp: String, prevFp: Option[String],
+      curSt: Long, curMt: Long, prevSt: Option[Long], prevMt: Option[Long])
+      : (Option[Boolean], Option[(Double, Double)]) = {
+    val cross = prevFp.map(_ != curFp)
+    def ratio(cur: Long, prev: Option[Long]): Option[Double] =
+      prev.filter(_ > 0).filter(_ => cur > 0)
+        .map(p => math.round(cur.toDouble / p * 100) / 100.0)
+    val ratios = for { st <- ratio(curSt, prevSt); mt <- ratio(curMt, prevMt) }
+      yield (st, mt)
+    (cross, ratios)
+  }
+
   /** JSON string escaping for free-form telemetry values (JVM pool
     * names vary across JDKs). Control chars < 0x20 are escaped too
     * (r13 ADVICE): a newline/tab would otherwise corrupt exactly the
@@ -111,11 +149,16 @@ object Bench {
       }
     }
     /** Wait (bounded) for the async bus to drain: two consecutive
-      * identical task counts 50 ms apart, up to ~2 s. */
+      * identical event counts 50 ms apart, up to ~2 s. Watches the
+      * COMBINED jobs+stages+tasks counter (r16, the r15 ADVICE): job/
+      * stage-completed events post on the same async bus but can arrive
+      * AFTER the final onTaskEnd, so a tasks-only watch could snapshot
+      * with the job/stage counts still draining. */
     def settle(): Unit = {
       var prev = -1L; var spins = 0
-      while (tasks.get() != prev && spins < 40) {
-        prev = tasks.get(); Thread.sleep(50); spins += 1
+      def combined = jobs.get() + stages.get() + tasks.get()
+      while (combined != prev && spins < 40) {
+        prev = combined; Thread.sleep(50); spins += 1
       }
     }
     def json: String =
@@ -176,7 +219,7 @@ object Bench {
     * outside every timed window.
     */
   private def boxProbe(spark: SparkSession, nThreads: Int,
-      sfDir: String): String = {
+      sfDir: String): (String, Long, Long) = {
     val iters = 1L << 27
     var sink = cpuWork(1L << 20, 7) // JIT-warm the loop before timing
     val t0 = System.nanoTime()
@@ -255,10 +298,13 @@ object Bench {
       math.min(jobsOnce(), jobsOnce())
     }
     if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
-    s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
+    // the CPU anchors ride back as numerics too (r16): the vs_prev
+    // baseline label computes current/baseline start-probe ratios
+    val json = s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
       s""""spark_ms":$spMs,"shuf_ms":$shufMs,""" +
       s""""scan1_ms":$scan1Ms,"scan_ms":$scanMs,""" +
       s""""jobs_ms":$jobsMs}"""
+    (json, math.round(stMs), math.round(mtMs))
   }
 
   def main(args: Array[String]): Unit = {
@@ -443,9 +489,15 @@ object Bench {
       } catch { case _: Throwable => 0L }
     // roll-start box state, measured after session warmup so JVM
     // startup/classloading noise stays out of the probe
-    val probeStart = try boxProbe(spark, cpus.toInt, sfDir)
+    val (probeStart, curSt, curMt) = try boxProbe(spark, cpus.toInt, sfDir)
       catch { case e: Throwable =>
-        System.err.println(s"BENCH PROBE: $e"); "null" }
+        System.err.println(s"BENCH PROBE: $e"); ("null", -1L, -1L) }
+    // this roll's box identity, stamped into the artifact so the NEXT
+    // roll's vs_prev can self-label cross-box baselines (r16, verdict
+    // item 2); hostname resolution can fail → "unknown" hashes fine
+    val boxFp = boxFingerprint(
+      scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+        .getOrElse(sys.env.getOrElse("HOSTNAME", "unknown")))
     val results: Map[String, (Double, Double, Boolean, Double)] =
       selected.map { case (name, fn) =>
         // cold survives a later-rep crash: "ran cold fine, crashed
@@ -536,7 +588,7 @@ object Bench {
     // report).
     val vsPrev: String = try {
       val f = java.nio.file.Paths.get("BENCH_full.json")
-      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"flagged":{},"still_capped":{}}"""
+      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"flagged":{},"still_capped":{}}"""
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(f))
@@ -553,6 +605,24 @@ object Bench {
           while (it.hasNext) { val k = it.next(); b += k -> prevQ.get(k).asDouble }
           b.result()
         }
+        // baseline box identity + state (r16, verdict item 2): flags
+        // against another machine's roll are cross-box ratios and must
+        // say so in the artifact, not in next round's §6b prose
+        val prevFp = Option(root.path("box_fp").asText(null)).filter(_.nonEmpty)
+        val prevStart = root.path("tail").path("box").path("start")
+        def prevArm(k: String): Option[Long] = {
+          val n = prevStart.path(k)
+          if (n.isNumber && n.asLong > 0) Some(n.asLong) else None
+        }
+        val (crossBox, boxRatio) = baselineLabel(boxFp, prevFp,
+          curSt, curMt, prevArm("st_ms"), prevArm("mt_ms"))
+        val cbStr = crossBox.map(_.toString).getOrElse("null")
+        val crossTag = if (crossBox.contains(true)) " [CROSS-BOX baseline]" else ""
+        System.err.println(
+          s"BENCH VS_PREV BASELINE: box_fp $boxFp vs prev " +
+            s"${prevFp.getOrElse("<none>")} (cross_box=$cbStr)" +
+            boxRatio.map { case (st, mt) =>
+              s" start-probe ratio st=${st}x mt=${mt}x" }.getOrElse(""))
         val (regressed, cappedNotWorse) =
           splitFlags(vsPrevFlags(results, prevQMap, prevCapped), prevCapped)
         regressed.foreach { case (k, r, isCapped) =>
@@ -561,19 +631,23 @@ object Bench {
               " (STILL CAPPED, ratio is cold-vs-prev-cold)"
             else if (isCapped) " (NEWLY CAPPED, ratio is cold-vs-prev-warm)"
             else ""
-          System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min$tag") }
+          System.err.println(s"BENCH REGRESSION FLAG $k: ${r}x vs prev warm-min$tag$crossTag") }
         cappedNotWorse.foreach { case (k, r, _) =>
           System.err.println(
             s"BENCH STILL CAPPED $k: ${r}x vs prev (cold not worse — not a regression)") }
         def m(xs: Seq[(String, Double, Boolean)]): String =
           xs.map { case (k, r, _) => s"\"" + k + "\":" + r }
             .mkString("{", ",", "}")
+        val pfStr = prevFp.map("\"" + _ + "\"").getOrElse("null")
+        val brStr = boxRatio.map { case (st, mt) =>
+          s"""{"st":$st,"mt":$mt}""" }.getOrElse("null")
         s"""{"prev_total":${root.path("value").asDouble},""" +
+          s""""prev_box_fp":$pfStr,"cross_box":$cbStr,"box_ratio":$brStr,""" +
           s""""flagged":${m(regressed)},"still_capped":${m(cappedNotWorse)}}"""
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"flagged":{},"still_capped":{}}"""
+        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"flagged":{},"still_capped":{}}"""
     }
     // Headline summary as the very LAST field: the driver stores a
     // front-truncated tail of this line, so totals + the slowest-10 must
@@ -591,7 +665,7 @@ object Bench {
       .mkString("{", ",", "}")
     // roll-end box state: a box that degraded MID-roll (the r11
     // observed pattern) shows as start healthy / end slow
-    val probeEnd = try boxProbe(spark, cpus.toInt, sfDir)
+    val probeEnd = try boxProbe(spark, cpus.toInt, sfDir)._1
       catch { case e: Throwable =>
         System.err.println(s"BENCH PROBE: $e"); "null" }
     // t37 per-pass wall times from its COLD slot (r15, verdict item 1):
@@ -618,10 +692,11 @@ object Bench {
         .mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"cap_jvm":$capJvmJson,""" +
-      s""""box":{"start":$probeStart,"end":$probeEnd},""" +
+      s""""box":{"fp":"$boxFp","start":$probeStart,"end":$probeEnd},""" +
       s""""cold_diag":$coldDiagJson,"t37_passes":$t37Passes,""" +
       s""""t37_sched":${t37Sched.json},"slowest10":$slowest10}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir",""" +
+      s""""box_fp":"$boxFp",""" +
       s""""reps":$reps,"warmups":$warmups,"noise_floor_med_spread":$noiseMed,""" +
       s""""errors":$errs,"capped":$capped,"vs_prev":$vsPrev,""" +
       s""""cold_compiles":${fmtLongMap(_._1)},""" +

@@ -731,11 +731,16 @@ object TextQueries {
     private[graft] def bucket(label: String): String =
       "pass (\\d+)".r.findFirstMatchIn(label)
         .map(mm => s"p${mm.group(1)}").getOrElse("setup")
-    /** (bucket, seconds) sorted by bucket — "p0".."pN", then "setup". */
+    /** (bucket, seconds) — "p0".."pN" in NUMERIC pass order, "setup"
+      * last (r16, the r15 ADVICE: a lexicographic sort would order p10
+      * before p2 if pass counts ever grow past 9; identical output for
+      * today's 4 passes). */
     private[graft] def snapshot: Seq[(String, Double)] = {
       import scala.jdk.CollectionConverters._
       m.asScala.toSeq
-        .map { case (k, v) => (k, v.longValue / 1e9) }.sortBy(_._1)
+        .map { case (k, v) => (k, v.longValue / 1e9) }
+        .sortBy { case (k, _) =>
+          if (k == "setup") (1, 0) else (0, k.drop(1).toInt) }
     }
   }
 

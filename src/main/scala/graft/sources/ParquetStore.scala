@@ -209,14 +209,26 @@ object ParquetStore {
   private def keptMarker(p: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(p.getParent, s"${p.getName}.install-kept")
 
-  /** The dir name a kept-copy marker records ("" when unreadable). */
+  /** The dir name a kept-copy marker records ("" when unreadable).
+    * Reads until EOF (r16, the r15 ADVICE): the single-read contract is
+    * not guaranteed by FSDataInputStream — a short read would truncate
+    * the recorded name, the prefix check would reject it, and the
+    * marker would be consumed as corrupt, leaking the kept copy until
+    * the age sweep. Names are tiny; 256 bytes bounds any real marker.
+    */
   private def readKeptMarker(fs: org.apache.hadoop.fs.FileSystem,
       kept: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(kept)
     try {
       val buf = new Array[Byte](256)
-      val n = math.max(0, in.read(buf))
-      new String(buf, 0, n, "UTF-8").trim
+      var off = 0
+      var n = in.read(buf, off, buf.length - off)
+      while (n > 0 && off + n < buf.length) {
+        off += n
+        n = in.read(buf, off, buf.length - off)
+      }
+      if (n > 0) off += n
+      new String(buf, 0, off, "UTF-8").trim
     } finally in.close()
   }
 
@@ -251,7 +263,10 @@ object ParquetStore {
     * RECURSIVE mtime (see [[newestMtime]]) — an unrecorded leak from a
     * crashed JVM. A sibling younger than the gate could be another
     * JVM's in-flight write for the same path (Verify and Bench can race
-    * on a shared store) and is never touched. Never throws: scratch
+    * on a shared store) and is never touched. When NO live store exists
+    * at `p` a second-tier 24 h cutoff applies instead (r16, the r15
+    * ADVICE: orphans of a never-served store otherwise leaked forever),
+    * sparing the marker-recorded kept copy. Never throws: scratch
     * reclamation must not fail an install or a serve.
     */
   private[sources] def sweepInstallScratch(
@@ -282,20 +297,39 @@ object ParquetStore {
       System.err.println(s"install kept-copy sweep ($p): $e") }
     try {
       val parent = p.getParent
-      val cutoff = System.currentTimeMillis() - 3600L * 1000
-      // like the kept-copy branch, the age sweep only runs beside a
-      // LIVE store (r15 review): in the mid-recovery state (store moved
-      // aside by a failed concurrent swap) an aged sibling can be the
-      // freshest complete copy, and reclamation can always wait for the
-      // next healthy serve/install
-      if (parent != null && fs.exists(p) && fs.exists(parent))
+      if (parent != null && fs.exists(parent)) {
+        val live = fs.exists(p)
+        // like the kept-copy branch, the 1 h sweep only runs beside a
+        // LIVE store (r15 review): in the mid-recovery state (store
+        // moved aside by a failed concurrent swap) an aged sibling can
+        // be the freshest complete copy, and reclamation can always
+        // wait for the next healthy serve/install. Second tier (r16,
+        // the r15 ADVICE): without a live store the sweep previously
+        // never ran, so scratch from a crashed build of a store that
+        // is never served again leaked under /tmp forever. A DAY-old
+        // sibling cannot be an in-flight write (the recovery window is
+        // minutes), so it sweeps even store-less — EXCEPT the
+        // marker-recorded kept copy, which in that state may be the
+        // freshest complete data and keeps waiting for the next
+        // healthy serve/install (the marker survives with it).
+        val cutoff = System.currentTimeMillis() -
+          (if (live) 3600L * 1000 else 24L * 3600 * 1000)
+        val keptName: Option[String] =
+          if (live) None
+          else {
+            val km = keptMarker(p)
+            if (fs.exists(km)) Some(readKeptMarker(fs, km)).filter(_.nonEmpty)
+            else None
+          }
         fs.listStatus(parent)
           .filter { st =>
             val n = st.getPath.getName
-            n.startsWith(s"${p.getName}.install-") && n != keptMarker(p).getName
+            n.startsWith(s"${p.getName}.install-") &&
+              n != keptMarker(p).getName && !keptName.contains(n)
           }
           .filter(st => newestMtime(fs, st.getPath) < cutoff)
           .foreach(st => fs.delete(st.getPath, true))
+      }
     } catch { case e: Throwable =>
       System.err.println(s"install stale-scratch sweep ($p): $e") }
   }
@@ -338,6 +372,28 @@ object ParquetStore {
     val valid = java.nio.file.Files.exists(meta) &&
       new String(java.nio.file.Files.readAllBytes(meta), "UTF-8") == want &&
       storePaths.forall(p => new java.io.File(p).exists)
+    // Scratch sweep on BOTH branches, before any build (r16, the r15
+    // ADVICE): the valid-branch-only sweep meant a store whose build
+    // keeps crashing — never valid, never successfully installed —
+    // accumulated orphan `.install-` scratch forever. The sweep's
+    // store-less second-tier 24 h gate makes the pre-build call safe:
+    // a failed prior build's day-old orphans reclaim here, while any
+    // fresh sibling (or the marker-recorded kept copy) survives. On
+    // the valid path this is the serve-time sweep that closes the r15
+    // kept-copy leak. Guarded + metadata-only (one listStatus per
+    // store path, recursion only into `.install-` siblings, which
+    // normally don't exist).
+    try {
+      val conf = org.apache.spark.sql.SparkSession.getActiveSession
+        .map(_.sparkContext.hadoopConfiguration)
+        .getOrElse(new org.apache.hadoop.conf.Configuration())
+      storePaths.foreach { sp =>
+        val p = new org.apache.hadoop.fs.Path(
+          new java.io.File(sp).getAbsolutePath)
+        sweepInstallScratch(p.getFileSystem(conf), p)
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"buildIfStale scratch sweep ($metaPath): $e") }
     if (!valid) {
       build
       java.nio.file.Files.createDirectories(meta.getParent)
@@ -352,28 +408,6 @@ object ParquetStore {
         storePaths.foreach(p =>
           s.catalog.refreshByPath(new java.io.File(p).getAbsolutePath))
       }
-    } else {
-      // valid-marker (no-rebuild) path: a failed swap's kept recovery
-      // copy is reclaimed HERE too (r15 ADVICE) — in the common
-      // sequence (swap fails, the next run rebuilds within the age
-      // gate's hour) the copy survives the install-time sweep, and
-      // with the marker now valid no further install would ever run
-      // for this store, leaking a full store copy until the next
-      // source regen. A valid marker + existing store proves the kept
-      // copy stale, so the serve-time sweep closes the leak. Guarded
-      // + metadata-only (one listStatus per store path, recursion only
-      // into `.install-` siblings, which normally don't exist).
-      try {
-        val conf = org.apache.spark.sql.SparkSession.getActiveSession
-          .map(_.sparkContext.hadoopConfiguration)
-          .getOrElse(new org.apache.hadoop.conf.Configuration())
-        storePaths.foreach { sp =>
-          val p = new org.apache.hadoop.fs.Path(
-            new java.io.File(sp).getAbsolutePath)
-          sweepInstallScratch(p.getFileSystem(conf), p)
-        }
-      } catch { case e: Throwable =>
-        System.err.println(s"buildIfStale scratch sweep ($metaPath): $e") }
     }
   }
 

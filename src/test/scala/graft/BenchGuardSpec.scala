@@ -102,6 +102,43 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(node.get("v").asText() == raw)
   }
 
+  test("boxFingerprint is a stable short digest; distinct hosts differ") {
+    // r16 (the r15 verdict item 2): the artifact stamps a hostname
+    // DIGEST so the next roll can tell a same-box baseline from a
+    // cross-box one without committing the raw hostname
+    val a = Bench.boxFingerprint("builder-box")
+    assert(a == Bench.boxFingerprint("builder-box"), "must be deterministic")
+    assert(a.matches("[0-9a-f]{8}"), s"8 hex chars: $a")
+    assert(a != Bench.boxFingerprint("driver-box"))
+  }
+
+  test("baselineLabel marks cross-box baselines and computes probe ratios") {
+    // the r15 verdict item 2: the in-repo BENCH_full.json baseline
+    // alternates between driver and builder rolls, so the flags'
+    // meaning silently flipped every round — the artifact now carries
+    // the adjudication inputs itself
+    val fp = Bench.boxFingerprint("builder-box")
+    val other = Bench.boxFingerprint("driver-box")
+    // pre-r16 baseline: no fingerprint → cross_box unknown (null),
+    // but the probe-state ratios still compute
+    assert(Bench.baselineLabel(fp, None, 330, 470, Some(300), Some(470)) ==
+      ((None, Some((1.1, 1.0)))))
+    // same box → cross_box false
+    assert(Bench.baselineLabel(fp, Some(fp), 330, 470, Some(330), Some(470))
+      ._1.contains(false))
+    // different box → cross_box true, ratios still carried
+    val (cross, ratios) =
+      Bench.baselineLabel(fp, Some(other), 307, 463, Some(357), Some(583))
+    assert(cross.contains(true))
+    assert(ratios.contains((0.86, 0.79)))
+    // a failed probe on either side (−1 / missing) yields no ratio but
+    // never suppresses the fingerprint verdict
+    assert(Bench.baselineLabel(fp, Some(other), -1, 470, Some(330), Some(470))
+      == ((Some(true), None)))
+    assert(Bench.baselineLabel(fp, Some(fp), 330, 470, None, None)
+      == ((Some(false), None)))
+  }
+
   test("PassWall buckets t37 step labels by pass and aggregates wall time") {
     // the r15 probe extension: Bench arms this collector around t37's
     // cold slot and emits the snapshot as the tail's `t37_passes` — the
@@ -122,6 +159,11 @@ class BenchGuardSpec extends AnyFunSuite {
     val snap = PassWall.snapshot.toMap
     assert(math.abs(snap("p0") - 2.0) < 1e-9, s"p0 must aggregate: $snap")
     assert(math.abs(snap("setup") - 0.25) < 1e-9)
+    // snapshot order is NUMERIC pass order with setup last (r16, the
+    // r15 ADVICE: lexicographic would put p10 before p2)
+    PassWall.record("pass 10 count", 1L)
+    PassWall.record("pass 2 count", 1L)
+    assert(PassWall.snapshot.map(_._1) == Seq("p0", "p2", "p10", "setup"))
     PassWall.reset()
     assert(PassWall.snapshot.isEmpty)
   }

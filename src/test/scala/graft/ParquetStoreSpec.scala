@@ -274,4 +274,44 @@ class ParquetStoreSpec extends SparkSpec {
     assert(!new java.io.File(path + ".install-kept").exists(),
       "a corrupt marker is still consumed")
   }
+
+  test("day-old orphans of a NEVER-built store are swept; fresh + kept survive (r16)") {
+    // the r15 ADVICE leak: a store whose build keeps crashing is never
+    // valid and never successfully installed, so the (valid-branch-only)
+    // sweep never ran and its scratch leaked under /tmp forever. The
+    // sweep now runs on BOTH buildIfStale branches with a store-less
+    // second-tier 24 h gate: a day-old orphan cannot be an in-flight
+    // write, while the marker-recorded kept copy (possibly the freshest
+    // complete data in the mid-recovery state) always survives store-less.
+    val parent = Files.createTempDirectory("graft_orphan").toString
+    val path = parent + "/store" // never created: the build always throws
+    def scratch(suffix: String, ageMs: Long): java.io.File = {
+      val d = new java.io.File(path + ".install-" + suffix)
+      assert(d.mkdirs())
+      Files.write(d.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+      val t = System.currentTimeMillis() - ageMs
+      assert(d.toPath.resolve("part-junk").toFile.setLastModified(t))
+      assert(d.setLastModified(t))
+      d
+    }
+    val dayOld = scratch("aaaa1111", 25 * 3600L * 1000)
+    val hoursOld = scratch("bbbb2222", 2 * 3600L * 1000) // inside the 24 h tier
+    val keptOld = scratch("cccc3333", 25 * 3600L * 1000) // recorded → protected
+    Files.write(java.nio.file.Paths.get(path + ".install-kept"),
+      "store.install-cccc3333".getBytes("UTF-8"))
+    val meta = parent + "/store.meta"
+    intercept[RuntimeException] {
+      ParquetStore.buildIfStale(meta, "v1", Seq(path)) {
+        throw new RuntimeException("build crash")
+      }
+    }
+    assert(!new java.io.File(path).exists())
+    assert(!dayOld.exists(), "a day-old store-less orphan must be swept")
+    assert(hoursOld.exists(),
+      "a sibling inside the 24 h store-less tier must survive")
+    assert(keptOld.exists(),
+      "the marker-recorded kept copy must survive store-less at ANY age")
+    assert(new java.io.File(path + ".install-kept").exists(),
+      "the marker must survive with its kept copy (store-less)")
+  }
 }
