@@ -327,7 +327,13 @@ object ParquetStore {
             n.startsWith(s"${p.getName}.install-") &&
               n != keptMarker(p).getName && !keptName.contains(n)
           }
-          .filter(st => newestMtime(fs, st.getPath) < cutoff)
+          // per-sibling guard (r16 review): a sibling another JVM
+          // consumes between listStatus and the recursive stat throws
+          // FileNotFound — already-reclaimed, skip it rather than
+          // aborting the sweep of the remaining aged orphans
+          .filter(st =>
+            try newestMtime(fs, st.getPath) < cutoff
+            catch { case _: java.io.FileNotFoundException => false })
           .foreach(st => fs.delete(st.getPath, true))
       }
     } catch { case e: Throwable =>
