@@ -139,6 +139,33 @@ class BenchGuardSpec extends AnyFunSuite {
       == ((Some(false), None)))
   }
 
+  test("the committed roll artifact carries the adjudication contract") {
+    // r16: BENCH_full.json is the baseline every next roll's vs_prev
+    // parses AND the evidence §6b adjudications quote — if a Bench
+    // refactor drops a field the whole chain goes quietly blind.
+    // Tolerant by design: values may be null (failed probe arms, a
+    // pre-r16 driver roll mid-transition), only the SHAPE is pinned,
+    // and an absent file (fresh clone) skips.
+    val f = new java.io.File("BENCH_full.json")
+    assume(f.exists, "no committed roll artifact in this checkout")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = om.readTree(java.nio.file.Files.readAllBytes(f.toPath))
+    for (k <- Seq("value", "queries", "spread", "cold", "capped", "errors",
+        "vs_prev", "cold_compiles", "cold_jit_ms", "tail"))
+      assert(root.has(k), s"artifact lost top-level field $k")
+    val tail = root.get("tail")
+    for (k <- Seq("total_s", "n_queries", "n_errors", "cap_jvm", "box",
+        "cold_diag", "t37_passes", "t37_sched", "slowest10"))
+      assert(tail.has(k), s"artifact tail lost field $k")
+    // the r16 baseline label: box_fp top-level + in the tail box, and
+    // vs_prev carrying the cross-box adjudication fields
+    assert(root.has("box_fp") && root.get("box_fp").asText().nonEmpty)
+    assert(tail.get("box").has("fp"))
+    for (k <- Seq("prev_total", "prev_box_fp", "cross_box", "box_ratio",
+        "flagged", "still_capped"))
+      assert(root.get("vs_prev").has(k), s"vs_prev lost field $k")
+  }
+
   test("PassWall buckets t37 step labels by pass and aggregates wall time") {
     // the r15 probe extension: Bench arms this collector around t37's
     // cold slot and emits the snapshot as the tail's `t37_passes` — the
