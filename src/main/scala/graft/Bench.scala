@@ -67,14 +67,39 @@ object Bench {
     * driver rolls and builder rolls alternate, so every round the
     * vs_prev flags' meaning silently flipped between same-box and
     * cross-box ratios and §6b had to re-explain it in prose. Each roll
-    * now stamps a short hostname digest (`box_fp`) into its artifact;
+    * now stamps a short identity digest (`box_fp`) into its artifact;
     * the next roll compares fingerprints and self-labels its flags
-    * (`cross_box`). A DIGEST, not the raw hostname: the artifact is
+    * (`cross_box`). A DIGEST, not the raw identity: the artifact is
     * committed, and the fingerprint only needs equality, not identity.
+    *
+    * The identity input is hostname + machine-id + boot_id (see
+    * [[boxIdentity]]): in this fleet every VM's hostname is the
+    * generic "vm" and machine-id can be baked into the shared image,
+    * so hostname alone would COLLIDE across the driver and builder
+    * boxes — labeling exactly the cross-box case this exists for as
+    * same-box. boot_id keys the VM INSTANCE, which is the right
+    * granularity for performance identity (even an identical image
+    * performs differently per placement): `cross_box: true` reads
+    * "baseline not from this same VM boot", and the `box_ratio` pair
+    * alongside carries the actual speed comparison. Rolls within one
+    * session (same boot) compare as same-box — the case where a flag
+    * is a true like-for-like regression signal.
     */
-  private[graft] def boxFingerprint(host: String): String = {
+  private[graft] def boxFingerprint(identity: String): String = {
     val md = java.security.MessageDigest.getInstance("SHA-256")
-    md.digest(host.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+    md.digest(identity.getBytes("UTF-8")).take(4).map(b => f"$b%02x").mkString
+  }
+
+  /** The fingerprint's identity input — every component degrades to ""
+    * independently so a missing /etc file can never fail the roll. */
+  private[graft] def boxIdentity(): String = {
+    def read(p: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p)), "UTF-8").trim
+      catch { case _: Throwable => "" }
+    val host = scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
+      .getOrElse(sys.env.getOrElse("HOSTNAME", ""))
+    s"$host|${read("/etc/machine-id")}|${read("/proc/sys/kernel/random/boot_id")}"
   }
 
   /** The vs_prev baseline label (r16, verdict item 2): given this
@@ -494,10 +519,8 @@ object Bench {
         System.err.println(s"BENCH PROBE: $e"); ("null", -1L, -1L) }
     // this roll's box identity, stamped into the artifact so the NEXT
     // roll's vs_prev can self-label cross-box baselines (r16, verdict
-    // item 2); hostname resolution can fail → "unknown" hashes fine
-    val boxFp = boxFingerprint(
-      scala.util.Try(java.net.InetAddress.getLocalHost.getHostName)
-        .getOrElse(sys.env.getOrElse("HOSTNAME", "unknown")))
+    // item 2)
+    val boxFp = boxFingerprint(boxIdentity())
     val results: Map[String, (Double, Double, Boolean, Double)] =
       selected.map { case (name, fn) =>
         // cold survives a later-rep crash: "ran cold fine, crashed

@@ -102,14 +102,22 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(node.get("v").asText() == raw)
   }
 
-  test("boxFingerprint is a stable short digest; distinct hosts differ") {
-    // r16 (the r15 verdict item 2): the artifact stamps a hostname
+  test("boxFingerprint is a stable short digest; distinct identities differ") {
+    // r16 (the r15 verdict item 2): the artifact stamps an identity
     // DIGEST so the next roll can tell a same-box baseline from a
-    // cross-box one without committing the raw hostname
-    val a = Bench.boxFingerprint("builder-box")
-    assert(a == Bench.boxFingerprint("builder-box"), "must be deterministic")
+    // cross-box one without committing the raw identity
+    val a = Bench.boxFingerprint("vm|machine-a|boot-1")
+    assert(a == Bench.boxFingerprint("vm|machine-a|boot-1"), "must be deterministic")
     assert(a.matches("[0-9a-f]{8}"), s"8 hex chars: $a")
-    assert(a != Bench.boxFingerprint("driver-box"))
+    assert(a != Bench.boxFingerprint("vm|machine-a|boot-2"))
+    // the identity input is hostname|machine-id|boot_id — in this
+    // fleet every VM's hostname is the generic "vm", so the boot_id
+    // component is what keeps the driver and builder boxes from
+    // colliding into a (wrong) same-box label; stable within a session
+    val id = Bench.boxIdentity()
+    assert(id.count(_ == '|') == 2, s"three-component identity: $id")
+    assert(id.replace("|", "").nonEmpty, "at least one component must resolve")
+    assert(id == Bench.boxIdentity(), "stable within a boot")
   }
 
   test("baselineLabel marks cross-box baselines and computes probe ratios") {
