@@ -112,6 +112,13 @@ object Bench {
     *    start window shows as st/mt ratios off 1.0; the r15 driver
     *    roll's shuf-only degradation is why the probe keeps st_ms as
     *    the stability anchor). None when either side lacks a probe.
+    *
+    * Called twice per roll (r17, the r16 verdict item 2): once with the
+    * START-window anchors on both sides (`box_ratio`) and once with the
+    * END-window anchors (`box_ratio_end`) — a box that degrades
+    * MID-roll (r16's roll-1 pattern) reads start ~1.0 / end >>1, where
+    * the start-only ratio alone was a blind spot no one should treat as
+    * a clean-box certificate.
     */
   private[graft] def baselineLabel(curFp: String, prevFp: Option[String],
       curSt: Long, curMt: Long, prevSt: Option[Long], prevMt: Option[Long])
@@ -609,9 +616,18 @@ object Bench {
     // the old exclusion dropped exactly the query regressing past the
     // cap — the largest regressions were the ones the guard couldn't
     // report).
+    // roll-end box state, measured BEFORE the vs_prev assembly so the
+    // label can carry both windows: a box that degraded MID-roll (the
+    // r11 observed pattern, and r16's roll 1) shows as start healthy /
+    // end slow — box_ratio (start window) alone reads clean for exactly
+    // that roll, which is the blind spot box_ratio_end closes (r16
+    // verdict item 2). The probe itself still runs after every query.
+    val (probeEnd, endSt, endMt) = try boxProbe(spark, cpus.toInt, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"BENCH PROBE: $e"); ("null", -1L, -1L) }
     val vsPrev: String = try {
       val f = java.nio.file.Paths.get("BENCH_full.json")
-      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"flagged":{},"still_capped":{}}"""
+      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"flagged":{},"still_capped":{}}"""
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(f))
@@ -632,20 +648,28 @@ object Bench {
         // against another machine's roll are cross-box ratios and must
         // say so in the artifact, not in next round's §6b prose
         val prevFp = Option(root.path("box_fp").asText(null)).filter(_.nonEmpty)
-        val prevStart = root.path("tail").path("box").path("start")
-        def prevArm(k: String): Option[Long] = {
-          val n = prevStart.path(k)
+        def prevArm(window: String, k: String): Option[Long] = {
+          val n = root.path("tail").path("box").path(window).path(k)
           if (n.isNumber && n.asLong > 0) Some(n.asLong) else None
         }
         val (crossBox, boxRatio) = baselineLabel(boxFp, prevFp,
-          curSt, curMt, prevArm("st_ms"), prevArm("mt_ms"))
+          curSt, curMt, prevArm("start", "st_ms"), prevArm("start", "mt_ms"))
+        // END-window pair (r16 verdict item 2): like-window vs
+        // like-window, so a roll whose box degraded mid-run self-labels
+        // (start ratio ~1.0, end ratio >>1) instead of hiding behind the
+        // start-only ratio. Fingerprint verdict is shared; only the
+        // ratio pair differs.
+        val boxRatioEnd = baselineLabel(boxFp, prevFp,
+          endSt, endMt, prevArm("end", "st_ms"), prevArm("end", "mt_ms"))._2
         val cbStr = crossBox.map(_.toString).getOrElse("null")
         val crossTag = if (crossBox.contains(true)) " [CROSS-BOX baseline]" else ""
         System.err.println(
           s"BENCH VS_PREV BASELINE: box_fp $boxFp vs prev " +
             s"${prevFp.getOrElse("<none>")} (cross_box=$cbStr)" +
             boxRatio.map { case (st, mt) =>
-              s" start-probe ratio st=${st}x mt=${mt}x" }.getOrElse(""))
+              s" start-probe ratio st=${st}x mt=${mt}x" }.getOrElse("") +
+            boxRatioEnd.map { case (st, mt) =>
+              s" end-probe ratio st=${st}x mt=${mt}x" }.getOrElse(""))
         val (regressed, cappedNotWorse) =
           splitFlags(vsPrevFlags(results, prevQMap, prevCapped), prevCapped)
         regressed.foreach { case (k, r, isCapped) =>
@@ -662,15 +686,17 @@ object Bench {
           xs.map { case (k, r, _) => s"\"" + k + "\":" + r }
             .mkString("{", ",", "}")
         val pfStr = prevFp.map("\"" + _ + "\"").getOrElse("null")
-        val brStr = boxRatio.map { case (st, mt) =>
-          s"""{"st":$st,"mt":$mt}""" }.getOrElse("null")
+        def brJson(r: Option[(Double, Double)]): String =
+          r.map { case (st, mt) => s"""{"st":$st,"mt":$mt}""" }.getOrElse("null")
         s"""{"prev_total":${root.path("value").asDouble},""" +
-          s""""prev_box_fp":$pfStr,"cross_box":$cbStr,"box_ratio":$brStr,""" +
+          s""""prev_box_fp":$pfStr,"cross_box":$cbStr,""" +
+          s""""box_ratio":${brJson(boxRatio)},""" +
+          s""""box_ratio_end":${brJson(boxRatioEnd)},""" +
           s""""flagged":${m(regressed)},"still_capped":${m(cappedNotWorse)}}"""
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"flagged":{},"still_capped":{}}"""
+        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"flagged":{},"still_capped":{}}"""
     }
     // Headline summary as the very LAST field: the driver stores a
     // front-truncated tail of this line, so totals + the slowest-10 must
@@ -686,11 +712,6 @@ object Bench {
     val capJvmJson = capJvm
       .map { case (k, v) => s"\"" + k + "\":\"" + jsonEsc(v) + "\"" }
       .mkString("{", ",", "}")
-    // roll-end box state: a box that degraded MID-roll (the r11
-    // observed pattern) shows as start healthy / end slow
-    val probeEnd = try boxProbe(spark, cpus.toInt, sfDir)._1
-      catch { case e: Throwable =>
-        System.err.println(s"BENCH PROBE: $e"); "null" }
     // t37 per-pass wall times from its COLD slot (r15, verdict item 1):
     // "setup" = the pre-loop winnow/checkpoint steps, "pN" = pass N's
     // probed materializations; the cold total minus the sum is the

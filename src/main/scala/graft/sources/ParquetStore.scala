@@ -265,8 +265,11 @@ object ParquetStore {
     * JVM's in-flight write for the same path (Verify and Bench can race
     * on a shared store) and is never touched. When NO live store exists
     * at `p` a second-tier 24 h cutoff applies instead (r16, the r15
-    * ADVICE: orphans of a never-served store otherwise leaked forever),
-    * sparing the marker-recorded kept copy. Never throws: scratch
+    * ADVICE: orphans of a never-served store otherwise leaked forever).
+    * The marker-recorded kept copy is spared in BOTH tiers (r17, the
+    * r16 ADVICE: a concurrent installer failing its swap between the
+    * liveness sample and the deletes leaves a kept copy that can
+    * already be age-expired by preserved mtimes). Never throws: scratch
     * reclamation must not fail an install or a serve.
     */
   private[sources] def sweepInstallScratch(
@@ -295,6 +298,17 @@ object ParquetStore {
       }
     } catch { case e: Throwable =>
       System.err.println(s"install kept-copy sweep ($p): $e") }
+    sweepAgedSiblings(fs, p)
+  }
+
+  /** The age-tier half of [[sweepInstallScratch]], split out (r17) so
+    * the mid-race state — live store present AND a kept marker written
+    * by a concurrent installer AFTER the kept-copy branch above ran —
+    * is directly constructible in a spec. Never throws.
+    */
+  private[graft] def sweepAgedSiblings(
+      fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
     try {
       val parent = p.getParent
       if (parent != null && fs.exists(parent)) {
@@ -314,13 +328,20 @@ object ParquetStore {
         // healthy serve/install (the marker survives with it).
         val cutoff = System.currentTimeMillis() -
           (if (live) 3600L * 1000 else 24L * 3600 * 1000)
-        val keptName: Option[String] =
-          if (live) None
-          else {
-            val km = keptMarker(p)
-            if (fs.exists(km)) Some(readKeptMarker(fs, km)).filter(_.nonEmpty)
-            else None
-          }
+        // marker re-read UNCONDITIONALLY, live or not (r17, the r16
+        // ADVICE): `live` was sampled above, and a concurrent
+        // installer's swap can fail between that sample and the deletes
+        // below — its just-kept recovery copy can already exceed the 1 h
+        // gate by recursive mtime (rename preserves file mtimes), so the
+        // live tier would sweep it and leave a dangling marker. The
+        // kept-copy branch above normally consumed marker + copy when
+        // live, so a marker existing HERE is exactly the race window;
+        // excluding its recorded name costs one exists+read per sweep.
+        val keptName: Option[String] = {
+          val km = keptMarker(p)
+          if (fs.exists(km)) Some(readKeptMarker(fs, km)).filter(_.nonEmpty)
+          else None
+        }
         fs.listStatus(parent)
           .filter { st =>
             val n = st.getPath.getName

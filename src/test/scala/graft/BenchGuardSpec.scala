@@ -116,8 +116,38 @@ class BenchGuardSpec extends AnyFunSuite {
     // colliding into a (wrong) same-box label; stable within a session
     val id = Bench.boxIdentity()
     assert(id.count(_ == '|') == 2, s"three-component identity: $id")
-    assert(id.replace("|", "").nonEmpty, "at least one component must resolve")
+    // environment-dependent arm wrapped in assume (r17, the r16 ADVICE):
+    // on a stripped container every component can legitimately degrade
+    // to "" (no hostname, unreadable /etc/machine-id and boot_id) — a
+    // portability flake, not a bug, so cancel rather than fail there
+    assume(id.replace("|", "").nonEmpty, "no identity component resolved here")
     assert(id == Bench.boxIdentity(), "stable within a boot")
+  }
+
+  test("a fully-degraded identity still fingerprints (stripped-container path)") {
+    // the degradation contract: boxIdentity never throws and every
+    // component independently falls back to "" — the fingerprint of the
+    // worst case ("||") must still be a valid, deterministic 8-hex
+    // digest so a stripped box stamps a usable (if collision-prone)
+    // label instead of failing the roll
+    val fp = Bench.boxFingerprint("||")
+    assert(fp.matches("[0-9a-f]{8}"), s"8 hex chars: $fp")
+    assert(fp == Bench.boxFingerprint("||"))
+    assert(fp != Bench.boxFingerprint("vm||"))
+  }
+
+  test("the start/end ratio pair names a mid-roll degradation") {
+    // r17 (the r16 verdict item 2): box_ratio reads the START probes
+    // and box_ratio_end the END probes — same pure function, different
+    // window anchors. The blind spot this closes: a box that degrades
+    // MID-roll (r16's roll-1 page-cache reclaim) shows a clean start
+    // ratio; the end pair is what flags it.
+    val fp = Bench.boxFingerprint("builder-box")
+    val start = Bench.baselineLabel(fp, Some(fp), 303, 417, Some(308), Some(400))
+    val end = Bench.baselineLabel(fp, Some(fp), 920, 1230, Some(308), Some(400))
+    assert(start._2.contains((0.98, 1.04)), "start window reads clean")
+    assert(end._2.contains((2.99, 3.08)), "end window names the degradation")
+    assert(start._1 == end._1, "fingerprint verdict is window-independent")
   }
 
   test("baselineLabel marks cross-box baselines and computes probe ratios") {
@@ -170,7 +200,7 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(root.has("box_fp") && root.get("box_fp").asText().nonEmpty)
     assert(tail.get("box").has("fp"))
     for (k <- Seq("prev_total", "prev_box_fp", "cross_box", "box_ratio",
-        "flagged", "still_capped"))
+        "box_ratio_end", "flagged", "still_capped"))
       assert(root.get("vs_prev").has(k), s"vs_prev lost field $k")
   }
 

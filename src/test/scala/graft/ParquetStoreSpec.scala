@@ -314,4 +314,43 @@ class ParquetStoreSpec extends SparkSpec {
     assert(new java.io.File(path + ".install-kept").exists(),
       "the marker must survive with its kept copy (store-less)")
   }
+
+  test("the live-tier age sweep spares a marker-recorded kept copy (r17)") {
+    // the r16 ADVICE race: sweepInstallScratch's kept-copy branch runs,
+    // finds no marker, then a CONCURRENT installer's swap fails — it
+    // moves the live store back, writes the marker, and keeps its
+    // recovery copy, whose recursive mtimes can already exceed the 1 h
+    // gate (rename preserves file mtimes). The age tier (sampled
+    // live=true) would then sweep the just-kept copy and leave a
+    // dangling marker. The fix re-reads the marker inside the age tier:
+    // the recorded name is excluded in BOTH tiers. Constructed here by
+    // driving the extracted age tier directly with the post-race state.
+    val parent = Files.createTempDirectory("graft_livekept").toString
+    val path = parent + "/store"
+    val store = new java.io.File(path)
+    assert(store.mkdirs()) // live store present → the 1 h tier applies
+    Files.write(store.toPath.resolve("part-0"), "d".getBytes("UTF-8"))
+    val aged = System.currentTimeMillis() - 2 * 3600L * 1000
+    def agedScratch(suffix: String): java.io.File = {
+      val d = new java.io.File(path + ".install-" + suffix)
+      assert(d.mkdirs())
+      Files.write(d.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+      assert(d.toPath.resolve("part-junk").toFile.setLastModified(aged))
+      assert(d.setLastModified(aged))
+      d
+    }
+    val keptAged = agedScratch("12ab34cd") // recorded → must survive
+    val orphanAged = agedScratch("ee44ff55") // unrecorded → swept
+    Files.write(java.nio.file.Paths.get(path + ".install-kept"),
+      "store.install-12ab34cd".getBytes("UTF-8"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    ParquetStore.sweepAgedSiblings(fs, new org.apache.hadoop.fs.Path(path))
+    assert(!orphanAged.exists(), "an unrecorded aged orphan still sweeps")
+    assert(keptAged.exists(),
+      "the marker-recorded kept copy must survive the LIVE 1 h tier")
+    assert(new java.io.File(path + ".install-kept").exists(),
+      "its marker must survive with it (no dangling marker)")
+    assert(store.exists(), "the live store is never touched")
+  }
 }
