@@ -625,9 +625,13 @@ object Bench {
     val (probeEnd, endSt, endMt) = try boxProbe(spark, cpus.toInt, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"BENCH PROBE: $e"); ("null", -1L, -1L) }
+    // the no-baseline / parse-error shape, defined ONCE (r17 review):
+    // the next vs_prev field addition must not be able to miss one of
+    // the fallback sites and ship a short artifact
+    val emptyVsPrev = """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"flagged":{},"still_capped":{}}"""
     val vsPrev: String = try {
       val f = java.nio.file.Paths.get("BENCH_full.json")
-      if (!java.nio.file.Files.exists(f)) """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"flagged":{},"still_capped":{}}"""
+      if (!java.nio.file.Files.exists(f)) emptyVsPrev
       else {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         val root = om.readTree(java.nio.file.Files.readAllBytes(f))
@@ -696,7 +700,7 @@ object Bench {
       }
     } catch {
       case e: Throwable =>
-        System.err.println(s"BENCH VS_PREV: $e"); """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"flagged":{},"still_capped":{}}"""
+        System.err.println(s"BENCH VS_PREV: $e"); emptyVsPrev
     }
     // Headline summary as the very LAST field: the driver stores a
     // front-truncated tail of this line, so totals + the slowest-10 must

@@ -269,8 +269,10 @@ object ParquetStore {
     * The marker-recorded kept copy is spared in BOTH tiers (r17, the
     * r16 ADVICE: a concurrent installer failing its swap between the
     * liveness sample and the deletes leaves a kept copy that can
-    * already be age-expired by preserved mtimes). Never throws: scratch
-    * reclamation must not fail an install or a serve.
+    * already be age-expired by preserved mtimes) — the marker is read
+    * at sweep start AND re-validated immediately before each delete,
+    * shrinking the race to the single read-vs-delete instant. Never
+    * throws: scratch reclamation must not fail an install or a serve.
     */
   private[sources] def sweepInstallScratch(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -334,19 +336,20 @@ object ParquetStore {
         // below — its just-kept recovery copy can already exceed the 1 h
         // gate by recursive mtime (rename preserves file mtimes), so the
         // live tier would sweep it and leave a dangling marker. The
-        // kept-copy branch above normally consumed marker + copy when
-        // live, so a marker existing HERE is exactly the race window;
-        // excluding its recorded name costs one exists+read per sweep.
-        val keptName: Option[String] = {
-          val km = keptMarker(p)
+        // kept-copy branch of sweepInstallScratch normally consumed
+        // marker + copy when live, so a marker existing HERE is exactly
+        // the race window; excluding its recorded name costs one
+        // exists+read per sweep.
+        val km = keptMarker(p)
+        def recordedKept(): Option[String] =
           if (fs.exists(km)) Some(readKeptMarker(fs, km)).filter(_.nonEmpty)
           else None
-        }
+        val keptName = recordedKept()
         fs.listStatus(parent)
           .filter { st =>
             val n = st.getPath.getName
             n.startsWith(s"${p.getName}.install-") &&
-              n != keptMarker(p).getName && !keptName.contains(n)
+              n != km.getName && !keptName.contains(n)
           }
           // per-sibling guard (r16 review): a sibling another JVM
           // consumes between listStatus and the recursive stat throws
@@ -355,7 +358,17 @@ object ParquetStore {
           .filter(st =>
             try newestMtime(fs, st.getPath) < cutoff
             catch { case _: java.io.FileNotFoundException => false })
-          .foreach(st => fs.delete(st.getPath, true))
+          // marker re-validated at the LAST instant (r17 review): the
+          // recursive mtime walk above can take seconds on a large
+          // scratch tree, and a swap failing INSIDE that window records
+          // a kept copy the sweep-start read missed. Deletes are rare
+          // (normally zero), so the extra exists+read per delete is
+          // free; the residual window is the single read-vs-delete
+          // instant, not the whole walk.
+          .foreach { st =>
+            if (!recordedKept().contains(st.getPath.getName))
+              fs.delete(st.getPath, true)
+          }
       }
     } catch { case e: Throwable =>
       System.err.println(s"install stale-scratch sweep ($p): $e") }
