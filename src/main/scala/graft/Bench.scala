@@ -62,6 +62,31 @@ object Bench {
     flags.partition { case (k, ratio, capped) =>
       !capped || ratio > 1.0 || !prevCapped.contains(k) }
 
+  /** Cap-retry artifact fragment (r18, the r17 verdict item 1): three
+    * consecutive driver rolls landed in degraded host windows, and each
+    * capped slot's transience could only be proven OFF-artifact (§6b
+    * band essays, builder re-rolls). Every capped query now re-runs
+    * ONCE at roll end, after the final box probe — by then the window
+    * has typically recovered (every adjudicated r16/r17 degraded start
+    * recovered by roll end) — and the artifact records both values:
+    *  - `recovered: true` (retry ran and landed back under the cap) is
+    *    box-proven-transient IN the artifact — the cold cap was the
+    *    window, not the query;
+    *  - `recovered: false` with the probes in band in BOTH windows and
+    *    flat t37_sched run_ms names a REAL mechanism the same day
+    *    (the r16/r17 weak-flip conditional, now self-serving);
+    *  - an errored retry records `retry: -1, recovered: false` — the
+    *    cap stays adjudicated by the probe fields alone.
+    * Input rows are (name, cold-capped-time, retry-time). Keys sort so
+    * the fragment is diffable across rolls.
+    */
+  private[graft] def capRetryJson(
+      retries: Seq[(String, Double, Double)], capSec: Double): String =
+    retries.sortBy(_._1).map { case (k, cold, retry) =>
+      val rec = retry >= 0 && retry <= capSec
+      s"\"" + k + s"""\":{"cold":$cold,"retry":$retry,"recovered":$rec}"""
+    }.mkString("{", ",", "}")
+
   /** Box fingerprint (r16, the r15 verdict item 2): the in-repo
     * `BENCH_full.json` baseline is whatever roll was committed last —
     * driver rolls and builder rolls alternate, so every round the
@@ -625,6 +650,26 @@ object Bench {
     val (probeEnd, endSt, endMt) = try boxProbe(spark, cpus.toInt, sfDir)
       catch { case e: Throwable =>
         System.err.println(s"BENCH PROBE: $e"); ("null", -1L, -1L) }
+    // Cap retry (r18, the r17 verdict item 1): each capped query re-runs
+    // ONCE here — after the END probe, the latest point in the roll, where
+    // the degraded windows that produced every historical cap had
+    // recovered. The retry is diagnosis only: it never touches `queries`,
+    // total, or the vs_prev flags, and a clean roll (zero capped) pays
+    // nothing. See [[capRetryJson]] for how the artifact reads.
+    val capRetries: Seq[(String, Double, Double)] =
+      results.toSeq.collect { case (name, (_, _, true, cold)) =>
+        val retry =
+          try once(selected(name))
+          catch { case e: Throwable =>
+            System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
+        val verdict =
+          if (retry >= 0 && retry <= capSec)
+            "recovered under cap at roll end — transient, box-proven in-artifact"
+          else "STILL capped — adjudicate against probes/run_ms"
+        System.err.println(
+          f"BENCH CAP RETRY $name: cold $cold%.2fs -> retry $retry%.2fs ($verdict)")
+        (name, cold, retry)
+      }.sortBy(_._1)
     // the no-baseline / parse-error shape, defined ONCE (r17 review):
     // the next vs_prev field addition must not be able to miss one of
     // the fallback sites and ship a short artifact
@@ -740,6 +785,7 @@ object Bench {
         .mkString("{", ",", "}")
     val tail = s"""{"total_s":$total,"n_queries":${ok.size},""" +
       s""""n_errors":${results.size - ok.size},"cap_jvm":$capJvmJson,""" +
+      s""""cap_retry":${capRetryJson(capRetries, capSec)},""" +
       s""""box":{"fp":"$boxFp","start":$probeStart,"end":$probeEnd},""" +
       s""""cold_diag":$coldDiagJson,"t37_passes":$t37Passes,""" +
       s""""t37_sched":${t37Sched.json},"slowest10":$slowest10}"""

@@ -271,8 +271,14 @@ object ParquetStore {
     * liveness sample and the deletes leaves a kept copy that can
     * already be age-expired by preserved mtimes) — the marker is read
     * at sweep start AND re-validated immediately before each delete,
-    * shrinking the race to the single read-vs-delete instant. Never
-    * throws: scratch reclamation must not fail an install or a serve.
+    * shrinking the race to the single read-vs-delete instant; a racy
+    * re-read failure skips that one delete instead of aborting the
+    * remaining orphans (r18, the r17 ADVICE). Store-less only, a third
+    * class: (c) a DANGLING kept marker — recorded dir gone, marker
+    * older than the 24 h gate — is consumed (r18, the r17 ADVICE: it
+    * was excluded from sweeping by name and only the live-store branch
+    * ever consumed markers, so it leaked forever). Never throws:
+    * scratch reclamation must not fail an install or a serve.
     */
   private[sources] def sweepInstallScratch(
       fs: org.apache.hadoop.fs.FileSystem,
@@ -345,6 +351,26 @@ object ParquetStore {
           if (fs.exists(km)) Some(readKeptMarker(fs, km)).filter(_.nonEmpty)
           else None
         val keptName = recordedKept()
+        // dangling-marker reclamation (r18, the r17 ADVICE): a marker
+        // whose recorded directory no longer exists is excluded from the
+        // sibling sweep by name forever and is only consumed by the
+        // kept-copy branch when a LIVE store exists — in the store-less
+        // tier a stale marker file would persist indefinitely. A DAY-old
+        // marker with no recorded dir cannot belong to an in-flight
+        // install (the same argument as the store-less sibling tier), so
+        // consume it here; a younger one may be mid-race (its dir moving
+        // or another sweep consuming) and waits. Failure-isolated: a
+        // racy marker/dir read must not abort the sibling sweep below.
+        if (!live) keptName.foreach { n =>
+          try {
+            val dir = new org.apache.hadoop.fs.Path(parent, n)
+            if (!fs.exists(dir) &&
+                fs.getFileStatus(km).getModificationTime < cutoff) {
+              fs.delete(km, false); ()
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"dangling kept-marker sweep ($km): $e") }
+        }
         fs.listStatus(parent)
           .filter { st =>
             val n = st.getPath.getName
@@ -366,7 +392,18 @@ object ParquetStore {
           // free; the residual window is the single read-vs-delete
           // instant, not the whole walk.
           .foreach { st =>
-            if (!recordedKept().contains(st.getPath.getName))
+            // a read failure here is treated as "marker present" for
+            // THIS sibling only (r18, the r17 ADVICE): a concurrent
+            // sweep can consume the marker between fs.exists and the
+            // read, and letting the throw reach the outer catch would
+            // abort deletion of all remaining aged orphans — the same
+            // mid-iteration failure mode the r16 per-sibling mtime
+            // guard closed. Skipping one delete is always safe (the
+            // next sweep retries); the loop continues.
+            val keptNow =
+              try recordedKept()
+              catch { case _: Throwable => Some(st.getPath.getName) }
+            if (!keptNow.contains(st.getPath.getName))
               fs.delete(st.getPath, true)
           }
       }

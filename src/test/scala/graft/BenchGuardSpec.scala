@@ -102,6 +102,36 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(node.get("v").asText() == raw)
   }
 
+  test("capRetryJson records both values and adjudicates recovery in-artifact") {
+    // r18 (the r17 verdict item 1): three consecutive driver rolls
+    // landed in degraded host windows and every capped slot's transience
+    // needed an OFF-artifact band essay. The roll-end retry makes the
+    // artifact self-adjudicating: retry back under the cap = transient
+    // (box-proven); retry still over = read against the probe windows;
+    // errored retry (-1) = never "recovered".
+    val json = Bench.capRetryJson(
+      Seq(("t37_span_removal", 35.8, 9.1),
+        ("d35_hybrid_rrf_served", 45.6, 44.2),
+        ("broken", 31.0, -1.0)), capSec = 30.0)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = om.readTree(json)
+    val t37 = node.get("t37_span_removal")
+    assert(t37.get("cold").asDouble() == 35.8)
+    assert(t37.get("retry").asDouble() == 9.1)
+    assert(t37.get("recovered").asBoolean(), "retry under cap = transient")
+    assert(!node.get("d35_hybrid_rrf_served").get("recovered").asBoolean(),
+      "a retry still over the cap is NOT recovered")
+    assert(!node.get("broken").get("recovered").asBoolean(),
+      "an errored retry (-1) must never read as recovered")
+    // a retry landing exactly AT the cap recovered (the cap rule is
+    // strictly-greater: main caps on warm > capSec)
+    assert(om.readTree(Bench.capRetryJson(Seq(("q", 31.0, 30.0)), 30.0))
+      .get("q").get("recovered").asBoolean())
+    // keys sort for cross-roll diffability; a clean roll renders {}
+    assert(json.indexOf("broken") < json.indexOf("d35_hybrid_rrf_served"))
+    assert(Bench.capRetryJson(Nil, 30.0) == "{}")
+  }
+
   test("boxFingerprint is a stable short digest; distinct identities differ") {
     // r16 (the r15 verdict item 2): the artifact stamps an identity
     // DIGEST so the next roll can tell a same-box baseline from a
@@ -208,8 +238,8 @@ class BenchGuardSpec extends AnyFunSuite {
         "vs_prev", "cold_compiles", "cold_jit_ms", "tail"))
       assert(root.has(k), s"artifact lost top-level field $k")
     val tail = root.get("tail")
-    for (k <- Seq("total_s", "n_queries", "n_errors", "cap_jvm", "box",
-        "cold_diag", "t37_passes", "t37_sched", "slowest10"))
+    for (k <- Seq("total_s", "n_queries", "n_errors", "cap_jvm", "cap_retry",
+        "box", "cold_diag", "t37_passes", "t37_sched", "slowest10"))
       assert(tail.has(k), s"artifact tail lost field $k")
     // the r16 baseline label: box_fp top-level + in the tail box, and
     // vs_prev carrying the cross-box adjudication fields

@@ -353,4 +353,94 @@ class ParquetStoreSpec extends SparkSpec {
       "its marker must survive with it (no dangling marker)")
     assert(store.exists(), "the live store is never touched")
   }
+
+  test("a store-less DANGLING kept marker is consumed once day-old (r18)") {
+    // the r17 ADVICE: a marker whose recorded dir no longer exists is
+    // excluded from the sibling sweep by name and only the kept-copy
+    // branch (live store required) ever consumes markers — so in the
+    // store-less tier a stale marker file persisted indefinitely. A
+    // day-old dangling marker cannot belong to an in-flight install;
+    // a young one may be mid-race and must wait.
+    val parent = Files.createTempDirectory("graft_dangling").toString
+    val path = parent + "/store" // never created: store-less tier
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = java.nio.file.Paths.get(path + ".install-kept")
+    Files.write(marker, "store.install-deadbeef".getBytes("UTF-8"))
+    // young dangling marker: survives (could be mid-race)
+    ParquetStore.sweepAgedSiblings(fs, new org.apache.hadoop.fs.Path(path))
+    assert(marker.toFile.exists(),
+      "a YOUNG dangling marker must survive (possible mid-race state)")
+    // day-old dangling marker: consumed
+    assert(marker.toFile.setLastModified(
+      System.currentTimeMillis() - 25 * 3600L * 1000))
+    ParquetStore.sweepAgedSiblings(fs, new org.apache.hadoop.fs.Path(path))
+    assert(!marker.toFile.exists(),
+      "a day-old dangling marker must be consumed in the store-less tier")
+    // a day-old marker whose recorded dir EXISTS keeps protecting it
+    val keptDir = new java.io.File(path + ".install-deadbeef")
+    assert(keptDir.mkdirs())
+    Files.write(keptDir.toPath.resolve("part-0"), "x".getBytes("UTF-8"))
+    Files.write(marker, "store.install-deadbeef".getBytes("UTF-8"))
+    assert(marker.toFile.setLastModified(
+      System.currentTimeMillis() - 25 * 3600L * 1000))
+    ParquetStore.sweepAgedSiblings(fs, new org.apache.hadoop.fs.Path(path))
+    assert(marker.toFile.exists() && keptDir.exists(),
+      "a marker with a live recorded dir is NOT dangling — both survive")
+  }
+
+  test("a racy per-delete marker read skips ONE delete, not the sweep (r18)") {
+    // the r17 ADVICE: recordedKept() re-reads the marker immediately
+    // before each delete; a concurrent sweep consuming the marker
+    // between fs.exists and the read throws, and that throw previously
+    // reached the outer catch — aborting deletion of ALL remaining aged
+    // orphans (the same mid-iteration failure mode the r16 per-sibling
+    // mtime guard closed). Now a failed re-read is treated as "marker
+    // present" for that sibling only and the loop continues.
+    val parent = Files.createTempDirectory("graft_flaky").toString
+    val path = parent + "/store"
+    val store = new java.io.File(path)
+    assert(store.mkdirs()) // live store → 1 h tier
+    Files.write(store.toPath.resolve("part-0"), "d".getBytes("UTF-8"))
+    val aged = System.currentTimeMillis() - 2 * 3600L * 1000
+    def agedScratch(suffix: String): java.io.File = {
+      val d = new java.io.File(path + ".install-" + suffix)
+      assert(d.mkdirs())
+      Files.write(d.toPath.resolve("part-junk"), "x".getBytes("UTF-8"))
+      assert(d.toPath.resolve("part-junk").toFile.setLastModified(aged))
+      assert(d.setLastModified(aged))
+      d
+    }
+    val orphanA = agedScratch("aaaa0001")
+    val orphanB = agedScratch("bbbb0002")
+    Files.write(java.nio.file.Paths.get(path + ".install-kept"),
+      "store.install-cccc0003".getBytes("UTF-8"))
+    // wrap the local fs: the SECOND open of the marker (= the first
+    // per-delete re-read; the sweep-start read is the first) throws,
+    // simulating a concurrent sweep consuming the marker mid-iteration
+    val base = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    var markerOpens = 0
+    val flaky = new org.apache.hadoop.fs.FilterFileSystem(base) {
+      override def open(f: org.apache.hadoop.fs.Path, bufferSize: Int)
+          : org.apache.hadoop.fs.FSDataInputStream = {
+        if (f.getName.endsWith(".install-kept")) {
+          markerOpens += 1
+          if (markerOpens == 2)
+            throw new java.io.FileNotFoundException(s"racy marker read: $f")
+        }
+        super.open(f, bufferSize)
+      }
+    }
+    // the wrapping constructor does not carry the conf, and the
+    // single-arg open(Path) the marker reader uses reads it
+    flaky.setConf(spark.sparkContext.hadoopConfiguration)
+    ParquetStore.sweepAgedSiblings(flaky, new org.apache.hadoop.fs.Path(path))
+    assert(markerOpens >= 2, s"the racy read must have been exercised: $markerOpens")
+    val survivors = Seq(orphanA, orphanB).count(_.exists())
+    assert(survivors == 1,
+      s"exactly one orphan skips (its re-read threw) and the OTHER still sweeps " +
+        s"— the old behavior aborted the whole loop and left both ($survivors left)")
+    assert(store.exists(), "the live store is never touched")
+  }
 }
