@@ -662,10 +662,12 @@ object Bench {
           try once(selected(name))
           catch { case e: Throwable =>
             System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
+        // ASCII only: the line goes to stderr, and sbt's console
+        // charset mangles non-ASCII into '?' in the driver-kept log
         val verdict =
           if (retry >= 0 && retry <= capSec)
-            "recovered under cap at roll end — transient, box-proven in-artifact"
-          else "STILL capped — adjudicate against probes/run_ms"
+            "recovered under cap at roll end: transient, box-proven in-artifact"
+          else "STILL capped: adjudicate against probes/run_ms"
         System.err.println(
           f"BENCH CAP RETRY $name: cold $cold%.2fs -> retry $retry%.2fs ($verdict)")
         (name, cold, retry)
