@@ -76,16 +76,31 @@ object Bench {
     *    flat t37_sched run_ms names a REAL mechanism the same day
     *    (the r16/r17 weak-flip conditional, now self-serving);
     *  - an errored retry records `retry: -1, recovered: false` — the
-    *    cap stays adjudicated by the probe fields alone.
-    * Input rows are (name, cold-capped-time, retry-time). Keys sort so
-    * the fragment is diffable across rolls.
+    *    cap stays adjudicated by the probe fields alone;
+    *  - a retry SKIPPED by the blow-up guard records `retry: null,
+    *    recovered: false` (r18 review): the retry exists for the
+    *    host-stall cap class, which historically lands within ~1.6x
+    *    the cap — a cold beyond [[CapRetryMaxColdFactor]]x the cap is
+    *    a mechanism-scale event already named by cold_diag/run_ms,
+    *    and re-paying a multi-minute run at roll end would re-expose
+    *    the driver's wall to exactly the pathological class the cap
+    *    bounds (the retry is otherwise un-cancellable mid-job).
+    * Input rows are (name, cold-capped-time, retry-time: None =
+    * guard-skipped). Keys sort so the fragment is diffable across
+    * rolls.
     */
   private[graft] def capRetryJson(
-      retries: Seq[(String, Double, Double)], capSec: Double): String =
+      retries: Seq[(String, Double, Option[Double])], capSec: Double): String =
     retries.sortBy(_._1).map { case (k, cold, retry) =>
-      val rec = retry >= 0 && retry <= capSec
-      s"\"" + k + s"""\":{"cold":$cold,"retry":$retry,"recovered":$rec}"""
+      val rec = retry.exists(r => r >= 0 && r <= capSec)
+      val rv = retry.map(_.toString).getOrElse("null")
+      s"\"" + k + s"""\":{"cold":$cold,"retry":$rv,"recovered":$rec}"""
     }.mkString("{", ",", "}")
+
+  /** Cap-retry blow-up guard (r18 review, see [[capRetryJson]]): a
+    * capped query whose cold already exceeded this multiple of the cap
+    * is not re-run at roll end. */
+  private[graft] val CapRetryMaxColdFactor = 4.0
 
   /** Box fingerprint (r16, the r15 verdict item 2): the in-repo
     * `BENCH_full.json` baseline is whatever roll was committed last —
@@ -656,22 +671,30 @@ object Bench {
     // recovered. The retry is diagnosis only: it never touches `queries`,
     // total, or the vs_prev flags, and a clean roll (zero capped) pays
     // nothing. See [[capRetryJson]] for how the artifact reads.
-    val capRetries: Seq[(String, Double, Double)] =
+    val capRetries: Seq[(String, Double, Option[Double])] =
       results.toSeq.collect { case (name, (_, _, true, cold)) =>
-        val retry =
-          try once(selected(name))
-          catch { case e: Throwable =>
-            System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
-        // ASCII only: the line goes to stderr, and sbt's console
-        // charset mangles non-ASCII into '?' in the driver-kept log
-        val verdict =
-          if (retry >= 0 && retry <= capSec)
-            "recovered under cap at roll end: transient, box-proven in-artifact"
-          else "STILL capped: adjudicate against probes/run_ms"
-        System.err.println(
-          f"BENCH CAP RETRY $name: cold $cold%.2fs -> retry $retry%.2fs ($verdict)")
-        (name, cold, retry)
-      }.sortBy(_._1)
+        if (cold > CapRetryMaxColdFactor * capSec) {
+          // blow-up guard (r18 review): see capRetryJson's Scaladoc
+          System.err.println(
+            f"BENCH CAP RETRY SKIPPED $name: cold $cold%.2fs > " +
+              f"${CapRetryMaxColdFactor}%.0fx cap (mechanism-scale; read cold_diag/run_ms)")
+          (name, cold, None)
+        } else {
+          val retry =
+            try once(selected(name))
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
+          // ASCII only: the line goes to stderr, and sbt's console
+          // charset mangles non-ASCII into '?' in the driver-kept log
+          val verdict =
+            if (retry >= 0 && retry <= capSec)
+              "recovered under cap at roll end: transient, box-proven in-artifact"
+            else "STILL capped: adjudicate against probes/run_ms"
+          System.err.println(
+            f"BENCH CAP RETRY $name: cold $cold%.2fs -> retry $retry%.2fs ($verdict)")
+          (name, cold, Some(retry))
+        }
+      }
     // the no-baseline / parse-error shape, defined ONCE (r17 review):
     // the next vs_prev field addition must not be able to miss one of
     // the fallback sites and ship a short artifact

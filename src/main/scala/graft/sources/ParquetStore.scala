@@ -402,7 +402,14 @@ object ParquetStore {
             // next sweep retries); the loop continues.
             val keptNow =
               try recordedKept()
-              catch { case _: Throwable => Some(st.getPath.getName) }
+              catch { case e: Throwable =>
+                // logged (r18 review): a DURABLE read failure (perms,
+                // corruption) skips every delete on every sweep — that
+                // must stay diagnosable from stderr, not silent
+                System.err.println(
+                  s"aged-orphan marker re-read (${st.getPath}): $e")
+                Some(st.getPath.getName)
+              }
             if (!keptNow.contains(st.getPath.getName))
               fs.delete(st.getPath, true)
           }

@@ -110,9 +110,10 @@ class BenchGuardSpec extends AnyFunSuite {
     // (box-proven); retry still over = read against the probe windows;
     // errored retry (-1) = never "recovered".
     val json = Bench.capRetryJson(
-      Seq(("t37_span_removal", 35.8, 9.1),
-        ("d35_hybrid_rrf_served", 45.6, 44.2),
-        ("broken", 31.0, -1.0)), capSec = 30.0)
+      Seq(("t37_span_removal", 35.8, Some(9.1)),
+        ("d35_hybrid_rrf_served", 45.6, Some(44.2)),
+        ("broken", 31.0, Some(-1.0)),
+        ("blowup", 800.0, None)), capSec = 30.0)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(json)
     val t37 = node.get("t37_span_removal")
@@ -123,11 +124,20 @@ class BenchGuardSpec extends AnyFunSuite {
       "a retry still over the cap is NOT recovered")
     assert(!node.get("broken").get("recovered").asBoolean(),
       "an errored retry (-1) must never read as recovered")
+    // a guard-skipped retry (cold beyond CapRetryMaxColdFactor x cap —
+    // mechanism-scale, not re-paid at roll end) renders null/false and
+    // stays distinguishable from an ERRORED retry (-1)
+    assert(node.get("blowup").get("retry").isNull,
+      "guard-skipped retry must render null, not -1")
+    assert(!node.get("blowup").get("recovered").asBoolean())
+    assert(Bench.CapRetryMaxColdFactor == 4.0,
+      "the blow-up guard factor is part of the artifact contract")
     // a retry landing exactly AT the cap recovered (the cap rule is
     // strictly-greater: main caps on warm > capSec)
-    assert(om.readTree(Bench.capRetryJson(Seq(("q", 31.0, 30.0)), 30.0))
+    assert(om.readTree(Bench.capRetryJson(Seq(("q", 31.0, Some(30.0))), 30.0))
       .get("q").get("recovered").asBoolean())
     // keys sort for cross-roll diffability; a clean roll renders {}
+    assert(json.indexOf("blowup") < json.indexOf("broken"))
     assert(json.indexOf("broken") < json.indexOf("d35_hybrid_rrf_served"))
     assert(Bench.capRetryJson(Nil, 30.0) == "{}")
   }
