@@ -361,6 +361,13 @@ object ParquetStore {
         // consume it here; a younger one may be mid-race (its dir moving
         // or another sweep consuming) and waits. Failure-isolated: a
         // racy marker/dir read must not abort the sibling sweep below.
+        // Residual race (r19, the r18 ADVICE inventory note): the
+        // mtime read → fs.delete pair is non-atomic — a concurrent
+        // installer rewriting THIS marker between the two loses its
+        // fresh marker, leaving its kept copy unprotected until the
+        // 24 h store-less sweep. Same single read-vs-delete instant
+        // the per-delete re-validation below already accepts, and only
+        // a diagnosis marker is at stake; accepted, not closed.
         if (!live) keptName.foreach { n =>
           try {
             val dir = new org.apache.hadoop.fs.Path(parent, n)
