@@ -506,25 +506,58 @@ object TextQueries {
     * spanPass loop: byte-identical at sf0.001/0.01); gated by the
     * planted all-pairs replay + idempotence specs and the sf hash
     * oracle.
+    *
+    * r19 job fusion (the r18 verdict item 1 — four consecutive capped
+    * driver rolls adjudicated to scheduler-gap exposure at ~17 jobs/
+    * pass x 4 passes): the loop now runs TWO actions per pass instead
+    * of four. (1) setup's corpus checkpoint and capN count share one
+    * job (lazy localCheckpoint + counting materializer); (2) the
+    * C-restricted recount checkpoints the whole (fp, dfc) table so the
+    * evidence needs one rare-side broadcast semi instead of a
+    * semi+anti pair; (3) the pass output, the delta merge, and the
+    * convergence count are ONE materialization — changed rows carry a
+    * `pass` ordinal, the merge is a union + max_by(pass) supersede
+    * (one delta-sized shuffle, replacing an anti-join whose broadcast
+    * build re-executed the whole mark/cut pipeline), and the count is
+    * a per-partition reduce over the checkpoint RDD's own
+    * materializing job; (4) the small fp-keyed checkpoints (stats,
+    * dfC) are marked lazily, so their final stage materializes inside
+    * their first consumer's job instead of a separate eager-count job.
+    * Fewer barriers is also the correct 100x-scale design: stragglers
+    * amplify per-barrier. Output-identical — ProfileT37h's legacy
+    * replay and the sf oracle gate the rewrite (measured 67 -> 44
+    * jobs at sf0.1, ProfileT37n).
     */
   private[graft] def spanRemoval(docs0: DataFrame,
       maxPasses: Int = SpanPasses, probe: StepProbe = NoProbe): DataFrame = {
     graft.plans.GraftFunctions.register(docs0.sparkSession)
-    val docs = probe("docs ckpt") {
-      docs0.select(col("doc_id"), col("text")).localCheckpoint()
+    // r19 job fusion (the r18 weak-flip exit): the corpus checkpoint and
+    // the capN count share ONE job — localCheckpoint(eager = false)
+    // marks the RDD and the count is the materializing action (eager
+    // checkpointing runs exactly this count internally and discards the
+    // value). Was 3 jobs (ckpt + 2-stage Dataset.count), now 1.
+    val (docs, capN) = probe("docs ckpt+capN") {
+      val d = docs0.select(col("doc_id"), col("text"))
+        .localCheckpoint(eager = false)
+      // the df cap as a driver-side literal (corpus size is fixed for
+      // the whole loop): drops the ndocs checkpoint + a broadcast
+      // crossJoin from every cap filter — same driver-scalar class as
+      // the convergence counts. NB the literal is INLINED into the
+      // generated filter code, so a pre-warm slice with a different
+      // corpus size can never hit cache for the cap-filter classes
+      // (ProfileT37k/l, r13) — one of the reasons Bench's pre-warm runs
+      // the FULL corpus.
+      val n = d.queryExecution.toRdd.count()
+      (d, math.max(20L, n / 100L))
     }
-    // the df cap as a driver-side literal (corpus size is fixed for the
-    // whole loop): drops the ndocs checkpoint + a broadcast crossJoin
-    // from every cap filter — same driver-scalar class as the isEmpty
-    // convergence probes. NB the literal is INLINED into the generated
-    // filter code, so a pre-warm slice with a different corpus size can
-    // never hit cache for the cap-filter classes (ProfileT37k/l, r13) —
-    // one of the reasons Bench's pre-warm runs the FULL corpus.
-    val capN = probe("capN count") { math.max(20L, docs.count() / 100L) }
     // slice-borne fps (r10): each occurrence carries its 27-char confirm
-    // context, so no pass ever joins corpus text for slicing again
+    // context, so no pass ever joins corpus text for slicing again.
+    // Lazy (r19 fusion #4): shuffle-free plan, so the mark costs no job
+    // here — the winnow itself runs (and caches) inside pass 0's first
+    // stats stage, which scans it anyway. NB this shifts the winnow's
+    // wall from t37_passes' "setup" bucket into "p0" (§6b r19 note).
     val fpsBase = probe("fpsBase winnow+ckpt") {
-      winnowFpsPosS(docs).localCheckpoint()
+      winnowFpsPosS(docs).localCheckpoint(eager = false)
     }
     // Changed docs only, latest text — the pass-k corpus is the cheap
     // composition base ⧹ delta-keys ∪ delta, so no pass re-materializes
@@ -535,7 +568,7 @@ object TextQueries {
     // `fpsCur` composes base ⧹ delta ∪ exploded delta keys on demand,
     // identical to a full re-winnow because fps are a deterministic
     // per-doc function of text).
-    var delta: DataFrame = null // (doc_id, text, keys)
+    var delta: DataFrame = null // (doc_id, text, keys, pass)
     def cur: DataFrame =
       if (delta == null) docs
       else docs.join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -571,12 +604,16 @@ object TextQueries {
           // occurrences of shareable rare fps. No occurrence-cardinality
           // checkpoint: stats is fp-cardinality, strictly smaller than
           // the old `rare` materialization.
+          // lazy checkpoint (r19 fusion #4): the two shuffle stages run
+          // here; the fp-rollup output materializes (and caches) inside
+          // its first consumer's job — shareRare's join below — instead
+          // of a separate eager-count job.
           val stats = probe("pass 0 stats ckpt") {
             fpsBase.groupBy("fp", "doc_id")
               .agg(count(lit(1)).as("np"))
               .groupBy("fp").agg(count(lit(1)).as("dfc"),
                 min("doc_id").as("mn"), max("doc_id").as("mx"))
-              .localCheckpoint()
+              .localCheckpoint(eager = false)
           }
           cappedPrev = stats.filter(col("dfc") > capN).select("fp")
           val shareRare = stats
@@ -624,20 +661,34 @@ object TextQueries {
           // deltas per pass, no distinct at all — measured SLOWER at
           // local[32]: its two extra fps-composition scans + checkpoints
           // cost more than this one C-restricted shuffle. r10 note.)
-          val cappedNow = probe(s"pass $pass cappedNow ckpt") {
+          // r19 job fusion: checkpoint the WHOLE C-restricted (fp, dfc)
+          // recount, not just its capped side. The evidence join below
+          // then needs only ONE broadcast semi against the rare side
+          // (dfc <= capN), replacing the old semi-on-C + anti-on-capped
+          // pair — identical set by complement (occ = (fpsCur semi C)
+          // anti capped == fpsCur semi {fp in C : dfc <= capN}, because
+          // every fp of C with an occurrence is in dfC), one fewer
+          // broadcast build job per pass. dfC is fp-cardinality (|C|),
+          // strictly smaller than the old capped-only table plus the
+          // rare fps it now also carries — still broadcast-size.
+          // lazy checkpoint (r19 fusion #4): the distinct and rollup
+          // shuffles run here; the final fp-rollup output materializes
+          // inside the rare-side broadcast build of the evidence join
+          // below, not a separate eager-count job.
+          val dfC = probe(s"pass $pass dfC ckpt") {
             fpsCur
               .join(fsetC, Seq("fp"), "left_semi")
               .select("doc_id", "fp").distinct()
               .groupBy("fp").agg(count(lit(1)).as("dfc"))
-              .filter(col("dfc") > capN)
-              .select("fp").localCheckpoint()
+              .localCheckpoint(eager = false)
           }
-          cappedPrev = cappedNow
+          cappedPrev = dfC.filter(col("dfc") > capN).select("fp")
           // the evidence: now-rare occurrences of C fps — one more
           // narrow fps scan. Un-checkpointed (r10 slice-borne form):
           // its only consumer is the out job's candidate explode.
-          fpsCur.join(fsetC, Seq("fp"), "left_semi")
-            .join(broadcast(cappedNow), Seq("fp"), "left_anti")
+          fpsCur.join(
+            broadcast(dfC.filter(col("dfc") <= capN).select("fp")),
+            Seq("fp"), "left_semi")
         }
       // keys feed only the NEXT pass's candidate set — on the final pass
       // the re-winnow is dead work, so it degenerates to an empty array.
@@ -649,23 +700,64 @@ object TextQueries {
       val keysCol =
         if (pass < maxPasses - 1) expr("graft_winnow13p(text_clean)")
         else expr("CAST(array() AS ARRAY<BIGINT>)")
-      val out = probe(s"pass $pass cutFromSliced out ckpt") {
-        spanCutFromSliced(cur, occ)
-          .select(col("doc_id"), col("text_clean").as("text"),
-            keysCol.as("keys"))
-          .localCheckpoint()
+      // r19 job fusion (the r18 weak-flip exit — was 3 actions/pass:
+      // out ckpt, 2-job count, delta-merge ckpt): ONE action per pass
+      // materializes the MERGED delta directly and the convergence
+      // count rides the same job. Structure:
+      //  - the pass's changed rows are tagged with a `pass` ordinal, so
+      //    "docs changed this pass" stays identifiable inside the
+      //    merged table (outPrev = filter(pass = k), cached rows);
+      //  - the supersede anti-join keys off the SAME spanMarks (b, ps)
+      //    table the cut join broadcasts (the marked-doc set IS the
+      //    changed-doc set — the cut join is inner on it), so the
+      //    exchange is built once and reused across the union's
+      //    branches instead of re-deriving changed ids from `out`;
+      //  - the count is the localCheckpoint's own materializing job
+      //    (eager checkpointing runs an internal count and discards
+      //    it): mark lazily, then one per-partition reduce over the
+      //    checkpoint RDD counts this pass's tag while persisting the
+      //    blocks. Driver-side scalar, the d26 discipline (the only
+      //    driver-side values in the loop are this count and capN).
+      val k = pass
+      val outNew = spanCutFromSliced(cur, occ)
+        .select(col("doc_id"), col("text_clean").as("text"),
+          keysCol.as("keys"), lit(k).as("pass"))
+      // supersede-by-latest as ONE union + max_by aggregation instead of
+      // the old anti-join + union: the anti-join needed the pass's
+      // changed-doc ids a second time (measured: the whole mark/cut
+      // pipeline re-executed for the anti's broadcast build — no
+      // exchange reuse across the union's branches), while the union
+      // form touches outNew once and pays one delta-sized shuffle. At
+      // 100 TB the delta (~1% of docs, decaying) was never
+      // broadcast-size either, so the old merge shuffled the same rows
+      // through a sort-merge anti — scale-equivalent, minus a whole
+      // pipeline re-execution. max_by is deterministic here: a doc
+      // appears at most once per side with distinct pass ordinals.
+      val mergedDelta =
+        if (delta == null) outNew
+        else delta.unionByName(outNew)
+          .groupBy("doc_id")
+          .agg(max_by(
+            struct(col("text"), col("keys"), col("pass")),
+            col("pass")).as("w"))
+          .select(col("doc_id"), col("w.text").as("text"),
+            col("w.keys").as("keys"), col("w.pass").as("pass"))
+      val (deltaCkpt, changedN) = probe(s"pass $pass delta+count ckpt") {
+        val d = mergedDelta.localCheckpoint(eager = false)
+        val ord = d.schema.fieldIndex("pass")
+        val n = d.queryExecution.toRdd.mapPartitions { it =>
+          var a = 0L
+          it.foreach(r => if (r.getInt(ord) == k) a += 1)
+          Iterator.single(a)
+        }.fold(0L)(_ + _)
+        (d, n)
       }
-      // count doubles as the convergence probe (d26 discipline: the only
-      // driver-side values are this count and capN)
-      changedPrevN = probe(s"pass $pass count") { out.count() }
+      changedPrevN = changedN
       if (changedPrevN == 0L) converged = true
       else {
-        delta = probe(s"pass $pass delta ckpt") {
-          (if (delta == null) out
-            else delta.join(out.select("doc_id"), Seq("doc_id"), "left_anti")
-              .unionByName(out)).localCheckpoint()
-        }
-        outPrev = out // checkpointed; its keys drive the next pass
+        delta = deltaCkpt
+        outPrev = deltaCkpt.filter(col("pass") === k) // cached rows;
+        // its keys drive the next pass's candidate set
       }
       pass += 1
     }
