@@ -108,6 +108,36 @@ object JaneQueries {
   private[graft] def jsonFeedPath(d: String): String =
     s"/tmp/graft_stores/ingest_feed_json_${new java.io.File(d).getName}"
 
+  /** j49's XML feed, rendered from the events table: one `<event>`
+    * element per row, each part file a well-formed `<feed>` document
+    * (written by `ParquetStore.installOverwriteXml` — the per-file root
+    * is load-bearing; see its Scaladoc for the measured no-root
+    * collapse). Every `event_id % 19 = 0` element carries an
+    * unparseable `<value>` (type-mismatch against the read schema's
+    * DOUBLE) — the j45 CSV reject class, and on this reader the ONLY
+    * honest one for multi-document files: a STRUCTURAL malformation
+    * (the j46 cut-a-closing-tag class) was measured to fail the StAX
+    * parse at DOCUMENT level, swallowing every later element in the
+    * file into one corrupt record — one bad upload must never eat its
+    * neighbors, and the value-class reject quarantines exactly the bad
+    * element (ProbeXml r19; NewQueriesR19Spec pins neighbor
+    * integrity). Doubles are rendered with Spark's shortest-round-trip
+    * cast, so good rows' values survive the text round trip bit-exact,
+    * same as the j45/j46 proofs.
+    */
+  private[graft] def ingestXmlFeed(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).select(
+      col("event_id"),
+      date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts"),
+      col("user_id"),
+      col("event_type"),
+      when(col("event_id") % 19 === 0, lit("CORRUPT"))
+        .otherwise(col("value").cast("string")).as("value"))
+
+  /** j49's feed directory (single-symbol rule, as [[jsonFeedPath]]). */
+  private[graft] def xmlFeedPath(d: String): String =
+    s"/tmp/graft_stores/ingest_feed_xml_${new java.io.File(d).getName}"
+
   /** j47's day-partitioned snapshot store directory (shared with
     * NewQueriesR13Spec for the same single-symbol reason). */
   private[graft] def ttravelStorePath(d: String): String =
@@ -691,6 +721,67 @@ object JaneQueries {
         .agg(count(lit(1)).as("n_rows"),
           sum(regexp_extract(col("_corrupt_record"),
             "\"event_id\":(\\d+)", 1).cast("long")).as("checksum"))
+        .select(lit("__quarantined__").as("bucket"),
+          col("n_rows"), col("checksum"))
+      good.unionByName(quarantined).orderBy("bucket")
+    },
+
+    "j49_xml_ingest" -> { (s, d) =>
+      // j45/j46's reject-but-continue lifecycle on Spark 4.1's NATIVE
+      // XML reader (r19 — the registry's one new-surface key this
+      // round: jane's real document formats ARE XML (QuakeML /
+      // StationXML), and the r1 "no XML parser in this environment"
+      // non-goal predates spark-sql shipping the source natively).
+      // Lifecycle: events rendered to a one-<event>-element-per-row XML
+      // feed (each part file a well-formed <feed> document) behind
+      // buildIfStale (content stamp on the source), ingested through
+      // the shipped Ingest.readXmlEvents (PERMISSIVE +
+      // _corrupt_record), good elements aggregate per type over the
+      // PARSED typed columns, quarantined elements are TRIAGED from
+      // their partially-parsed row: XML PERMISSIVE keeps every
+      // well-typed field of a rejected element (measured — the id
+      // parses, the bad value nulls), so recovery reads the typed
+      // event_id directly; the raw-text regexp the CSV/JSON twins use
+      // is NOT available here because the XML _corrupt_record carries
+      // the enclosing FILE document, not the single element (measured,
+      // ProbeXml r19 — file-granular raw preservation, element-granular
+      // typed triage). The oracle never sees the XML: it replays the
+      // corruption rule over parquet, so the hash check proves XML
+      // tokenization + parse + quarantine routing + the double's
+      // text round trip end to end. Scale shape: identical to j45/j46
+      // — per-file parallel scan, one checkpoint of the narrow
+      // projection for the two consumers (and a corrupt-column-only
+      // branch is legal only post-materialization).
+      val feedPath = xmlFeedPath(d)
+      // v2 (r19 roll OOM postmortem): the corrupt record is the whole
+      // enclosing FILE, so its cost is O(file size) PER REJECT — the
+      // first feed landed as ONE ~120 MB file at sf0.1 and ~31k rejects
+      // x 120 MB transient strings OOM'd a 24 GB heap. The feed is now
+      // written as 32 bounded files (at 100 TB an XML corpus arrives as
+      // many documents anyway — a monolithic XML file is both a reject
+      // amplifier and a parallelism ceiling), and the ingest projects
+      // the corrupt column down to a BOOLEAN before materializing:
+      // referencing the column still triggers the parse (quarantine
+      // detection is projection-pruned — see ingestXmlFeed's Scaladoc),
+      // but no file-sized string ever reaches the checkpoint.
+      val want = "ingest-feed-xml-v2|" +
+        graft.sources.ParquetStore.sourceStamp(s"$d/events.parquet")
+      graft.sources.ParquetStore.buildIfStale(
+        s"$feedPath.marker", want, Seq(feedPath)) {
+        graft.sources.ParquetStore.installOverwriteXml(
+          ingestXmlFeed(s, d).repartition(32), feedPath, "event", "feed")
+      }
+      val raw = graft.sources.Ingest.readXmlEvents(s, feedPath)
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("_corrupt_record").isNotNull.as("is_rejected"))
+        .localCheckpoint()
+      val good = raw.filter(!col("is_rejected"))
+        .groupBy(col("event_type").as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(cents(col("value"))).as("checksum"))
+      val quarantined = raw.filter(col("is_rejected"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("event_id")).as("checksum"))
         .select(lit("__quarantined__").as("bucket"),
           col("n_rows"), col("checksum"))
       good.unionByName(quarantined).orderBy("bucket")
@@ -1512,6 +1603,18 @@ object JaneQueries {
     "j46_ingest_json_quarantine" ->
       """WITH feed AS (SELECT event_id, event_type, value,
         |    event_id % 17 = 0 AS is_corrupt FROM events)
+        |SELECT event_type AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS checksum
+        |FROM feed WHERE NOT is_corrupt GROUP BY event_type
+        |UNION ALL
+        |SELECT '__quarantined__' AS bucket, COUNT(*) AS n_rows,
+        |  CAST(SUM(event_id) AS BIGINT) AS checksum
+        |FROM feed WHERE is_corrupt
+        |ORDER BY bucket""".stripMargin,
+
+    "j49_xml_ingest" ->
+      """WITH feed AS (SELECT event_id, event_type, value,
+        |    event_id % 19 = 0 AS is_corrupt FROM events)
         |SELECT event_type AS bucket, COUNT(*) AS n_rows,
         |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS checksum
         |FROM feed WHERE NOT is_corrupt GROUP BY event_type

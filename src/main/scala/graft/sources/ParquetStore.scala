@@ -122,6 +122,23 @@ object ParquetStore {
     installVia(df, path)(tmp =>
       df.write.mode(SaveMode.Overwrite).orc(tmp))
 
+  /** [[installOverwrite]] to XML via Spark 4.1's native XML writer (one
+    * `rowTag` element per row, every part file wrapped in its own
+    * `rootTag` document). The per-file ROOT is load-bearing, not
+    * cosmetic — measured on this Spark (r19, ProbeXml): a file that is
+    * just repeated rowTag elements with no enclosing root parses its
+    * FIRST element and swallows the rest into one corrupt record, so a
+    * text-lines install (the JSON-feed shape) cannot carry XML. The
+    * writer is the only layout that keeps every file a well-formed
+    * document under an arbitrary partition count — the same per-file
+    * concern [[installOverwriteCsv]] solves for headers. Same
+    * rename-aside swap. */
+  def installOverwriteXml(df: DataFrame, path: String,
+      rowTag: String, rootTag: String): Unit =
+    installVia(df, path)(tmp =>
+      df.write.mode(SaveMode.Overwrite).format("xml")
+        .option("rowTag", rowTag).option("rootTag", rootTag).save(tmp))
+
   /** [[installOverwrite]] PARTITIONED by a column (hive-style
     * `col=value/` subdirectories): the layout that turns a time-travel
     * or day-scoped predicate into PARTITION PRUNING at the scan — the
