@@ -85,22 +85,88 @@ object Bench {
     *    and re-paying a multi-minute run at roll end would re-expose
     *    the driver's wall to exactly the pathological class the cap
     *    bounds (the retry is otherwise un-cancellable mid-job).
+    * r19 (the r18 verdict item 2 — the first live `recovered: false`
+    * was unadjudicable because the END probe ran minutes before the
+    * retry, so "bursty mid-roll stall between endpoints" could excuse
+    * every future cap): each retry is BRACKETED by its own CPU
+    * micro-probes. `probe_pre`/`probe_post` carry the st/mt anchors
+    * (same workload and iteration count as the main probe's CPU arms,
+    * so the §6b bands apply directly) measured immediately before and
+    * after the retry run, each labeled `in_band` against
+    * [[ProbeBands]]. `recovered: false` with BOTH brackets in-band now
+    * names a real mechanism in-artifact — the weak-flip conditional is
+    * falsifiable again; brackets out-of-band name the box with zero
+    * essay. A guard-skipped retry carries null brackets (nothing ran
+    * between them).
+    *
     * Input rows are (name, cold-capped-time, retry-time: None =
-    * guard-skipped). Keys sort so the fragment is diffable across
-    * rolls.
+    * guard-skipped, probe_pre, probe_post). Keys sort so the fragment
+    * is diffable across rolls.
     */
   private[graft] def capRetryJson(
-      retries: Seq[(String, Double, Option[Double])], capSec: Double): String =
-    retries.sortBy(_._1).map { case (k, cold, retry) =>
+      retries: Seq[(String, Double, Option[Double],
+        Option[(Long, Long)], Option[(Long, Long)])],
+      capSec: Double): String =
+    retries.sortBy(_._1).map { case (k, cold, retry, pre, post) =>
       val rec = retry.exists(r => r >= 0 && r <= capSec)
       val rv = retry.map(_.toString).getOrElse("null")
-      s"\"" + k + s"""\":{"cold":$cold,"retry":$rv,"recovered":$rec}"""
+      def pj(p: Option[(Long, Long)]): String = p.map { case (st, mt) =>
+        val (inBand, _) = bandCheck(Map("st_ms" -> st, "mt_ms" -> mt) ++
+          CpuOnlyPad)
+        s"""{"st_ms":$st,"mt_ms":$mt,"in_band":$inBand}"""
+      }.getOrElse("null")
+      s"\"" + k + s"""\":{"cold":$cold,"retry":$rv,"recovered":$rec,""" +
+        s""""probe_pre":${pj(pre)},"probe_post":${pj(post)}}"""
     }.mkString("{", ",", "}")
+
+  /** Pads a CPU-only micro-probe window so [[bandCheck]]'s missing-arm
+    * rule doesn't read the deliberately-unmeasured disk/scheduler arms
+    * as out-of-band: each padded arm sits at its own band floor. The
+    * retry bracket measures the CPU axis only (a full probe costs ~4 s
+    * and reads the disk axes a 1-2 s bracket can't isolate anyway);
+    * its `in_band` therefore certifies st/mt alone — exactly the
+    * anchors the weak-flip conditional reads. */
+  // lazy: ProbeBands is declared further down the object and Scala
+  // initializes object vals in declaration order (a strict val here
+  // NPE'd Bench's clinit — caught live on the first r19 probe run)
+  private[graft] lazy val CpuOnlyPad: Map[String, Long] =
+    ProbeBands.collect { case (k, lo, _)
+      if k != "st_ms" && k != "mt_ms" => k -> lo }.toMap
 
   /** Cap-retry blow-up guard (r18 review, see [[capRetryJson]]): a
     * capped query whose cold already exceeded this multiple of the cap
-    * is not re-run at roll end. */
+    * is not re-run at roll end — and the wall budget at which a running
+    * retry is cancelled via its job group (r19, the r18 ADVICE: the
+    * retry itself was unbounded, so a ~4x-cap cold could re-run even
+    * longer at roll end and extend exactly the wall the cap bounds). */
   private[graft] val CapRetryMaxColdFactor = 4.0
+
+  /** §6b healthy-window reference bands for the probe arms (r19, the
+    * r18 verdict item 3): builder-box local[32] ranges measured across
+    * the r14–r18 roll history (SURVEY §6b is canonical; these constants
+    * exist so every probe window self-labels in the artifact instead of
+    * requiring a human with §6b open). (arm, lo, hi); lo is
+    * documentation — degradation is always upward, so the in-band
+    * predicate reads only the ceiling. st/mt are the CPU anchors,
+    * shuf/scan1 the disk + page-cache axes, jobs the scheduler axis.
+    * spark_ms/scan_ms stay unbanded: spark_ms swings 53–254 healthy
+    * (JIT ramp) and scan_ms is scan1's steady-state floor — neither has
+    * ever been the adjudicating arm. */
+  private[graft] val ProbeBands: Seq[(String, Long, Long)] = Seq(
+    ("st_ms", 298L, 415L), ("mt_ms", 378L, 579L),
+    ("shuf_ms", 527L, 1025L), ("scan1_ms", 154L, 539L),
+    ("jobs_ms", 1401L, 2472L))
+
+  /** A probe window is in-band when every banded arm is present,
+    * positive, and at or under its band ceiling (below-lo reads as a
+    * faster-than-band box — healthy). Returns (in_band, out-of-band arm
+    * names). A missing or errored (-1) arm is out-of-band BY NAME: a
+    * window that cannot prove its health must not read as clean. */
+  private[graft] def bandCheck(arms: Map[String, Long]): (Boolean, Seq[String]) = {
+    val oob = ProbeBands.collect { case (k, _, hi)
+      if !arms.get(k).exists(v => v > 0 && v <= hi) => k }
+    (oob.isEmpty, oob)
+  }
 
   /** Box fingerprint (r16, the r15 verdict item 2): the in-repo
     * `BENCH_full.json` baseline is whatever roll was committed last —
@@ -290,8 +356,13 @@ object Bench {
     * named); probe healthy => mechanism. Costs ~3-4 s per invocation —
     * outside every timed window.
     */
-  private def boxProbe(spark: SparkSession, nThreads: Int,
-      sfDir: String): (String, Long, Long) = {
+  /** The probe's CPU anchors alone — st (single-thread) and mt
+    * (`nThreads` concurrent) xorshift walls, same workload and
+    * iteration count as the full probe's arms so the §6b bands apply
+    * directly. Factored out in r19 for the cap-retry bracket (see
+    * [[capRetryJson]]): costs ~0.7-1 s healthy, cheap enough to run
+    * twice around each retry. */
+  private def cpuAnchors(nThreads: Int): (Long, Long) = {
     val iters = 1L << 27
     var sink = cpuWork(1L << 20, 7) // JIT-warm the loop before timing
     val t0 = System.nanoTime()
@@ -304,6 +375,15 @@ object Bench {
     val t1 = System.nanoTime()
     ths.foreach(_.start()); ths.foreach(_.join())
     val mtMs = (System.nanoTime() - t1) / 1e6
+    if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
+    (math.round(stMs), math.round(mtMs))
+  }
+
+  private def boxProbe(spark: SparkSession, nThreads: Int,
+      sfDir: String): (String, Long, Long) = {
+    val (stArm, mtArm) = cpuAnchors(nThreads)
+    val stMs = stArm.toDouble
+    val mtMs = mtArm.toDouble
     import org.apache.spark.sql.functions.{col, lit, shiftright, sum, xxhash64}
     // each Spark arm degrades independently to -1 (r15 review): the
     // scan arm reads $sfDir data and the shuffle arm touches local
@@ -369,13 +449,19 @@ object Bench {
       jobsOnce() // compile discard
       math.min(jobsOnce(), jobsOnce())
     }
-    if (acc.get() == 42) System.err.println("probe sink") // defeat DCE
     // the CPU anchors ride back as numerics too (r16): the vs_prev
-    // baseline label computes current/baseline start-probe ratios
+    // baseline label computes current/baseline start-probe ratios.
+    // Each window self-labels against [[ProbeBands]] (r19, the r18
+    // verdict item 3): `in_band` plus the out-of-band arm NAMES, so
+    // band placement is a field read, not a §6b essay.
+    val arms = Map("st_ms" -> math.round(stMs), "mt_ms" -> math.round(mtMs),
+      "shuf_ms" -> shufMs, "scan1_ms" -> scan1Ms, "jobs_ms" -> jobsMs)
+    val (inBand, oob) = bandCheck(arms)
+    val oobJson = oob.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"st_ms":${math.round(stMs)},"mt_ms":${math.round(mtMs)},""" +
       s""""spark_ms":$spMs,"shuf_ms":$shufMs,""" +
       s""""scan1_ms":$scan1Ms,"scan_ms":$scanMs,""" +
-      s""""jobs_ms":$jobsMs}"""
+      s""""jobs_ms":$jobsMs,"in_band":$inBand,"oob":$oobJson}"""
     (json, math.round(stMs), math.round(mtMs))
   }
 
@@ -671,34 +757,68 @@ object Bench {
     // recovered. The retry is diagnosis only: it never touches `queries`,
     // total, or the vs_prev flags, and a clean roll (zero capped) pays
     // nothing. See [[capRetryJson]] for how the artifact reads.
-    val capRetries: Seq[(String, Double, Option[Double])] =
+    val capRetries: Seq[(String, Double, Option[Double],
+        Option[(Long, Long)], Option[(Long, Long)])] =
       results.toSeq.collect { case (name, (_, _, true, cold)) =>
         if (cold > CapRetryMaxColdFactor * capSec) {
           // blow-up guard (r18 review): see capRetryJson's Scaladoc
           System.err.println(
             f"BENCH CAP RETRY SKIPPED $name: cold $cold%.2fs > " +
               f"${CapRetryMaxColdFactor}%.0fx cap (mechanism-scale; read cold_diag/run_ms)")
-          (name, cold, None)
+          (name, cold, None, None, None)
         } else {
-          val retry =
-            try once(selected(name))
+          // the retry bracketed by its own CPU anchors (r19, the r18
+          // verdict item 2): the END probe can run minutes before the
+          // retry and cannot certify its window — these two can.
+          val pre = cpuAnchors(cpus.toInt)
+          // wall-budgeted in its own job group (r19, the r18 ADVICE):
+          // the retry was the one unbounded run in the roll — a query
+          // capped near the guard threshold could re-run even longer at
+          // roll end. Cancelling the group makes once() throw, which
+          // records the errored-retry -1; the budget reuses the guard's
+          // factor so "too slow to retry" and "retry cut off" agree on
+          // scale.
+          val grp = s"cap-retry-$name"
+          @volatile var res = -1.0
+          val th = new Thread(() => {
+            spark.sparkContext.setJobGroup(grp,
+              s"cap retry $name", interruptOnCancel = true)
+            res =
+              try once(selected(name))
+              catch { case e: Throwable =>
+                System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
+          })
+          th.start()
+          th.join(math.max(1L,
+            (CapRetryMaxColdFactor * capSec * 1000).toLong))
+          if (th.isAlive) {
+            System.err.println(
+              f"BENCH CAP RETRY CANCELLED $name: over " +
+                f"${CapRetryMaxColdFactor * capSec}%.0fs wall budget")
+            try spark.sparkContext.cancelJobGroup(grp)
             catch { case e: Throwable =>
-              System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
+              System.err.println(s"BENCH CAP RETRY CANCEL: $e") }
+            th.join(30000) // let once()'s catch record -1 and unwind
+          }
+          val retry = res
+          val post = cpuAnchors(cpus.toInt)
           // ASCII only: the line goes to stderr, and sbt's console
           // charset mangles non-ASCII into '?' in the driver-kept log
           val verdict =
             if (retry >= 0 && retry <= capSec)
               "recovered under cap at roll end: transient, box-proven in-artifact"
-            else "STILL capped: adjudicate against probes/run_ms"
+            else "STILL capped: adjudicate against bracket probes/run_ms"
           System.err.println(
-            f"BENCH CAP RETRY $name: cold $cold%.2fs -> retry $retry%.2fs ($verdict)")
-          (name, cold, Some(retry))
+            f"BENCH CAP RETRY $name: cold $cold%.2fs -> retry $retry%.2fs " +
+              f"(pre st ${pre._1} mt ${pre._2} / post st ${post._1} mt " +
+              f"${post._2}) ($verdict)")
+          (name, cold, Some(retry), Some(pre), Some(post))
         }
       }
     // the no-baseline / parse-error shape, defined ONCE (r17 review):
     // the next vs_prev field addition must not be able to miss one of
     // the fallback sites and ship a short artifact
-    val emptyVsPrev = """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"flagged":{},"still_capped":{}}"""
+    val emptyVsPrev = """{"prev_total":null,"prev_box_fp":null,"cross_box":null,"box_ratio":null,"box_ratio_end":null,"baseline_end_in_band":null,"flagged":{},"still_capped":{}}"""
     val vsPrev: String = try {
       val f = java.nio.file.Paths.get("BENCH_full.json")
       if (!java.nio.file.Files.exists(f)) emptyVsPrev
@@ -735,6 +855,25 @@ object Bench {
         // ratio pair differs.
         val boxRatioEnd = baselineLabel(boxFp, prevFp,
           endSt, endMt, prevArm("end", "st_ms"), prevArm("end", "mt_ms"))._2
+        // the baseline-commit rule, mechanically checkable (r19, the
+        // r18 verdict item 3): box_ratio_end divides by the BASELINE's
+        // end anchors, so a degraded-end baseline silently inverts the
+        // mid-roll signal — this field says in the artifact whether the
+        // denominator roll's own END window was in the §6b bands. null
+        // = the baseline predates the probe's end window entirely.
+        val baselineEndInBand: Option[Boolean] =
+          if (root.path("tail").path("box").path("end").isObject) {
+            val prevEndArms = ProbeBands.map(_._1)
+              .flatMap(k => prevArm("end", k).map(k -> _)).toMap
+            Some(bandCheck(prevEndArms)._1)
+          } else None
+        if (baselineEndInBand.contains(false))
+          System.err.println(
+            "BENCH BASELINE END OUT OF BAND: the committed BENCH_full's " +
+              "own END probe arms are outside the reference bands — " +
+              "box_ratio_end reads inverted; replace the baseline " +
+              "(CLAUDE.md baseline-commit rule)")
+        val beibStr = baselineEndInBand.map(_.toString).getOrElse("null")
         val cbStr = crossBox.map(_.toString).getOrElse("null")
         val crossTag = if (crossBox.contains(true)) " [CROSS-BOX baseline]" else ""
         System.err.println(
@@ -766,6 +905,7 @@ object Bench {
           s""""prev_box_fp":$pfStr,"cross_box":$cbStr,""" +
           s""""box_ratio":${brJson(boxRatio)},""" +
           s""""box_ratio_end":${brJson(boxRatioEnd)},""" +
+          s""""baseline_end_in_band":$beibStr,""" +
           s""""flagged":${m(regressed)},"still_capped":${m(cappedNotWorse)}}"""
       }
     } catch {

@@ -109,37 +109,83 @@ class BenchGuardSpec extends AnyFunSuite {
     // artifact self-adjudicating: retry back under the cap = transient
     // (box-proven); retry still over = read against the probe windows;
     // errored retry (-1) = never "recovered".
+    // r19 (the r18 verdict item 2): the first live recovered:false was
+    // unadjudicable because the END probe ran minutes before the retry
+    // — each retry is now BRACKETED by its own st/mt micro-probes,
+    // each labeled in_band against the §6b bands, so recovered:false
+    // with clean brackets names a real mechanism in-artifact.
+    val inBandPre = (350L, 450L) // inside st 298-415 / mt 378-579
+    val degradedPost = (820L, 730L) // the r18 degraded-window anchors
     val json = Bench.capRetryJson(
-      Seq(("t37_span_removal", 35.8, Some(9.1)),
-        ("d35_hybrid_rrf_served", 45.6, Some(44.2)),
-        ("broken", 31.0, Some(-1.0)),
-        ("blowup", 800.0, None)), capSec = 30.0)
+      Seq(("t37_span_removal", 35.8, Some(9.1), Some(inBandPre), Some(inBandPre)),
+        ("d35_hybrid_rrf_served", 45.6, Some(44.2), Some(inBandPre),
+          Some(degradedPost)),
+        ("broken", 31.0, Some(-1.0), Some(inBandPre), Some(inBandPre)),
+        ("blowup", 800.0, None, None, None)), capSec = 30.0)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val node = om.readTree(json)
     val t37 = node.get("t37_span_removal")
     assert(t37.get("cold").asDouble() == 35.8)
     assert(t37.get("retry").asDouble() == 9.1)
     assert(t37.get("recovered").asBoolean(), "retry under cap = transient")
-    assert(!node.get("d35_hybrid_rrf_served").get("recovered").asBoolean(),
+    assert(t37.get("probe_pre").get("st_ms").asLong() == 350)
+    assert(t37.get("probe_pre").get("in_band").asBoolean(),
+      "in-band CPU anchors must self-label clean")
+    val d35 = node.get("d35_hybrid_rrf_served")
+    assert(!d35.get("recovered").asBoolean(),
       "a retry still over the cap is NOT recovered")
+    assert(d35.get("probe_pre").get("in_band").asBoolean())
+    assert(!d35.get("probe_post").get("in_band").asBoolean(),
+      "degraded anchors must self-label out-of-band")
     assert(!node.get("broken").get("recovered").asBoolean(),
       "an errored retry (-1) must never read as recovered")
     // a guard-skipped retry (cold beyond CapRetryMaxColdFactor x cap —
     // mechanism-scale, not re-paid at roll end) renders null/false and
-    // stays distinguishable from an ERRORED retry (-1)
+    // stays distinguishable from an ERRORED retry (-1); nothing ran
+    // between its brackets, so they render null too
     assert(node.get("blowup").get("retry").isNull,
       "guard-skipped retry must render null, not -1")
     assert(!node.get("blowup").get("recovered").asBoolean())
+    assert(node.get("blowup").get("probe_pre").isNull
+      && node.get("blowup").get("probe_post").isNull)
     assert(Bench.CapRetryMaxColdFactor == 4.0,
       "the blow-up guard factor is part of the artifact contract")
     // a retry landing exactly AT the cap recovered (the cap rule is
     // strictly-greater: main caps on warm > capSec)
-    assert(om.readTree(Bench.capRetryJson(Seq(("q", 31.0, Some(30.0))), 30.0))
+    assert(om.readTree(Bench.capRetryJson(
+        Seq(("q", 31.0, Some(30.0), Some(inBandPre), Some(inBandPre))), 30.0))
       .get("q").get("recovered").asBoolean())
     // keys sort for cross-roll diffability; a clean roll renders {}
     assert(json.indexOf("blowup") < json.indexOf("broken"))
     assert(json.indexOf("broken") < json.indexOf("d35_hybrid_rrf_served"))
     assert(Bench.capRetryJson(Nil, 30.0) == "{}")
+  }
+
+  test("bandCheck labels probe windows against the §6b reference bands") {
+    // r19 (the r18 verdict item 3): band placement was a human with §6b
+    // open; the bands are constants now and every window self-labels.
+    // In-band = every banded arm present, positive, at or under its
+    // ceiling; below-lo is a FASTER box, still in band.
+    val clean = Map("st_ms" -> 310L, "mt_ms" -> 420L, "shuf_ms" -> 700L,
+      "scan1_ms" -> 200L, "jobs_ms" -> 1800L)
+    assert(Bench.bandCheck(clean) == ((true, Seq.empty)))
+    assert(Bench.bandCheck(clean + ("st_ms" -> 200L))._1,
+      "below-lo reads as a faster box, not a degraded one")
+    // the r18 driver roll's start window: jobs 19x out, CPU arms out
+    val r18 = Map("st_ms" -> 828L, "mt_ms" -> 729L, "shuf_ms" -> 1074L,
+      "scan1_ms" -> 245L, "jobs_ms" -> 46955L)
+    val (inBand, oob) = Bench.bandCheck(r18)
+    assert(!inBand && oob == Seq("st_ms", "mt_ms", "shuf_ms", "jobs_ms"))
+    // a missing or errored (-1) arm is out-of-band BY NAME: an
+    // unprovable window must not read as clean
+    assert(Bench.bandCheck(clean - "jobs_ms")._2 == Seq("jobs_ms"))
+    assert(Bench.bandCheck(clean + ("scan1_ms" -> -1L))._2 == Seq("scan1_ms"))
+    // unbanded arms (spark_ms/scan_ms) never affect the label
+    assert(Bench.bandCheck(clean + ("spark_ms" -> 99999L))._1)
+    // the CPU-only pad makes a st/mt micro-window checkable without
+    // reading the deliberately-unmeasured disk/scheduler arms as oob
+    assert(Bench.bandCheck(Map("st_ms" -> 350L, "mt_ms" -> 450L)
+      ++ Bench.CpuOnlyPad)._1)
   }
 
   test("boxFingerprint is a stable short digest; distinct identities differ") {
@@ -256,8 +302,18 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(root.has("box_fp") && root.get("box_fp").asText().nonEmpty)
     assert(tail.get("box").has("fp"))
     for (k <- Seq("prev_total", "prev_box_fp", "cross_box", "box_ratio",
-        "box_ratio_end", "flagged", "still_capped"))
+        "box_ratio_end", "baseline_end_in_band", "flagged", "still_capped"))
       assert(root.get("vs_prev").has(k), s"vs_prev lost field $k")
+    // r19: every probe window self-labels against the §6b band
+    // constants — in_band plus the out-of-band arm names — and the
+    // baseline-commit rule is mechanically checkable via
+    // vs_prev.baseline_end_in_band above
+    for (w <- Seq("start", "end")) {
+      val win = tail.get("box").get(w)
+      assume(win != null && win.isObject, s"probe $w window null on this roll")
+      assert(win.has("in_band") && win.has("oob"),
+        s"probe $w window lost its band self-label")
+    }
   }
 
   test("PassWall buckets t37 step labels by pass and aggregates wall time") {
@@ -266,12 +322,11 @@ class BenchGuardSpec extends AnyFunSuite {
     // label→bucket mapping and the per-bucket accumulation are what
     // make the artifact field readable, so they are pinned here
     import graft.queries.TextQueries.PassWall
-    assert(PassWall.bucket("docs ckpt") == "setup")
-    assert(PassWall.bucket("capN count") == "setup")
+    assert(PassWall.bucket("docs ckpt+capN") == "setup")
     assert(PassWall.bucket("fpsBase winnow+ckpt") == "setup")
     assert(PassWall.bucket("pass 0 stats ckpt") == "p0")
-    assert(PassWall.bucket("pass 0 cutFromSliced out ckpt") == "p0")
-    assert(PassWall.bucket("pass 3 delta ckpt") == "p3")
+    assert(PassWall.bucket("pass 1 dfC ckpt") == "p1")
+    assert(PassWall.bucket("pass 3 delta+count ckpt") == "p3")
     assert(PassWall.bucket("pass 12 count") == "p12")
     PassWall.reset()
     PassWall.record("pass 0 stats ckpt", 1500000000L)
