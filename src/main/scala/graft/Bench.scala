@@ -788,6 +788,11 @@ object Bench {
               catch { case e: Throwable =>
                 System.err.println(s"BENCH CAP RETRY ERROR $name: $e"); -1.0 }
           })
+          // daemon (r19 review): if the cancel fails to unwind a stuck
+          // task within the grace join below, a user thread would block
+          // JVM exit and hang the roll at its very last step — the
+          // exact wall-clock exposure the budget exists to bound
+          th.setDaemon(true)
           th.start()
           th.join(math.max(1L,
             (CapRetryMaxColdFactor * capSec * 1000).toLong))

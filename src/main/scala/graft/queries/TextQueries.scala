@@ -525,8 +525,8 @@ object TextQueries {
     * their first consumer's job instead of a separate eager-count job.
     * Fewer barriers is also the correct 100x-scale design: stragglers
     * amplify per-barrier. Output-identical — ProfileT37h's legacy
-    * replay and the sf oracle gate the rewrite (measured 67 -> 44
-    * jobs at sf0.1, ProfileT37n).
+    * replay and the sf oracle gate the rewrite (measured 67 -> 45
+    * jobs / 194 -> 130 tasks at sf0.1, ProfileT37n).
     */
   private[graft] def spanRemoval(docs0: DataFrame,
       maxPasses: Int = SpanPasses, probe: StepProbe = NoProbe): DataFrame = {
@@ -707,11 +707,8 @@ object TextQueries {
       //  - the pass's changed rows are tagged with a `pass` ordinal, so
       //    "docs changed this pass" stays identifiable inside the
       //    merged table (outPrev = filter(pass = k), cached rows);
-      //  - the supersede anti-join keys off the SAME spanMarks (b, ps)
-      //    table the cut join broadcasts (the marked-doc set IS the
-      //    changed-doc set — the cut join is inner on it), so the
-      //    exchange is built once and reused across the union's
-      //    branches instead of re-deriving changed ids from `out`;
+      //  - the supersede is union + max_by(pass) — see mergedDelta's
+      //    comment for why the anti-join form was rejected;
       //  - the count is the localCheckpoint's own materializing job
       //    (eager checkpointing runs an internal count and discards
       //    it): mark lazily, then one per-partition reduce over the
