@@ -54,6 +54,31 @@ class NewQueriesR19Spec extends SparkSpec {
       (col("event_id").isNull || col("value").isNull)).count() == 0)
   }
 
+  test("t37 spanRemoval stays job-fused: bounded scheduler-job count end to end") {
+    // r19's other deliverable (the r18 weak-flip exit): the loop was
+    // restructured from ~4 actions/pass (~17 jobs/pass, 67 total at
+    // sf0.1) to 2, measured 45 jobs at sf0.001 AND sf0.1 (ProfileT37n;
+    // the count is SF-invariant because jobs are per-exchange, not
+    // per-row). Scheduler-stall exposure is proportional to the job
+    // count, so a silent regression back to the eager-checkpoint /
+    // separate-count / separate-merge shape is a perf bug this pins:
+    // 55 = measured 45 + headroom for AQE plan-choice variance, far
+    // under the old 67.
+    val stats = new Bench.SchedStats
+    spark.sparkContext.addSparkListener(stats)
+    try {
+      graft.queries.TextQueries.spanRemoval(Tables.documents(spark, sfDir))
+        .write.format("noop").mode("overwrite").save()
+      stats.settle()
+    } finally spark.sparkContext.removeSparkListener(stats)
+    val jobs = stats.jobs.get()
+    assert(jobs >= 10, s"sanity: the pass loop must actually run ($jobs jobs)")
+    assert(jobs <= 55,
+      s"spanRemoval ran $jobs scheduler jobs (fused shape is ~45; the " +
+        "pre-r19 shape was 67) — a de-fusion regression re-opens the " +
+        "stall-exposure window that capped four consecutive driver rolls")
+  }
+
   test("j49 feed: the XML text round trip is bit-exact on the double column") {
     import org.apache.spark.sql.functions.{col, expr, sum}
     // the cents checksum in the query only proves round(x*100) agrees;
