@@ -54,6 +54,37 @@ class NewQueriesR19Spec extends SparkSpec {
       (col("event_id").isNull || col("value").isNull)).count() == 0)
   }
 
+  test("installOverwriteXml: every part file is its own rooted document") {
+    // the load-bearing measured fact behind the installer (see its
+    // Scaladoc): a root-less file of repeated rowTags parses ONE
+    // element and swallows the rest into a single corrupt record —
+    // so each part file, under ANY partition count, must be a
+    // well-formed document. Pinned directly here (j49 only proves it
+    // indirectly through the quarantine counts).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(3)
+    val path = "/tmp/graft_stores/xml_root_pin"
+    graft.sources.ParquetStore.installOverwriteXml(df, path, "row", "root")
+    val parts = new java.io.File(path).listFiles
+      .filter(f => f.getName.startsWith("part") && f.length > 0)
+    assert(parts.length > 1, "the pin needs a multi-file layout")
+    parts.foreach { f =>
+      val text = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").trim
+      assert(text.contains("<root>") && text.endsWith("</root>"),
+        s"${f.getName} is not a self-contained rooted document")
+    }
+    // and the native reader round-trips all rows across the files
+    val back = spark.read
+      .schema("id LONG, v STRING")
+      .option("rowTag", "row").xml(path)
+    assert(back.count() == 10)
+    assert(back.agg(org.apache.spark.sql.functions.sum(col("id")))
+      .head.getLong(0) == 55)
+  }
+
   test("t37 spanRemoval stays job-fused: bounded scheduler-job count end to end") {
     // r19's other deliverable (the r18 weak-flip exit): the loop was
     // restructured from ~4 actions/pass (~17 jobs/pass, 67 total at
