@@ -642,8 +642,10 @@ object TextQueries {
           // changed-doc count bounds the set. Un-hinted AQE still
           // broadcasts a small set, but only after materializing the
           // shuffle stage first (measured +0.85 s/run at sf0.1). The
-          // capped set below is ALWAYS pinned broadcast: #capped fps ≤
-          // sum(df)/cap = 100 × avg fps per doc, scale-invariant.
+          // evidence join's rare side below is gated the same way —
+          // since the r19 fusion it carries the |C|-proportional rare
+          // fps, not just the scale-invariant capped set (≤ sum(df)/cap
+          // = 100 × avg fps per doc) the old anti-join shape pinned.
           val fsetC0 = outPrev
             .select(explode(col("keys")).as("key"))
             .select(expr(s"key div $WinC").as("fp"))
@@ -686,8 +688,18 @@ object TextQueries {
           // the evidence: now-rare occurrences of C fps — one more
           // narrow fps scan. Un-checkpointed (r10 slice-borne form):
           // its only consumer is the out job's candidate explode.
+          // Broadcast gated like fsetC (r20, the r19 ADVICE): dfC's
+          // rare side is |C|-proportional — ∝ the previous pass's
+          // changed-doc fps, NOT the scale-invariant capped set the old
+          // anti-join shape pinned — so an unconditional hint would
+          // bypass AQE's size check and OOM the broadcast build at
+          // extreme scale. Under the bound the pinned hint skips AQE's
+          // materialize-first step (the measured +0.85 s/run); over it
+          // AQE decides from actual sizes.
+          val rareC = dfC.filter(col("dfc") <= capN).select("fp")
           fpsCur.join(
-            broadcast(dfC.filter(col("dfc") <= capN).select("fp")),
+            if (changedPrevN <= FsetBroadcastMaxDocs) broadcast(rareC)
+            else rareC,
             Seq("fp"), "left_semi")
         }
       // keys feed only the NEXT pass's candidate set — on the final pass

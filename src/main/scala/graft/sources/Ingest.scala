@@ -75,6 +75,52 @@ object Ingest {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .xml(path)
 
+  /** Nested QuakeML-shaped event documents (r20 — the indexer loop's
+    * PARSE half, closing what j32/j24 only rendered): one `<event>`
+    * element per event carrying its preferred-origin/-magnitude POINTERS
+    * plus repeated nested `<origin>`/`<magnitude>` child elements —
+    * exactly the document shape jane's QuakeML indexer plugin receives
+    * and flattens into index rows (reference: krischer/jane
+    * `src/jane/quakeml/plugins.py` index_documents — each document
+    * yields one index row per origin/magnitude with the preferred ids
+    * resolved). The Spark 4.1 native source maps an `ArrayType(Struct)`
+    * field to repeated elements of the FIELD NAME and preserves
+    * DOCUMENT order in the parsed array (measured r20: a deliberately
+    * non-monotonic element order reads back position-exact —
+    * NewQueriesR20Spec pins it), so array position is a faithful
+    * document coordinate the roundtrip oracle can check. Scalars are
+    * the index's fixed-point BIGINTs (1e-2 deg, m, centi-mag) — the
+    * same engine-portable integer-to-string rule every render query
+    * uses. Explicit schema as everywhere (inference double-reads);
+    * no corrupt-record column — the quarantine lifecycle is j49's,
+    * this arm proves the nested PARSE, and an unparseable field would
+    * null out and fail the hash check anyway.
+    */
+  val quakemlDocSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("pref_oid", LongType, nullable = false),
+    StructField("pref_mid", LongType, nullable = false),
+    StructField("origin", ArrayType(StructType(Seq(
+      StructField("origin_id", LongType, nullable = false),
+      StructField("otime_s", LongType, nullable = false),
+      StructField("lat_e2", LongType, nullable = false),
+      StructField("lon_e2", LongType, nullable = false),
+      StructField("depth_m", LongType, nullable = false),
+      StructField("n_phases", LongType, nullable = false),
+      StructField("azimuthal_gap", LongType, nullable = false)))),
+      nullable = false),
+    StructField("magnitude", ArrayType(StructType(Seq(
+      StructField("mag_id", LongType, nullable = false),
+      StructField("mag_c", LongType, nullable = false),
+      StructField("mtype", StringType, nullable = false)))),
+      nullable = false)))
+
+  def readEventXmlDocs(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(quakemlDocSchema)
+      .option("rowTag", "event")
+      .xml(path)
+
   /** Raw text-line documents (one doc per line): deterministic doc ids
     * from a line fingerprint, not from partition-dependent counters
     * (`monotonically_increasing_id` would renumber on repartition).
