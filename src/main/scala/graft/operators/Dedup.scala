@@ -241,32 +241,65 @@ object Dedup {
     * @return (id, label) — label = min doc id of the component
     */
   def components(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    // r20 loop-conf adaptation (guide §1.2/§2): the round shape itself was
+    // already near its floor — ProfileComp measured the warm per-call cost
+    // dominated by AQE's sequential stage materialization and per-job
+    // fixed overhead across the ~7 tiny rounds, not by the joins' data
+    // (a fused union-agg + lazy-ckpt + fused-convergence-count variant
+    // came out SLOWER warm: 3.5 vs 3.2 s on d11). What moved the number
+    // was running the LOOP at a partition count derived from the measured
+    // edge cardinality, with AQE off while the data is provably small
+    // (d11 3.36 -> 2.5 s warm; AQE-off at the session's static 32
+    // partitions measured 9.4 s — the adaptation needs both halves):
+    //  - the edge base materializes FIRST, under the caller's conf (its
+    //    upstream is the caller's scale-proportional pair pipeline), via a
+    //    lazy checkpoint whose materializing count is also the size probe
+    //    (the t37 r19 fusion pattern — no extra job);
+    //  - the loop's shuffles then run at ~64k edge rows per partition,
+    //    clamped to the session default, mirroring statically what AQE's
+    //    coalescing would decide per-stage — but decided ONCE instead of
+    //    re-planned per stage per round;
+    //  - AQE stays ON whenever the derived count reaches the session
+    //    default (the data is big: skew handling matters more than the
+    //    per-round planning latency), so the adaptation can only kick in
+    //    when the label table is provably small.
+    val spark = pairs.sparkSession
     val edges = pairs.select(col("a"), col("b"))
       .union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
-    var converged = false
-    var i = 0
-    while (!converged && i < maxIters) {
-      val nmin = edges.join(labels.withColumnRenamed("id", "__nb"), col("b") === col("__nb"))
-        .groupBy(col("a").as("id"))
-        .agg(min(col("label")).as("__nlabel"))
-      val stepped = labels.join(nmin, Seq("id"), "left")
-        .select(col("id"), col("label").as("__old"),
-          least(col("label"), coalesce(col("__nlabel"), col("label"))).as("__l1"))
-      // pointer jump: label := label(label) — labels are node ids, so the
-      // self-join resolves each label to its own current minimum
-      val next = stepped
-        .join(stepped.select(col("id").as("__l1"), col("__l1").as("__ll")), Seq("__l1"), "left")
-        .select(col("id"), col("__old"),
-          least(col("__l1"), coalesce(col("__ll"), col("__l1"))).as("label"))
-        .localCheckpoint(true)
-      converged = next.filter(col("label") < col("__old")).isEmpty
-      labels = next.select(col("id"), col("label"))
-      i += 1
+      .localCheckpoint(eager = false)
+    // materializes the checkpoint AND probes the loop size in one job
+    val nEdges = edges.queryExecution.toRdd.count()
+
+    def loop(): DataFrame = {
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("label", col("id")).localCheckpoint(true)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIters) {
+        val nmin = edges.join(labels.withColumnRenamed("id", "__nb"), col("b") === col("__nb"))
+          .groupBy(col("a").as("id"))
+          .agg(min(col("label")).as("__nlabel"))
+        val stepped = labels.join(nmin, Seq("id"), "left")
+          .select(col("id"), col("label").as("__old"),
+            least(col("label"), coalesce(col("__nlabel"), col("label"))).as("__l1"))
+        // pointer jump: label := label(label) — labels are node ids, so the
+        // self-join resolves each label to its own current minimum
+        val next = stepped
+          .join(stepped.select(col("id").as("__l1"), col("__l1").as("__ll")), Seq("__l1"), "left")
+          .select(col("id"), col("__old"),
+            least(col("__l1"), coalesce(col("__ll"), col("__l1"))).as("label"))
+          .localCheckpoint(true)
+        converged = next.filter(col("label") < col("__old")).isEmpty
+        labels = next.select(col("id"), col("label"))
+        i += 1
+      }
+      labels
     }
-    labels
+
+    // scoped conf (see LoopConf): the loop's plans are label-table-sized
+    // by the probe above; everything upstream (the pair pipeline) already
+    // materialized under the caller's conf
+    LoopConf.withSized(spark, nEdges)(loop())
   }
 
   /** Horner-form SQL for a token code over `rp` (token right-padded to

@@ -128,15 +128,22 @@ object KMeans {
     val n = sample.agg(count(lit(1))).head().getLong(0)
     val kk = math.max(2L, n / targetClusterSize)
     require(kk <= Int.MaxValue, s"k=$kk exceeds supported codebook size")
-    val wId = Window.orderBy(col("vec_id").asc)
-    var codebook = sample.orderBy("vec_id").limit(kk.toInt)
-      .withColumn("cent_id", row_number().over(wId).cast("long") - 1)
-      .select(col("cent_id"), col("q").as("cq"))
-      .localCheckpoint()
-    (0 until iters).foreach { _ =>
-      codebook = lloydStep(sample, codebook).localCheckpoint()
+    // the init and every Lloyd iteration are sample-sized — run them at a
+    // partition count derived from the measured sample (LoopConf r20:
+    // AQE's per-stage re-planning and the session's static partition
+    // count are the dominant cost of these tiny iterative plans at
+    // bench scale; big samples keep the caller's conf)
+    LoopConf.withSized(sample.sparkSession, n) {
+      val wId = Window.orderBy(col("vec_id").asc)
+      var codebook = sample.orderBy("vec_id").limit(kk.toInt)
+        .withColumn("cent_id", row_number().over(wId).cast("long") - 1)
+        .select(col("cent_id"), col("q").as("cq"))
+        .localCheckpoint()
+      (0 until iters).foreach { _ =>
+        codebook = lloydStep(sample, codebook).localCheckpoint()
+      }
+      codebook
     }
-    codebook
   }
 
   /* Argmin shape: the broadcast crossJoin emits each vector's k scored
@@ -151,14 +158,29 @@ object KMeans {
     * exact BIGINT ||x − c||², centroid id as tie-break.
     */
   def assignQuantized(vectors: DataFrame, codebook: DataFrame): DataFrame = {
-    val scored = vectors.crossJoin(broadcast(codebook))
-      .withColumn("dist", expr(
-        "aggregate(zip_with(q, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
-    scored.groupBy("vec_id")
-      .agg(min_by(struct(col("cent_id"), col("q"), col("dist")),
-        struct(col("dist"), col("cent_id"))).as("best"))
-      .select(col("vec_id"), col("best.q").as("q"),
-        col("best.cent_id").as("cent_id"), col("best.dist").as("dist"))
+    // r20 argmin-in-projection (guide §4 + the plan audit): the old
+    // crossJoin → n×k scored rows → min_by(struct, struct(dist, cent_id))
+    // shape planned a SortAggregate — min_by's struct buffer is not
+    // hash-aggregable, so every assignment pass SORTED its n×k expanded
+    // rows. graft_argmin_sqdist evaluates the whole argmin inside one
+    // codegen scan projection over the codebook collapsed to a single
+    // broadcast row: no row explosion, no sort, no aggregation, no
+    // exchange. The codebook arrays are sorted ascending by cent_id, so
+    // the expression's lowest-index tie-break equals the old
+    // struct(dist, cent_id) ordering exactly; cent_id is restored by
+    // indexing the aligned id array (never assumed dense — a Lloyd
+    // iteration can empty a centroid).
+    graft.plans.GraftFunctions.register(vectors.sparkSession)
+    val cb1 = codebook.agg(
+      expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+        .as("cbids"),
+      expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
+        .as("cbs"))
+    vectors.crossJoin(broadcast(cb1))
+      .withColumn("__p", expr("graft_argmin_sqdist(q, cbs)"))
+      .select(col("vec_id"), col("q"),
+        expr(s"element_at(cbids, CAST(__p % ${1L << 21} AS INT) + 1)").as("cent_id"),
+        expr(s"__p div ${1L << 21}").as("dist"))
   }
 
   /** Nearest-centroid assignment: broadcast codebook, map-side argmin of

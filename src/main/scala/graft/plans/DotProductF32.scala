@@ -123,6 +123,8 @@ case class DotProductI64(left: Expression, right: Expression)
 object GraftFunctions {
   val dotF32Info = new ExpressionInfo(classOf[DotProductF32].getName, "graft_dot_f32")
   val dotI64Info = new ExpressionInfo(classOf[DotProductI64].getName, "graft_dot_i64")
+  val sqdistI64Info = new ExpressionInfo(classOf[SqDistI64].getName, "graft_sqdist_i64")
+  val argminInfo = new ExpressionInfo(classOf[ArgMinSqDist].getName, "graft_argmin_sqdist")
   val isectInfo = new ExpressionInfo(classOf[IntersectCountSorted].getName, "graft_isect_sorted")
   val isectI64Info = new ExpressionInfo(classOf[IntersectCountSortedI64].getName, "graft_isect_sorted_i64")
   val fpInfo = new ExpressionInfo(classOf[RollingFingerprint].getName, "graft_fingerprint")
@@ -155,6 +157,10 @@ object GraftFunctions {
       (exprs: Seq[Expression]) => DotProductF32(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_dot_i64"), dotI64Info,
       (exprs: Seq[Expression]) => DotProductI64(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_sqdist_i64"), sqdistI64Info,
+      (exprs: Seq[Expression]) => SqDistI64(exprs(0), exprs(1))),
+    (FunctionIdentifier("graft_argmin_sqdist"), argminInfo,
+      (exprs: Seq[Expression]) => ArgMinSqDist(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_isect_sorted"), isectInfo,
       (exprs: Seq[Expression]) => IntersectCountSorted(exprs(0), exprs(1))),
     (FunctionIdentifier("graft_isect_sorted_i64"), isectI64Info,

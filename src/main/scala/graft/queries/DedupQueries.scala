@@ -199,22 +199,31 @@ object DedupQueries {
         .select(col("a"), col("b"))
       val edges = pairs.unionByName(
         pairs.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
-      val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
-      var ranks = deg.select(col("a").as("id"), lit(1000000L).as("r"))
-        .localCheckpoint()
-      (0 until PrIters).foreach { _ =>
-        ranks = edges
-          .join(ranks, edges("a") === ranks("id"))
-          .join(deg, "a")
-          .select(col("b"), expr("r div deg").as("c"))
-          .groupBy("b").agg(sum(col("c")).as("inflow"))
-          .select(col("b").as("id"),
-            expr("150000 + (85 * inflow) div 100").as("r"))
+        .localCheckpoint(eager = false)
+      // checkpoint materialization doubling as the loop size probe
+      // (the r20 LoopConf pattern): the degree table and all PrIters
+      // power iterations are edge-table-sized tiny plans at bench scale
+      val nEdges = edges.queryExecution.toRdd.count()
+      graft.operators.LoopConf.withSized(s, nEdges) {
+        // deg is read by every iteration — materialize once instead of
+        // re-aggregating the edge table per iteration
+        val deg = edges.groupBy("a").agg(count(lit(1)).as("deg"))
+          .localCheckpoint(eager = false)
+        var ranks = deg.select(col("a").as("id"), lit(1000000L).as("r"))
           .localCheckpoint()
+        (0 until PrIters).foreach { _ =>
+          ranks = edges
+            .join(ranks, edges("a") === ranks("id"))
+            .join(deg, "a")
+            .select(col("b"), expr("r div deg").as("c"))
+            .groupBy("b").agg(sum(col("c")).as("inflow"))
+            .select(col("b").as("id"),
+              expr("150000 + (85 * inflow) div 100").as("r"))
+            .localCheckpoint()
+        }
+        ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
+          .orderBy(col("rank_e6").desc, col("doc_id").asc)
       }
-      ranks.select(col("id").as("doc_id"), col("r").as("rank_e6"))
-        .orderBy(col("rank_e6").desc, col("doc_id").asc)
     },
 
     "d24_dedup_funnel" -> { (s, d) =>

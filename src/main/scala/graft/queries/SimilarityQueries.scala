@@ -387,6 +387,10 @@ object SimilarityQueries {
         .select(col("cand_id"), col("dot").as("rel"))
         .join(corpus.select(col("vec_id").as("cand_id"), col("q")), "cand_id")
         .localCheckpoint()
+      // the greedy loop's plans are all ≤ MmrM rows — run them at one
+      // partition, AQE off (the r20 LoopConf pattern; MmrM is the
+      // measured input size here, a re-rank window constant)
+      graft.operators.LoopConf.withSized(s, MmrM.toLong) {
       var sel = base.orderBy(col("rel").desc, col("cand_id").asc).limit(1)
         .select(lit(1L).as("pick"), col("cand_id"), col("rel"),
           lit(0L).as("maxsim"), (lit(7L) * col("rel")).as("score10"), col("q"))
@@ -410,6 +414,7 @@ object SimilarityQueries {
       sel.select(col("pick"), col("cand_id"), col("rel"), col("maxsim"),
         col("score10"))
         .orderBy("pick")
+      } // LoopConf
     },
 
     "d27_hybrid_rrf" -> { (s, d) =>
@@ -621,8 +626,26 @@ object SimilarityQueries {
       // sample-sized and read by init + every Lloyd iteration: materialize
       val sampleSubs = sample
         .select(col("vec_id"), posexplode(expr(subCols("q"))).as(Seq("m", "sq")))
-        .localCheckpoint()
-      var cb = sampleSubs
+        .localCheckpoint(eager = false)
+      // materializes the checkpoint AND probes the trainer size in one
+      // job (the r20 LoopConf pattern: the init window + every Lloyd
+      // iteration below are sample-sized tiny plans)
+      val nSubs = sampleSubs.queryExecution.toRdd.count()
+      // per-subspace codebook collapsed to one broadcast row of aligned
+      // (id, vector) arrays, sorted ascending by cent_id — feeds the
+      // projection argmin (see KMeans.assignQuantized's r20 note: the old
+      // min_by(struct) shape planned a SortAggregate over the expanded
+      // rows; graft_argmin_sqdist removes the explosion, the sort, and
+      // the per-(vec, m) aggregation)
+      val cbm = (c: DataFrame) => c.groupBy(col("cm"))
+        .agg(expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+          .as("cbids"),
+          expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
+            .as("cbs"))
+      val pickId = s"element_at(cbids, CAST(__p % ${1L << 21} AS INT) + 1)"
+      var cb: DataFrame = null
+      graft.operators.LoopConf.withSized(s, nSubs) {
+      cb = sampleSubs
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("m").orderBy("vec_id")))
         .filter(col("rn") <= PqK)
@@ -630,14 +653,10 @@ object SimilarityQueries {
           col("sq").as("cq"))
         .localCheckpoint()
       (0 until PqIters).foreach { _ =>
-        cb = sampleSubs.join(broadcast(cb), col("m") === col("cm"))
-          .withColumn("dist", expr(
-            "aggregate(zip_with(sq, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
-          .groupBy("vec_id", "m")
-          .agg(min_by(struct(col("cent_id"), col("sq")),
-            struct(col("dist"), col("cent_id"))).as("best"))
-          .select(col("m"), col("best.cent_id").as("cent_id"),
-            posexplode(col("best.sq")).as(Seq("dim", "x")))
+        cb = sampleSubs.join(broadcast(cbm(cb)), col("m") === col("cm"))
+          .withColumn("__p", expr("graft_argmin_sqdist(sq, cbs)"))
+          .select(col("m"), expr(pickId).as("cent_id"),
+            posexplode(col("sq")).as(Seq("dim", "x")))
           .groupBy("m", "cent_id", "dim")
           .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("mm"))
           .groupBy("m", "cent_id")
@@ -646,6 +665,7 @@ object SimilarityQueries {
             expr("transform(array_sort(dm), s -> s.mm)").as("cq"))
           .localCheckpoint()
       }
+      } // LoopConf
       // The flattened ADC lookup pd[m*PqK + code] assumes every (m,
       // cent_id) cell survived training. A centroid that empties during
       // Lloyd would shrink pd and make the arithmetic index read the
@@ -664,11 +684,9 @@ object SimilarityQueries {
       // the shuffled row is (vec_id, m, code)
       val coded = corpus
         .select(col("vec_id"), posexplode(expr(subCols("q"))).as(Seq("m", "sq")))
-        .join(broadcast(cents), col("m") === col("cm"))
-        .withColumn("dist", expr(
-          "aggregate(zip_with(sq, cq, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"))
-        .groupBy("vec_id", "m")
-        .agg(min_by(col("cent_id"), struct(col("dist"), col("cent_id"))).as("code"))
+        .join(broadcast(cbm(cents)), col("m") === col("cm"))
+        .withColumn("__p", expr("graft_argmin_sqdist(sq, cbs)"))
+        .select(col("vec_id"), col("m"), expr(pickId).as("code"))
       val codes = coded.groupBy("vec_id")
         .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
           .as("codes"))
@@ -964,31 +982,52 @@ object SimilarityQueries {
       val qs = e.filter(col("vec_id") >= 10 && col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("q").as("qq"))
       val cand = e.filter(col("vec_id") >= 20)
-      val sqDist = (a: String, b: String) =>
-        s"aggregate(zip_with($a, $b, (x, c) -> (x - c) * (x - c)), 0L, (acc, v) -> acc + v)"
+      // fused codegen sqdist (bit-equal to the aggregate(zip_with(...))
+      // fold on equal-length non-null arrays — CodegenOnlySpec)
+      val sqDist = (a: String, b: String) => s"graft_sqdist_i64($a, $b)"
       val subCols = (t: String) =>
         s"transform(sequence(0, ${PqM - 1}), m -> slice($t, CAST(m * $PqSub + 1 AS INT), $PqSub))"
       // coarse codebook: the d10 trainer verbatim (oracle: trainedCentsCtes)
       val coarse = graft.operators.KMeans
         .fitQuantizedSampled(cand, TargetClusterSize, SamplePct, IvfIters)
         .localCheckpoint()
-      // assign each candidate to its nearest list; residual = q - cq
-      val asg = cand.crossJoin(broadcast(coarse))
-        .withColumn("dist", expr(sqDist("q", "cq")))
-        .groupBy("vec_id")
-        .agg(min_by(struct(col("cent_id"), col("cq"), col("q")),
-          struct(col("dist"), col("cent_id"))).as("b"))
-        .select(col("vec_id"), col("b.cent_id").as("cent_id"),
-          col("b.q").as("q"),
-          expr("zip_with(b.q, b.cq, (x, c) -> x - c)").as("r"))
+      // assign each candidate to its nearest list; residual = q - cq.
+      // Projection argmin over the coarse codebook collapsed to one
+      // broadcast row (the assignQuantized r20 shape — no min_by
+      // SortAggregate carrying (cq, q) payloads, no aggregation at all)
+      val coarse1 = coarse.agg(
+        expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+          .as("coids"),
+        expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
+          .as("cos"))
+      val asg = cand.crossJoin(broadcast(coarse1))
+        .withColumn("__p", expr("graft_argmin_sqdist(q, cos)"))
+        .withColumn("__i", expr(s"CAST(__p % ${1L << 21} AS INT) + 1"))
+        .select(col("vec_id"), expr("element_at(coids, __i)").as("cent_id"),
+          col("q"),
+          expr("zip_with(q, element_at(cos, __i), (x, c) -> x - c)").as("r"))
         .localCheckpoint() // feeds PQ sample, encode, and the exact refine
       // PQ codebooks: d20's one-Lloyd-loop-for-all-subspaces, trained on
       // the hash-sample's RESIDUALS
       val sampleSubs = asg
         .filter(expr(graft.operators.KMeans.sampleSql(SamplePct)))
         .select(col("vec_id"), posexplode(expr(subCols("r"))).as(Seq("m", "sq")))
-        .localCheckpoint()
-      var cb = sampleSubs
+        .localCheckpoint(eager = false)
+      // checkpoint materialization doubling as the trainer size probe
+      // (the r20 LoopConf pattern, see d20)
+      val nSubs = sampleSubs.queryExecution.toRdd.count()
+      // per-subspace codebook collapsed to aligned (id, vector) arrays —
+      // projection argmin, the d20/assignQuantized r20 shape (no min_by
+      // SortAggregate, no per-(vec, m) aggregation)
+      val cbm = (c: DataFrame) => c.groupBy(col("cm"))
+        .agg(expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+          .as("cbids"),
+          expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
+            .as("cbs"))
+      val pickId = s"element_at(cbids, CAST(__p % ${1L << 21} AS INT) + 1)"
+      var cb: DataFrame = null
+      graft.operators.LoopConf.withSized(s, nSubs) {
+      cb = sampleSubs
         .withColumn("rn", row_number().over(
           org.apache.spark.sql.expressions.Window.partitionBy("m").orderBy("vec_id")))
         .filter(col("rn") <= PqK)
@@ -996,13 +1035,10 @@ object SimilarityQueries {
           col("sq").as("cq"))
         .localCheckpoint()
       (0 until PqIters).foreach { _ =>
-        cb = sampleSubs.join(broadcast(cb), col("m") === col("cm"))
-          .withColumn("dist", expr(sqDist("sq", "cq")))
-          .groupBy("vec_id", "m")
-          .agg(min_by(struct(col("cent_id"), col("sq")),
-            struct(col("dist"), col("cent_id"))).as("best"))
-          .select(col("m"), col("best.cent_id").as("cent_id"),
-            posexplode(col("best.sq")).as(Seq("dim", "x")))
+        cb = sampleSubs.join(broadcast(cbm(cb)), col("m") === col("cm"))
+          .withColumn("__p", expr("graft_argmin_sqdist(sq, cbs)"))
+          .select(col("m"), expr(pickId).as("cent_id"),
+            posexplode(col("sq")).as(Seq("dim", "x")))
           .groupBy("m", "cent_id", "dim")
           .agg(expr("CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT)").as("mm"))
           .groupBy("m", "cent_id")
@@ -1011,6 +1047,7 @@ object SimilarityQueries {
             expr("transform(array_sort(dm), s -> s.mm)").as("cq"))
           .localCheckpoint()
       }
+      } // LoopConf
       // d20's flattened-ADC invariant: every (m, cent_id) cell must exist
       val nCb = cb.count()
       require(nCb == PqM.toLong * PqK,
@@ -1021,11 +1058,10 @@ object SimilarityQueries {
       val codes = asg
         .select(col("vec_id"), col("cent_id"),
           posexplode(expr(subCols("r"))).as(Seq("m", "sq")))
-        .join(broadcast(cb.withColumnRenamed("cent_id", "pqc")),
-          col("m") === col("cm"))
-        .withColumn("dist", expr(sqDist("sq", "cq")))
-        .groupBy("vec_id", "cent_id", "m")
-        .agg(min_by(col("pqc"), struct(col("dist"), col("pqc"))).as("code"))
+        .join(broadcast(cbm(cb)), col("m") === col("cm"))
+        .withColumn("__p", expr("graft_argmin_sqdist(sq, cbs)"))
+        .select(col("vec_id"), col("cent_id"), col("m"),
+          expr(pickId).as("code"))
         .groupBy("vec_id", "cent_id")
         .agg(expr("transform(array_sort(collect_list(struct(m, code))), s -> s.code)")
           .as("codes"))

@@ -28,6 +28,7 @@ class CodegenOnlySpec extends SparkSpec {
           "graft_minhash16(text) AS mh",
           "graft_dot_f32(fv, fv) AS d32",
           "graft_dot_i64(la, lb) AS d64",
+          "graft_sqdist_i64(la, lb) AS sq64",
           "graft_isect_sorted_i64(la, lb) AS i64",
           "graft_isect_sorted(array('a','b'), array('b','c')) AS istr")
         .head()
@@ -35,6 +36,7 @@ class CodegenOnlySpec extends SparkSpec {
       assert(r.getSeq[Long](r.fieldIndex("mh")).length == 16)
       assert(r.getAs[Double]("d32") == 5.0)
       assert(r.getAs[Long]("d64") == 1L * 2 + 2 * 5 + 5 * 9)
+      assert(r.getAs[Long]("sq64") == 1L + 9 + 16) // (1-2)²+(2-5)²+(5-9)²
       assert(r.getAs[Long]("i64") == 2L) // {2,5}
       assert(r.getAs[Long]("istr") == 1L) // {b}
     }
@@ -60,6 +62,64 @@ class CodegenOnlySpec extends SparkSpec {
           "size(graft_shingles13(text)) AS s13")
         .collect()
       assert(short.forall(r => r.getInt(0) == 0 && r.getInt(1) == 0))
+    }
+  }
+
+  test("graft_sqdist_i64 is bit-equal to the declarative fold on the corpus") {
+    GraftFunctions.register(spark)
+    withCodegenOnly {
+      import graft.operators.SimilaritySearch.quantizeSql
+      val e = Tables.embeddings(spark, sfDir)
+        .withColumn("q", expr(quantizeSql("embedding")))
+        .select(col("vec_id"), col("q"))
+      // pairwise shape against a shifted copy — the argmin scan's exact
+      // input class (equal-length non-null BIGINT arrays)
+      val probe = e.filter(col("vec_id") < 4)
+        .select(col("q").as("cq"))
+      val bad = e.crossJoin(probe)
+        .filter(expr("graft_sqdist_i64(q, cq)") =!=
+          expr("aggregate(zip_with(q, cq, (x, c) -> (x - c) * (x - c)), " +
+            "0L, (acc, v) -> acc + v)"))
+        .count()
+      assert(bad == 0)
+    }
+  }
+
+  test("graft_argmin_sqdist equals the min_by(struct(dist, cent_id)) argmin on the corpus") {
+    GraftFunctions.register(spark)
+    withCodegenOnly {
+      import graft.operators.SimilaritySearch.quantizeSql
+      val e = Tables.embeddings(spark, sfDir)
+        .withColumn("q", expr(quantizeSql("embedding")))
+        .select(col("vec_id"), col("q"))
+      val cb = e.filter(col("vec_id") < 6)
+        .select(col("vec_id").as("cent_id"), col("q").as("cq"))
+      // declarative reference: crossJoin + min_by(struct(dist, cent_id))
+      val ref = e.crossJoin(broadcast(cb))
+        .withColumn("dist", expr("graft_sqdist_i64(q, cq)"))
+        .groupBy("vec_id")
+        .agg(min_by(struct(col("cent_id"), col("dist")),
+          struct(col("dist"), col("cent_id"))).as("b"))
+        .select(col("vec_id"), col("b.cent_id").as("rc"), col("b.dist").as("rd"))
+      val cb1 = cb.agg(
+        expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+          .as("cbids"),
+        expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
+          .as("cbs"))
+      val got = e.crossJoin(broadcast(cb1))
+        .withColumn("__p", expr("graft_argmin_sqdist(q, cbs)"))
+        .select(col("vec_id"),
+          expr(s"element_at(cbids, CAST(__p % ${1L << 21} AS INT) + 1)").as("gc"),
+          expr(s"__p div ${1L << 21}").as("gd"))
+      val bad = ref.join(got, "vec_id")
+        .filter(col("rc") =!= col("gc") || col("rd") =!= col("gd")).count()
+      assert(bad == 0)
+      // empty codebook -> null (the guard shape callers never hit)
+      import spark.implicits._
+      val r = Seq(Tuple1(Array(1L, 2L))).toDF("q")
+        .selectExpr("graft_argmin_sqdist(q, CAST(array() AS ARRAY<ARRAY<BIGINT>>)) AS p")
+        .head()
+      assert(r.isNullAt(0))
     }
   }
 
