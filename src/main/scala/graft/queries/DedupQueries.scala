@@ -331,15 +331,21 @@ object DedupQueries {
       graft.plans.GraftFunctions.register(s)
       val all = Tables.documents(s, d)
         .withColumn("is_eval", expr("(doc_id * 2654435761) % 100 < 10"))
+      // r20: stage checkpoints marked LAZILY (the t37 r19 fusion-#4
+      // pattern) — each survivor set still materializes exactly once
+      // (its blocks are shared by the stage-count row and the next
+      // stage), but inside its first consumer's job instead of a
+      // separate eager-count job per stage; the components closure's
+      // own edge-count job pulls train/q/exd through in one chain
       val train = all.filter(!col("is_eval"))
-        .select("doc_id", "text", "n_chars").localCheckpoint()
-      val q = TextQueries.gopherKept(train).localCheckpoint()
+        .select("doc_id", "text", "n_chars").localCheckpoint(eager = false)
+      val q = TextQueries.gopherKept(train).localCheckpoint(eager = false)
       val exd = q.join(Dedup.exact(q).select("doc_id"), "doc_id")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val labels = Dedup.components(Dedup.minHashLshPairs(exd, K, Bands))
       val nd = exd.join(labels.filter(col("label") =!= col("id"))
           .select(col("id").as("doc_id")), Seq("doc_id"), "left_anti")
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       // contamination = >= 80 distinct shared shingles (the noise floor:
       // on this 31-word-vocabulary corpus EVERY doc shares a handful of
       // shingles with some eval doc — measured 18..141, median 66 at
