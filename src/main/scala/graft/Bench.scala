@@ -133,6 +133,31 @@ object Bench {
     ProbeBands.collect { case (k, lo, _)
       if k != "st_ms" && k != "mt_ms" => k -> lo }.toMap
 
+  /** Capture-proof sidecar path (r21, the r20 verdict item 3): the
+    * driver's stdout capture has tail-truncated the 202-key JSON line
+    * into `parsed: null` for four straight rounds — the per-query ground
+    * truth of an optimization round, unreadable by the tool grading it.
+    * Every bench invocation (full OR selective) now also writes the
+    * identical line here, so a tail-limited capture still has a complete
+    * parseable artifact; Verify prints the path so the recipe is
+    * discoverable from the other main's output too. */
+  private[graft] val SidecarPath = "/tmp/graft_bench_last.json"
+
+  /** Writes the roll's one-line JSON artifacts: the sidecar ALWAYS (see
+    * [[SidecarPath]]), and the committed round record `BENCH_full.json`
+    * only for full runs — a selective iteration run must not clobber the
+    * round record (the r6 convention, unchanged). Factored out of main
+    * so BenchGuardSpec can pin the sidecar contract. */
+  private[graft] def persistArtifacts(line: String, fullRun: Boolean): Unit = {
+    try java.nio.file.Files.write(java.nio.file.Paths.get(SidecarPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"BENCH SIDECAR: $e") }
+    if (fullRun)
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"BENCH WRITE: $e") }
+  }
+
   /** Cap-retry blow-up guard (r18 review, see [[capRetryJson]]): a
     * capped query whose cold already exceeded this multiple of the cap
     * is not re-run at roll end — and the wall budget at which a running
@@ -968,14 +993,7 @@ object Bench {
       s""""spread":${fmtMap(_._2._2)},"cold":${fmtMap(_._2._4)},""" +
       s""""queries":${fmtMap(_._2._1)},"tail":$tail}"""
     println(line)
-    // The driver keeps only a ~2000-char tail of stdout, losing most of
-    // the per-query dict each round (r6 verdict ask): also write the
-    // COMPLETE line to a repo file for cross-round comparison. Full runs
-    // only — a selective iteration run must not clobber the round record.
-    if (args.isEmpty)
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
-        (line + "\n").getBytes("UTF-8"))
-      catch { case e: Throwable => System.err.println(s"BENCH WRITE: $e") }
+    persistArtifacts(line, fullRun = args.isEmpty)
     spark.stop()
   }
 }

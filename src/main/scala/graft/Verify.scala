@@ -54,6 +54,10 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // advertise the bench's capture-proof sidecar (r21, the r20 verdict
+    // item 3) so a tail-limited stdout capture knows where the complete
+    // one-line roll JSON lives
+    println(s"[verify] bench sidecar: ${Bench.SidecarPath}")
     spark.stop()
   }
 }

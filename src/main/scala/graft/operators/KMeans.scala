@@ -171,17 +171,65 @@ object KMeans {
     // indexing the aligned id array (never assumed dense — a Lloyd
     // iteration can empty a centroid).
     graft.plans.GraftFunctions.register(vectors.sparkSession)
-    val cb1 = codebook.agg(
-      expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
-        .as("cbids"),
-      expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
-        .as("cbs"))
-    vectors.crossJoin(broadcast(cb1))
+    vectors.crossJoin(broadcast(collapsed(codebook)))
       .withColumn("__p", expr("graft_argmin_sqdist(q, cbs)"))
       .select(col("vec_id"), col("q"),
         expr(s"element_at(cbids, CAST(__p % ${1L << 21} AS INT) + 1)").as("cent_id"),
         expr(s"__p div ${1L << 21}").as("dist"))
   }
+
+  /** The collapsed-codebook aggregate shared by [[assignQuantized]],
+    * [[assignIdx]] and [[centroidIdx]]: one row of cent_id-ascending
+    * aligned (id, vector) arrays. All three MUST use this same ordering —
+    * the argmin's lowest-index tie-break and the cidx mapping are only
+    * equivalent to the struct(dist, cent_id) ordering because the arrays
+    * sort ascending by cent_id.
+    */
+  private def collapsed(codebook: DataFrame): DataFrame = codebook.agg(
+    expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cent_id)")
+      .as("cbids"),
+    expr("transform(array_sort(collect_list(struct(cent_id, cq))), s -> s.cq)")
+      .as("cbs"))
+
+  /** Nearest-centroid INDEX assignment (r21) for join-shaped consumers:
+    * (vec_id, q, cidx) where cidx is the centroid's position in the
+    * ascending-cent_id codebook order (same argmin, same tie-break as
+    * [[assignQuantized]]). Exists because joining the assignment on
+    * cent_id propagates any probe-side constraint on cent_id (e.g. the
+    * d09/d37 fixed-centroid slice `vec_id < 8`) through the equi-join
+    * and Catalyst pushes the inferred filter BELOW the assignment
+    * projection — re-evaluating the argmin up to 2x more per corpus row
+    * inside the join condition (the d02 inferred-predicate trap, seen
+    * live in the r21 d09/d37 plan dumps). cidx carries no constraints,
+    * so the argmin stays a single projection eval; the probe side maps
+    * cent_id → cidx via [[centroidIdx]] (bijective, so join pairs are
+    * identical).
+    */
+  def assignIdx(vectors: DataFrame, codebook: DataFrame): DataFrame = {
+    graft.plans.GraftFunctions.register(vectors.sparkSession)
+    // coalesce(argmin, -1) makes cidx NON-NULLABLE, so the equi-join
+    // downstream infers no IsNotNull(cidx) — which Catalyst would push
+    // below this projection as a second argmin eval per corpus row
+    // (seen live in the second r21 d09 dump: `Join condition:
+    // isnotnull(cast((argminsqdist(..)) as int))`). -1 is outside
+    // centroidIdx's 0..k-1 range, so a null argmin (null vector / empty
+    // codebook — shapes the pipeline never produces) still never joins,
+    // exactly like the null key it replaces.
+    // the coalesce sits OUTSIDE the remainder: Remainder is nullable by
+    // type (null divisor semantics), so an inner coalesce still leaves
+    // cidx nullable and the IsNotNull re-appears
+    vectors.crossJoin(broadcast(collapsed(codebook).select(col("cbs"))))
+      .select(col("vec_id"), col("q"),
+        expr(s"CAST(coalesce(graft_argmin_sqdist(q, cbs) % ${1L << 21}, -1L) AS INT)")
+          .as("cidx"))
+  }
+
+  /** The (cent_id, cidx) mapping matching [[assignIdx]]'s index order —
+    * k rows, broadcast it on the probe side.
+    */
+  def centroidIdx(codebook: DataFrame): DataFrame =
+    collapsed(codebook)
+      .select(posexplode(col("cbids")).as(Seq("cidx", "cent_id")))
 
   /** Nearest-centroid assignment: broadcast codebook, map-side argmin of
     * ||x - c||² (double math here — training only; search stays integer).

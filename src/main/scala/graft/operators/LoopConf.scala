@@ -31,6 +31,20 @@ import org.apache.spark.sql.SparkSession
   */
 object LoopConf {
 
+  /** Run `body` under the sized loop conf described above.
+    *
+    * CONTRACT (r21, the r20 ADVICE — the API invites misuse otherwise):
+    * `body` must be EAGER — every plan it builds must execute (action /
+    * eager localCheckpoint) before it returns. A body that returns a
+    * lazy DataFrame executed after this call is a silent no-op: the conf
+    * is restored in finally, so the deferred execution plans under the
+    * caller's conf, not the sized one. Lazy values may only escape when
+    * rooted on state already materialized inside (a checkpointed RDD).
+    * Also NOT thread-safe across concurrent queries on one session —
+    * the flips are session-global; Bench/Verify/the drivers run queries
+    * single-threaded, and nesting keeps the innermost size (each level
+    * restores its own previous value).
+    */
   def withSized[T](spark: SparkSession, nRows: Long,
       rowsPerPart: Long = 65536L)(body: => T): T = {
     val sess = spark.sessionState.conf.numShufflePartitions

@@ -118,27 +118,37 @@ object SimilaritySearch {
       val scored = df.crossJoin(cents)
         .withColumn("dist",
           expr(dotSql("q", "q")) + col("cn") - lit(2L) * expr(dotSql("q", "cq")))
-      if (keep == 1) {
-        // argmin via map-side-combined min_by: shuffles n rows, not the
-        // n×k scored rows a window would (see KMeans argmin note); the
-        // struct(dist, cent_id) key keeps the centroid-id tie-break
-        scored.groupBy("vec_id")
-          .agg(min_by(struct(col("cent_id"), col("q")),
-            struct(col("dist"), col("cent_id"))).as("best"))
-          .select(col("vec_id").as(idOut), col("best.q").as("q"),
-            col("best.cent_id").as("cent_id"))
-      } else {
-        val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
-        scored.withColumn("pr", row_number().over(w))
-          .filter(col("pr") <= keep)
-          .select(col("vec_id").as(idOut), col("q"), col("cent_id"))
-      }
+      val w = Window.partitionBy("vec_id").orderBy(col("dist").asc, col("cent_id").asc)
+      scored.withColumn("pr", row_number().over(w))
+        .filter(col("pr") <= keep)
+        .select(col("vec_id").as(idOut), col("q"), col("cent_id"))
     }
 
-    val lists = nearestLists(candidates, "cand_id", 1)
+    // Corpus-side list assignment via the argmin-in-projection shape
+    // (the r20 assignQuantized technique — r21, the r20 verdict's top
+    // item): the old crossJoin → n×k scored rows →
+    // min_by(struct(cent_id, q), struct(dist, cent_id)) planned a
+    // partial/final SortAggregate PAIR that sorted the n×k expanded rows
+    // and carried the q payload through the sort buffer on every serve.
+    // Equivalence: dist = |q|² + |c|² − 2·q·c == Σ(q−c)² exactly on the
+    // equal-length BIGINT arrays this pipeline produces, and the
+    // collapsed codebook sorts ascending by cent_id, so the expression's
+    // lowest-index tie-break equals the old struct(dist, cent_id)
+    // ordering. The list join runs on the centroid INDEX (assignIdx /
+    // centroidIdx — cent_id ↔ cidx is a bijection, so join pairs are
+    // identical): joining on cent_id would let a caller-side centroid
+    // constraint (d09's `vec_id < 8` slice) infer through the equi-join
+    // and push the argmin into the join condition — 2 extra evals per
+    // corpus row (the d02 inferred-predicate trap, live in the first r21
+    // d09 dump). The probes side (keep = nprobe ranks) stays the window —
+    // queries are broadcast-tiny by definition.
+    val cb = centroids.select(col("vec_id").as("cent_id"), col("q").as("cq"))
+    val lists = KMeans.assignIdx(candidates, cb)
+      .select(col("vec_id").as("cand_id"), col("q"), col("cidx"))
     val probes = nearestLists(queries, "query_id", nprobe)
-      .select(col("query_id"), col("q").as("qq"), col("cent_id"))
-    val scored = lists.join(broadcast(probes), "cent_id")
+      .join(broadcast(KMeans.centroidIdx(cb)), "cent_id")
+      .select(col("query_id"), col("q").as("qq"), col("cidx"))
+    val scored = lists.join(broadcast(probes), "cidx")
       .withColumn("dot", expr(dotSql("qq", "q")))
       .select(col("query_id"), col("cand_id"), col("dot"))
     TopK.perKey(scored, Seq("query_id"), "dot", "cand_id", k)

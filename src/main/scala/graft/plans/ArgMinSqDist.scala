@@ -26,8 +26,19 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Packing contract (callers: quantized milli-unit embeddings): index
   * < 2^21 and dist < 2^42 — a 64-dim milli-unit diff bound of ±2·10^5
   * per dim stays under 2^42 with 100x margin; eval throws (never wraps)
-  * if the bound is ever exceeded. Null if either input is null; null on
-  * an empty codebook.
+  * if the bound is ever exceeded. SELF-ENFORCING (r21, the r20 ADVICE —
+  * the r20 guard checked only `bestD >= 2^42`, so an accumulator that
+  * WRAPPED NEGATIVE on out-of-contract input would win the argmin, pass
+  * the guard, and pack a silently-wrong cent_id): the final guard now
+  * also rejects `bestD < 0`, which catches every wrapped-negative s at
+  * zero inner-loop cost — a negative s is ALWAYS the minimum, so
+  * `any s < 0  ⟺  bestD < 0` (the in-loop per-centroid check this
+  * replaces measured as a real hit on the PQ family's short subspace
+  * loops); and each centroid's length must equal the vector's — checked
+  * BRANCH-FREE (a boolean accumulator, throw after the loop, so no
+  * exception block bloats the hot loop body) — a ragged codebook throws
+  * instead of silently scoring a min-length prefix. Null if either
+  * input is null; null on an empty codebook.
   */
 case class ArgMinSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -53,15 +64,21 @@ case class ArgMinSqDist(left: Expression, right: Expression)
     val cbs = b.asInstanceOf[ArrayData]
     val k = cbs.numElements()
     if (k == 0) return null
+    val n = q.numElements()
     var bestD = Long.MaxValue
     var bestI = -1
+    // branch-free contract flag (see Scaladoc): the throw lives AFTER
+    // the loop so the hot loop body stays exception-free (an in-loop
+    // throw block measured as a real hit on the short PQ subspace loops)
+    var lenOk = true
     var c = 0
     while (c < k) {
       val cq = cbs.getArray(c)
-      val n = math.min(q.numElements(), cq.numElements())
+      lenOk &= cq.numElements() == n
+      val m = math.min(n, cq.numElements())
       var s = 0L
       var i = 0
-      while (i < n) {
+      while (i < m) {
         val d = q.getLong(i) - cq.getLong(i)
         s += d * d
         i += 1
@@ -69,7 +86,10 @@ case class ArgMinSqDist(left: Expression, right: Expression)
       if (s < bestD) { bestD = s; bestI = c }
       c += 1
     }
-    if (bestD >= (1L << 42) || k > (1 << 21))
+    if (!lenOk)
+      throw new IllegalArgumentException(
+        s"graft_argmin_sqdist length mismatch: some centroid's length != $n")
+    if (bestD < 0L || bestD >= (1L << 42) || k > (1 << 21))
       throw new ArithmeticException(
         s"graft_argmin_sqdist packing overflow: dist=$bestD k=$k")
     bestD * (1L << 21) + bestI
@@ -81,29 +101,37 @@ case class ArgMinSqDist(left: Expression, right: Expression)
       val c = ctx.freshName("c")
       val cq = ctx.freshName("cq")
       val n = ctx.freshName("n")
+      val m = ctx.freshName("m")
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       val bestD = ctx.freshName("bestD")
       val bestI = ctx.freshName("bestI")
+      val lenOk = ctx.freshName("lenOk")
       s"""
          |int $k = $b.numElements();
          |if ($k == 0) {
          |  ${ev.isNull} = true;
          |} else {
+         |  int $n = $a.numElements();
          |  long $bestD = Long.MAX_VALUE;
          |  int $bestI = -1;
+         |  boolean $lenOk = true;
          |  for (int $c = 0; $c < $k; $c++) {
          |    org.apache.spark.sql.catalyst.util.ArrayData $cq = $b.getArray($c);
-         |    int $n = java.lang.Math.min($a.numElements(), $cq.numElements());
+         |    $lenOk &= $cq.numElements() == $n;
+         |    int $m = java.lang.Math.min($n, $cq.numElements());
          |    long $s = 0L;
-         |    for (int $i = 0; $i < $n; $i++) {
+         |    for (int $i = 0; $i < $m; $i++) {
          |      long $d = $a.getLong($i) - $cq.getLong($i);
          |      $s += $d * $d;
          |    }
          |    if ($s < $bestD) { $bestD = $s; $bestI = $c; }
          |  }
-         |  if ($bestD >= (1L << 42) || $k > (1 << 21))
+         |  if (!$lenOk)
+         |    throw new IllegalArgumentException(
+         |      "graft_argmin_sqdist length mismatch: some centroid's length != " + $n);
+         |  if ($bestD < 0L || $bestD >= (1L << 42) || $k > (1 << 21))
          |    throw new ArithmeticException(
          |      "graft_argmin_sqdist packing overflow: dist=" + $bestD + " k=" + $k);
          |  ${ev.value} = $bestD * (1L << 21) + $bestI;

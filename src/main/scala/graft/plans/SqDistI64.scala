@@ -18,7 +18,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Identical arithmetic and fold order (index-ascending), so results are
   * bit-equal on equal-length non-null arrays — the only shape the
   * quantized embedding pipeline produces (CodegenOnlySpec pins equality
-  * on the real corpus). Null if either side is null.
+  * on the real corpus). Null if either side is null. Unequal lengths
+  * THROW (r21, the r20 ADVICE): the declarative fold returns NULL there
+  * while a silent min-length prefix sum would hash-flake engine-vs-oracle
+  * with no error — the contract is self-enforcing, not comment-enforced.
   */
 case class SqDistI64(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -40,7 +43,10 @@ case class SqDistI64(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"graft_sqdist_i64 length mismatch: $n vs ${y.numElements()}")
     var s = 0L
     var i = 0
     while (i < n) {
@@ -58,7 +64,10 @@ case class SqDistI64(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n)
+         |  throw new IllegalArgumentException(
+         |    "graft_sqdist_i64 length mismatch: " + $n + " vs " + $b.numElements());
          |long $s = 0L;
          |for (int $i = 0; $i < $n; $i++) {
          |  long $d = $a.getLong($i) - $b.getLong($i);

@@ -317,15 +317,31 @@ object SimilarityQueries {
           .withColumn("pr", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(idc)
               .orderBy(col("dist").asc, col("cent_id").asc)))
-      val ca = argRanks(cand, "vec_id", "q", "nq").filter(col("pr") === 1)
-        .select(col("vec_id").as("cand_id"), col("q").as("cq2"), col("cent_id"))
-        .localCheckpoint()
+      // candidate list assignment: argmin-in-projection (the r20
+      // assignQuantized shape; r21) — the old argRanks(cand).filter(pr=1)
+      // ran a Window sort over the n×8 crossJoin rows, shuffling every
+      // scored row by vec_id. dist = nq + cn − 2·dot == Σ(q−c)² exactly,
+      // and the window's (dist asc, cent_id asc) top-1 equals the
+      // expression's lowest-index tie-break over the ascending-cent_id
+      // codebook. The list join runs on the centroid INDEX (cidx — a
+      // bijection of cent_id, so join pairs are identical): joining on
+      // cent_id would let the `vec_id < 8` slice infer through the
+      // equi-join and push the argmin into the join condition (the d02
+      // inferred-predicate trap). ca's old corpus-sized localCheckpoint
+      // is gone too — it has ONE consumer (scored, itself checkpointed),
+      // so the assignment now runs inline inside scored's checkpoint
+      // job instead of materializing a second corpus-sized table. The
+      // query side keeps the window — broadcast-tiny, needs ranks.
+      val cb8 = cents.select(col("cent_id"), col("cq"))
+      val ca = graft.operators.KMeans.assignIdx(cand, cb8)
+        .select(col("vec_id").as("cand_id"), col("q").as("cq2"), col("cidx"))
       val qp = argRanks(qs, "vec_id", "q", "nq").filter(col("pr") <= MaxNprobe)
+        .join(broadcast(graft.operators.KMeans.centroidIdx(cb8)), "cent_id")
         .select(col("vec_id").as("query_id"), col("q").as("qq"),
-          col("cent_id"), col("pr"))
+          col("cidx"), col("pr"))
       // scored feeds both the per-arm ranking and the volume rollup —
       // materialize so the probe join runs once
-      val scored = ca.join(qp, "cent_id")
+      val scored = ca.join(qp, "cidx")
         .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "cq2")))
         .select(col("query_id"), col("cand_id"), col("dot"), col("pr"))
         .withColumn("np", explode(expr(
@@ -680,7 +696,7 @@ object SimilarityQueries {
           "emptied during Lloyd; the flattened ADC index would misread")
       val cents = cb
       // encode: one corpus scan exploding the PqM subvectors, ONE broadcast
-      // argmin against all codebooks at once, map-side-combined min_by —
+      // of all collapsed codebooks at once, argmin-in-projection (r20) —
       // the shuffled row is (vec_id, m, code)
       val coded = corpus
         .select(col("vec_id"), posexplode(expr(subCols("q"))).as(Seq("m", "sq")))
@@ -871,14 +887,25 @@ object SimilarityQueries {
           .withColumn("pr", row_number().over(
             org.apache.spark.sql.expressions.Window.partitionBy(idc)
               .orderBy(col("dist").asc, col("cent_id").asc)))
-      val ca = argRanks(n.filter(col("vec_id") >= 20), "vec_id")
-        .filter(col("pr") === 1)
-        .select(col("vec_id").as("cand_id"), col("q").as("cq2"), col("cent_id"))
+      // candidate list assignment: argmin-in-projection (the r20
+      // assignQuantized shape; r21) — replaces the Window-sort top-1 over
+      // the n×8 crossJoin rows; same dist identity and tie-break as d30's
+      // note. The list join runs on the centroid INDEX — joining on
+      // cent_id would let the `vec_id < 8` slice infer through the
+      // equi-join and push the argmin into the join condition (the d02
+      // inferred-predicate trap; 2 extra evals per corpus row, live in
+      // the first r21 d37 dump). Queries keep the window (broadcast-tiny,
+      // needs ranks 1..2).
+      val cb8 = cents.select(col("cent_id"), col("cq"))
+      val ca = graft.operators.KMeans.assignIdx(
+          n.filter(col("vec_id") >= 20), cb8)
+        .select(col("vec_id").as("cand_id"), col("q").as("cq2"), col("cidx"))
       val qp = argRanks(n.filter(col("vec_id") >= 10 && col("vec_id") < 20),
           "vec_id")
         .filter(col("pr") <= 2)
-        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cent_id"))
-      ca.join(qp, "cent_id")
+        .join(broadcast(graft.operators.KMeans.centroidIdx(cb8)), "cent_id")
+        .select(col("vec_id").as("query_id"), col("q").as("qq"), col("cidx"))
+      ca.join(qp, "cidx")
         .withColumn("dot", expr(SimilaritySearch.dotSql("qq", "cq2")))
         .filter(col("dot") >= RangeTau)
         .select(col("query_id"), col("cand_id"), col("dot"))
