@@ -409,7 +409,7 @@ object TextQueries {
     * that can be MARKED (inner cut join — a superset is identical).
     */
   private[graft] def spanCutFromSliced(docs: DataFrame,
-      sliced: DataFrame): DataFrame = {
+      sliced: DataFrame, withPrevLen: Boolean = false): DataFrame = {
     val cand = sliced
       .select(col("doc_id"), col("gpos"), col("fp"),
         (col("gpos") - greatest(col("gpos") - lit(WinW.toLong), lit(0L)))
@@ -445,7 +445,7 @@ object TextQueries {
     // add a full extra shuffle of the marked rows for nothing
     val ps = marked.groupBy("b")
       .agg(sort_array(collect_set(col("p"))).as("ps"))
-    docs.join(ps, col("doc_id") === col("b"))
+    val cut = docs.join(ps, col("doc_id") === col("b"))
       .withColumn("sg", expr(
         "filter(transform(sequence(0, size(ps)), i -> named_struct(" +
           "'gs', CASE WHEN i = 0 THEN 0 ELSE element_at(ps, i) + 20 END, " +
@@ -454,7 +454,14 @@ object TextQueries {
       .withColumn("text_clean", expr(
         "array_join(transform(sg, " +
           "x -> substring(text, x.gs + 1, x.ge - x.gs + 1)), '')"))
-      .select(col("doc_id"), col("text_clean"))
+    // prev_len = the cut-INPUT text's length, read in the same pass over
+    // the doc bytes (r21): spanRemoval's delta carries it forward as
+    // orig_len so the final removed_chars readout needs no corpus
+    // re-scan — see the assembly note there.
+    if (withPrevLen)
+      cut.select(col("doc_id"), col("text_clean"),
+        length(col("text")).cast("long").as("prev_len"))
+    else cut.select(col("doc_id"), col("text_clean"))
   }
 
   /** t37's detect→REMOVE pipeline: [[spanPass]] iterated to the fixed
@@ -728,9 +735,19 @@ object TextQueries {
       //    blocks. Driver-side scalar, the d26 discipline (the only
       //    driver-side values in the loop are this count and capN).
       val k = pass
-      val outNew = spanCutFromSliced(cur, occ)
+      // withPrevLen (r21): each changed row carries the length of the
+      // text it was cut FROM, read in the cut's own pass over the doc
+      // bytes. The merge folds it to orig_len = the ORIGINAL corpus
+      // length (max over the doc's rows: a doc's first-change row reads
+      // the original text, later rows read an already-cut — strictly
+      // shorter — text, so max picks the original), and the final
+      // assembly then needs NO corpus join: the old readout re-scanned
+      // the full corpus text a 5th time just to compute
+      // length(o.text) for ~1% of docs.
+      val outNew = spanCutFromSliced(cur, occ, withPrevLen = true)
         .select(col("doc_id"), col("text_clean").as("text"),
-          keysCol.as("keys"), lit(k).as("pass"))
+          keysCol.as("keys"), lit(k).as("pass"),
+          col("prev_len").as("orig_len"))
       // supersede-by-latest as ONE union + max_by aggregation instead of
       // the old anti-join + union: the anti-join needed the pass's
       // changed-doc ids a second time (measured: the whole mark/cut
@@ -748,9 +765,11 @@ object TextQueries {
           .groupBy("doc_id")
           .agg(max_by(
             struct(col("text"), col("keys"), col("pass")),
-            col("pass")).as("w"))
+            col("pass")).as("w"),
+            max(col("orig_len")).as("orig_len"))
           .select(col("doc_id"), col("w.text").as("text"),
-            col("w.keys").as("keys"), col("w.pass").as("pass"))
+            col("w.keys").as("keys"), col("w.pass").as("pass"),
+            col("orig_len"))
       val (deltaCkpt, changedN) = probe(s"pass $pass delta+count ckpt") {
         val d = mergedDelta.localCheckpoint(eager = false)
         val ord = d.schema.fieldIndex("pass")
@@ -770,16 +789,25 @@ object TextQueries {
       }
       pass += 1
     }
-    // only docs in delta can differ from the original corpus
+    // only docs in delta can differ from the original corpus, and the
+    // delta carries each doc's ORIGINAL length (orig_len, see the merge
+    // note) — so the readout is delta-sized with no corpus join: the
+    // pre-r21 assembly joined the full docs scan (a 5th corpus text
+    // pass per execution) against the ~1% delta just to re-read
+    // length(o.text). removed_chars and the shrank-only filter are
+    // value-identical: orig_len == length(o.text) by the merge's
+    // max fold.
     val changedAll =
-      if (delta == null) docs.limit(0)
-      else delta.select("doc_id", "text")
-    docs.as("o").join(changedAll.as("n"), "doc_id")
-      .filter(length(col("n.text")) < length(col("o.text")))
+      if (delta == null)
+        docs.select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("orig_len")).limit(0)
+      else delta.select(col("doc_id"), col("text"), col("orig_len"))
+    changedAll
+      .filter(length(col("text")) < col("orig_len"))
       .select(col("doc_id"),
-        (length(col("o.text")) - length(col("n.text")))
+        (col("orig_len") - length(col("text")))
           .cast("long").as("removed_chars"),
-        col("n.text").as("text_clean"))
+        col("text").as("text_clean"))
       .orderBy("doc_id")
   }
 
