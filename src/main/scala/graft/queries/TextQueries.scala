@@ -937,10 +937,21 @@ object TextQueries {
     */
   private[graft] def trainPerceptron(feat: DataFrame): DataFrame = {
     def upd(sx: String) = floorDivSql(sx, "n", "div")
-    var w = feat.agg(count(lit(1)).cast("long").as("n"))
+    // r21 (the r20 verdict item 6): ProfileR21 measured this tail class
+    // at wall ≈ jobs × ~60 ms scheduler fixed cost — t38 ran 31 jobs
+    // for ~0.7 s of task compute. n now comes from the checkpointed
+    // feat's own RDD count (one cached-blocks job) and drives BOTH a
+    // literal 1-row init (replacing the old count-agg job + checkpoint)
+    // and the r20 size-adaptive loop conf: AQE off inside collapses
+    // each epoch's per-stage re-plan jobs into the eager checkpoint's
+    // one; a corpus-scale feat keeps the caller's conf via the gate.
+    // Values are unchanged: toRdd.count() == the old agg's count(1).
+    val spark = feat.sparkSession
+    val n0 = feat.queryExecution.toRdd.count()
+    graft.operators.LoopConf.withSized(spark, n0) {
+    var w: DataFrame = spark.range(1)
       .select(lit(0L).as("w1"), lit(0L).as("w2"), lit(0L).as("w3"),
-        lit(0L).as("wb"), col("n"))
-      .localCheckpoint()
+        lit(0L).as("wb"), lit(n0).as("n"))
     val epochs = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (e <- 1 to TrainEpochs) {
       val step = feat.crossJoin(broadcast(w))
@@ -966,7 +977,10 @@ object TextQueries {
         col("w3").as("w_mlen"), col("wb").as("w_bias"), col("n_mis"))
       w = step.select("w1", "w2", "w3", "wb", "n")
     }
+    // lazy union over eager-checkpointed steps — the LoopConf-legal
+    // escape shape (rooted on state materialized inside the scope)
     epochs.reduce(_.unionByName(_))
+    } // LoopConf
   }
 
   /** Serve the trained classifier: score `feat` against a 1-row weight
@@ -1062,7 +1076,16 @@ object TextQueries {
     */
   private def bpeTrain(s: SparkSession, d: String)
       : (Seq[DataFrame], DataFrame) = {
-    var seq = bpeWords(s, d).localCheckpoint()
+    // lazy checkpoint + materializing RDD count (the r20 LoopConf probe
+    // pattern): one job both persists the word histogram and measures it
+    // for the sized loop conf — ProfileR21 (the r20 verdict item 6)
+    // measured t29/t32's wall at ≈ jobs × ~60 ms scheduler fixed cost
+    // (30-31 jobs for ~0.3 s of task compute); AQE off inside the
+    // vocab-sized loop collapses each iteration's per-stage re-plan
+    // jobs into its two eager checkpoints' own.
+    var seq = bpeWords(s, d).localCheckpoint(eager = false)
+    val n0 = seq.queryExecution.toRdd.count()
+    graft.operators.LoopConf.withSized(s, n0) {
     val merges = (1 to BpeIters).map { i =>
       val best = seq
         .select(col("cnt"), explode(expr(
@@ -1082,7 +1105,10 @@ object TextQueries {
       best.select(lit(i.toLong).as("it"), col("lhs"), col("rhs"),
         col("pair_n"))
     }
+    // both escapes are LoopConf-legal: merges rows select over the
+    // eager-checkpointed best tables, seq is the last eager checkpoint
     (merges, seq)
+    } // LoopConf
   }
 
   val queries: Map[String, Q] = Map(
